@@ -1,0 +1,107 @@
+"""Text-analysis column expressions for the documents table.
+
+LLM-pipeline extensions (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting. Everything is a native
+column expression (whole-stage codegen) — no Python UDFs, so these run at
+scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic (mirrored in the DuckDB
+# oracle SQL).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "et", "est", "les", "un"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (deterministic)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens via regexp (JVM-side regexp_count)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, v: a + v)
+    return F.when(F.size(t) > 0, F.round(total / F.size(t), 4)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, F.round(stopword_hits(text, lang) / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length + punctuation-density + stopwords.
+
+    Same shape as Gopher/C4-style quality filters: long-enough docs with
+    moderate punctuation and some function words score high.
+    """
+    n = token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_ratio = F.when(
+        F.length(text) > 0, punct_count(text) / F.length(text)
+    ).otherwise(F.lit(0.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text, "en") * 5.0, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language guess over the 4 known lists.
+
+    Deterministic argmax: ties broken by fixed language order
+    (en > de > es > fr), 'und' (undetermined) when no list hits.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # reversed → earlier langs win ties
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the full text, mod 1e9+7.
+
+    acc = (acc*31 + ascii(char)) % M — a deterministic 'document
+    fingerprint' computable identically in any engine (the DuckDB oracle
+    uses list_reduce with the same recurrence).
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % FINGERPRINT_MOD,
+    )

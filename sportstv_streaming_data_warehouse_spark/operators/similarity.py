@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference (its only lookups are equi-joins); this is the
+LLM-pipeline extension from BASELINE.json's north star. Two paths:
+
+- brute_force_topk: exact cosine top-k. The query side is broadcast, so
+  the corpus is scanned once with no shuffle of the big side; per-query
+  top-k is a window over (query, sim). Correct at any corpus size, cost
+  O(|corpus|·|queries|·dim) — the baseline the ANN path is measured
+  against.
+- lsh_bucketed_topk: random-hyperplane LSH. Sign-bit signatures bucket
+  the corpus; candidates come from L equi-joins on (table, bucket), so
+  work scales with bucket occupancy, not corpus². Recall < 1 by design;
+  tests measure it against brute force.
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate in
+double precision) — no Python serialization in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (sequential fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan + windowed top-k.
+
+    Returns (query_id, neighbor_id, rank, cosine_sim) excluding self-pairs.
+    Ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from sign bits of hyperplane projections (JVM-side)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: L hash tables of random-hyperplane buckets.
+
+    Candidates = union over tables of equi-join on (table, bucket);
+    each candidate scored exactly, then per-query top-k. At 100 TB the
+    corpus side is hash-partitioned by bucket — no crossJoin anywhere.
+    """
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        c = corpus.select(
+            F.lit(t).alias("tbl"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        q = queries.select(
+            F.lit(t).alias("tbl"),
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        tables.append((c, q))
+
+    cand = None
+    for c, q in tables:
+        j = c.join(q, on=["tbl", "bucket"]).filter(
+            F.col("neighbor_id") != F.col(query_id_col)
+        )
+        cand = j if cand is None else cand.unionByName(j)
+    cand = cand.dropDuplicates([query_id_col, "neighbor_id"])
+
+    scored = cand.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )

@@ -1,0 +1,1156 @@
+"""The analytics query catalog — every operator from SURVEY.md §2 as a
+named DataFrame function with a DuckDB oracle twin.
+
+Each entry maps 1:1 to an operator row in SURVEY.md §2 (reference sites
+cited per query). The fixture role mapping is FIXTURES.md §B: ``events``
+plays the streaming-transactions source, ``customer→nation→region`` plays
+the subscriber→country snowflake, ``lineitem`` plays the fact-rollup
+grain, ``documents``/``embeddings`` carry the extended operators.
+
+Determinism contract (the driver hash-compares values against DuckDB):
+- SUMs over floating columns go through DECIMAL(18,2) (exact, order-
+  independent) and are cast back to double; ratios divide those exact
+  doubles — bit-identical in both engines.
+- Every LIMIT/top-k has a unique tiebreaker column in its ORDER BY.
+- Column names are aliased identically in the Spark plan and the SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ..functions.calendar import with_calendar_keys, date_spine
+from ..functions.inference import infer_with_precedence
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.windows import per_group_argmax, yoy_growth
+from ..sources.fixtures import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _dsum(col: str, scale: int = 2):
+    """Order-independent sum of a floating column: exact decimal
+    accumulation, surfaced as double (DuckDB twin:
+    CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE))."""
+    return F.sum(F.col(col).cast(DecimalType(18, scale))).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the daily-grain fact rollup (SURVEY §2.4 A1+A2+A3, §2.2 P8).
+# The reference builds this with 50K-row batches + additive upserts
+# (etl.R:369-413); here it is ONE groupBy — Catalyst plans partial+final
+# hash aggregation, and countDistinct is exact (SURVEY §7.4.1).
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_daily_rollup",
+    oracle="""
+    SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+           l_returnflag, l_linestatus,
+           COUNT(*) AS txn_count,
+           COUNT(DISTINCT l_orderkey) AS unique_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                ELSE 0 END AS avg_qty_per_txn
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("txn_count"),
+            F.countDistinct("l_orderkey").alias("unique_orders"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+        .withColumn(
+            "avg_qty_per_txn",
+            F.when(
+                F.col("txn_count") > 0,
+                F.col("sum_qty") / F.col("txn_count"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "s1_scan_pruned_projection",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE value > 95.0
+    """,
+)
+def s1_scan_pruned_projection(spark, sf_dir):
+    # S1: projected scan; filter+projection must reach the parquet reader
+    # (etl.R:321-326's SELECT list — here Catalyst pushes both down).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 95.0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "s4_source_date_bounds",
+    oracle="""
+    SELECT strftime(CAST(MIN(d) AS DATE), '%Y-%m-%d') AS min_date,
+           strftime(CAST(MAX(d) AS DATE), '%Y-%m-%d') AS max_date
+    FROM (SELECT l_shipdate AS d FROM lineitem
+          UNION ALL SELECT o_orderdate AS d FROM orders)
+    """,
+)
+def s4_source_date_bounds(spark, sf_dir):
+    # S4 + U1: date bounds across BOTH sources (etl.R:193-200 reads the
+    # whole CSV for this; one agg over a union here).
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d"))
+    od = load_table(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("d"))
+    return li.unionByName(od).agg(
+        F.date_format(F.min(F.to_date("d")), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max(F.to_date("d")), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@query(
+    "s5_row_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+           (SELECT COUNT(*) FROM orders)   AS orders_rows,
+           (SELECT COUNT(*) FROM events)   AS events_rows
+    """,
+)
+def s5_row_counts(spark, sf_dir):
+    # S5: row-count scans (etl.R:294,461,693) — metadata-only on parquet.
+    li = load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("lineitem_rows"))
+    od = load_table(spark, sf_dir, "orders").agg(F.count("*").alias("orders_rows"))
+    ev = load_table(spark, sf_dir, "events").agg(F.count("*").alias("events_rows"))
+    return li.crossJoin(od).crossJoin(ev)
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "p2_filter_notnull_nonempty",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type IS NOT NULL AND event_type != ''
+    GROUP BY 1
+    """,
+)
+def p2_filter_notnull_nonempty(spark, sf_dir):
+    # P2: the dim_sport source filter (etl.R:176).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isNotNull() & (F.col("event_type") != ""))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "p3_p4_p5_quality_clean",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(TRUNC(COALESCE(value, 0)) AS INT)) AS BIGINT) AS sum_value_int
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def p3_p4_p5_quality_clean(spark, sf_dir):
+    # P3 (validity drop, etl.R:357-359) + P4 (NA→0, etl.R:366-367)
+    # + P5 (numeric cast, etl.R:530) as one clean stage.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.na.drop(subset=["user_id", "ts"])
+        .fillna({"value": 0})
+        .withColumn("value_int", F.col("value").cast("int"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value_int").alias("sum_value_int"))
+    )
+
+
+@query(
+    "p6_year_equality_prune",
+    oracle="""
+    SELECT MONTH(CAST(l_shipdate AS DATE)) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 1998
+    GROUP BY 1
+    """,
+)
+def p6_year_equality_prune(spark, sf_dir):
+    # P6 (report.Rmd:224): equality on year → partition pruning when the
+    # fact is written partitionBy("year").
+    li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
+    return (
+        li.filter(F.year("d") == 1998)
+        .groupBy(F.month("d").alias("month"))
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "p7_year_range_prune",
+    oracle="""
+    SELECT YEAR(CAST(l_shipdate AS DATE)) AS year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) >= 2000
+    GROUP BY 1
+    """,
+)
+def p7_year_range_prune(spark, sf_dir):
+    # P7 (report.Rmd:383): past-N-years range predicate.
+    li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
+    return (
+        li.filter(F.year("d") >= 2000)
+        .groupBy(F.year("d").alias("year"))
+        .agg(F.count("*").alias("n"), _dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "p8_guarded_ratio",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                ELSE 0 END AS avg_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def p8_guarded_ratio(spark, sf_dir):
+    # P8: div-by-zero guarded average (etl.R:612-617).
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("__sq"))
+        .withColumn(
+            "avg_qty",
+            F.when(F.col("n") > 0, F.col("__sq") / F.col("n")).otherwise(F.lit(0.0)),
+        )
+        .drop("__sq")
+    )
+
+
+@query(
+    "p9_null_audit",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag
+    FROM lineitem
+    """,
+)
+def p9_null_audit(spark, sf_dir):
+    # P9: NULL-count validation (etl.R:738-744).
+    li = load_table(spark, sf_dir, "lineitem")
+    def nulls(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+    return li.agg(
+        nulls("l_orderkey").alias("null_orderkey"),
+        nulls("l_shipdate").alias("null_shipdate"),
+        nulls("l_returnflag").alias("null_returnflag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_snowflake_flatten_distinct",
+    oracle="""
+    SELECT DISTINCT c_custkey AS user_id, r_name AS region_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j1_snowflake_flatten_distinct(spark, sf_dir):
+    # J1 (etl.R:252-260): 3-table snowflake flatten + DISTINCT. nation and
+    # region are KB-scale → broadcast both; no shuffle of customer.
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("c_custkey").alias("user_id"), F.col("r_name").alias("region_name"))
+        .distinct()
+    )
+
+
+@query(
+    "j2_broadcast_user_enrichment",
+    oracle="""
+    SELECT n_name AS country, event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def j2_broadcast_user_enrichment(spark, sf_dir):
+    # J2/J3 (etl.R:263-264, 332-333): the reference's named-vector hashmap
+    # lookups ARE broadcast hash joins — dims ship to every executor, the
+    # big fact side never shuffles.
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("country")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("country", "event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("unique_users"))
+    )
+
+
+@query(
+    "j5_fact_by_country",
+    oracle="""
+    SELECT n_name AS country,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def j5_fact_by_country(spark, sf_dir):
+    # J5 + A9 (report.Rmd:315-325): fact ⋈ country dim + market rollup.
+    od = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        od.join(c, od.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("country"))
+        .agg(
+            F.count("*").alias("order_count"),
+            _dsum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "j6_fact_by_dow_via_date_dim",
+    oracle="""
+    SELECT dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def j6_fact_by_dow_via_date_dim(spark, sf_dir):
+    # J6 + A10 (report.Rmd:376-386): join the fact to a broadcast date
+    # dimension and group by its day_of_week attribute. The oracle derives
+    # dow directly — semantically identical, join-free — which is exactly
+    # the check that our dim join loses no rows.
+    li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
+    bounds = li.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
+    dim = date_spine(spark, bounds["lo"], bounds["hi"])
+    return (
+        li.join(F.broadcast(dim), li.d == dim.full_date)
+        .groupBy("day_of_week")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "j7_enrich_with_fallback",
+    oracle="""
+    SELECT category, COUNT(*) AS n FROM (
+      SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                  WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                  WHEN event_type = 'error' THEN 'system'
+             END AS category
+      FROM events
+    ) WHERE category IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def j7_enrich_with_fallback(spark, sf_dir):
+    # J7 (etl.R:335-343): left join to a partial lookup, regex-inference
+    # fallback for orphans via coalesce, drop the unrecoverable.
+    ev = load_table(spark, sf_dir, "events")
+    lookup = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement")],
+        ["event_type", "category_known"],
+    )
+    inferred = infer_with_precedence(
+        F.col("event_type"),
+        [(r"^(purchase|signup)$", "conversion"), (r"^error$", "system")],
+    )
+    return (
+        ev.join(F.broadcast(lookup), "event_type", "left")
+        .withColumn("category", F.coalesce(F.col("category_known"), inferred))
+        .filter(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ja_orphan_anti_join",
+    oracle="""
+    SELECT event_type, COUNT(*) AS orphan_events
+    FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    GROUP BY 1
+    """,
+)
+def ja_orphan_anti_join(spark, sf_dir):
+    # The NOT-matched side of J3 (orphaned rows, etl.R:335) as a proper
+    # left_anti join (broadcast: the key list is small).
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return (
+        ev.join(F.broadcast(c), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("orphan_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a4_global_summary",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(DISTINCT l_orderkey) AS unique_orders,
+           COUNT(DISTINCT l_partkey) AS unique_parts,
+           COUNT(DISTINCT l_suppkey) AS unique_suppliers,
+           strftime(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d') AS min_ship,
+           strftime(CAST(MAX(l_shipdate) AS DATE), '%Y-%m-%d') AS max_ship
+    FROM lineitem
+    """,
+)
+def a4_global_summary(spark, sf_dir):
+    # A4 (etl.R:632-644): executive summary over the fact.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("total_rows"),
+        _dsum("l_quantity").alias("total_qty"),
+        F.countDistinct("l_orderkey").alias("unique_orders"),
+        F.countDistinct("l_partkey").alias("unique_parts"),
+        F.countDistinct("l_suppkey").alias("unique_suppliers"),
+        F.date_format(F.min(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+@query(
+    "a5_year_bounds",
+    oracle="""
+    SELECT MIN(YEAR(CAST(o_orderdate AS DATE))) AS min_year,
+           MAX(YEAR(CAST(o_orderdate AS DATE))) AS max_year
+    FROM orders
+    """,
+)
+def a5_year_bounds(spark, sf_dir):
+    # A5 (report.Rmd:60, 99-100): scalar year probes.
+    od = load_table(spark, sf_dir, "orders")
+    y = F.year(F.to_date("o_orderdate"))
+    return od.agg(F.min(y).alias("min_year"), F.max(y).alias("max_year"))
+
+
+@query(
+    "a6_growth_by_year_priority",
+    oracle="""
+    SELECT YEAR(CAST(o_orderdate AS DATE)) AS year,
+           o_orderpriority,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1000 AS value_thousands
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a6_growth_by_year_priority(spark, sf_dir):
+    # A6 (report.Rmd:110-120): growth grid with derived /1000 metric (F11).
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(
+            F.year(F.to_date("o_orderdate")).alias("year"), "o_orderpriority"
+        )
+        .agg(F.count("*").alias("order_count"), _dsum("o_totalprice").alias("__tv"))
+        .withColumn("value_thousands", F.col("__tv") / 1000)
+        .drop("__tv")
+    )
+
+
+@query(
+    "a7_weekly_latest_year",
+    oracle="""
+    SELECT week(CAST(l_shipdate AS DATE)) AS week,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 2001
+    GROUP BY 1
+    """,
+)
+def a7_weekly_latest_year(spark, sf_dir):
+    # A7 (report.Rmd:218-227): weekly activity in the latest year.
+    li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
+    return (
+        li.filter(F.year("d") == 2001)
+        .groupBy(F.weekofyear("d").alias("week"))
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "a8_ratio_of_sums_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def a8_ratio_of_sums_by_type(spark, sf_dir):
+    # A8 (report.Rmd:264-273): ratio of sums — NOT avg of a precomputed
+    # column (the distinction the reference is careful about).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), _dsum("value").alias("__sv"))
+        .withColumn("avg_value", F.col("__sv") / F.col("n"))
+        .drop("__sv")
+    )
+
+
+@query(
+    "a11_type_dow_matrix",
+    oracle="""
+    SELECT event_type,
+           dayofweek(CAST(ts AS DATE)) + 1 AS day_of_week,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a11_type_dow_matrix(spark, sf_dir):
+    # A11 (report.Rmd:432-438, 463-470): two-key grid feeding the
+    # per-group argmax.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.dayofweek(F.to_date("ts")).alias("day_of_week")
+    ).agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+
+
+@query(
+    "a12_yearly_validation",
+    oracle="""
+    SELECT YEAR(CAST(l_shipdate AS DATE)) AS year,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_suppkey) AS unique_suppliers,
+           COUNT(DISTINCT l_partkey) AS unique_parts
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a12_yearly_validation(spark, sf_dir):
+    # A12 (etl.R:678-689): per-year sanity rollup.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.year(F.to_date("l_shipdate")).alias("year")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_suppkey").alias("unique_suppliers"),
+        F.countDistinct("l_partkey").alias("unique_parts"),
+    )
+
+
+@query(
+    "a13_avg_of_precomputed",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(daily_n) AS DOUBLE) / COUNT(*) AS avg_daily_txns
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS daily_n
+      FROM lineitem
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ) GROUP BY 1
+    """,
+)
+def a13_avg_of_precomputed(spark, sf_dir):
+    # A13 (etl.R:664-674): AVG over a PREcomputed per-day metric column —
+    # deliberately different from the ratio-of-sums in A8. Integer daily
+    # counts keep the two-level aggregation order-independent.
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_returnflag", F.to_date("l_shipdate").alias("d")).agg(
+        F.count("*").alias("daily_n")
+    )
+    return (
+        daily.groupBy("l_returnflag")
+        .agg(F.count("*").alias("__days"), F.sum("daily_n").alias("__s"))
+        .withColumn(
+            "avg_daily_txns", F.col("__s").cast("double") / F.col("__days")
+        )
+        .select("l_returnflag", "avg_daily_txns")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-shaped ops (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w1_peak_week",
+    oracle="""
+    SELECT week, n FROM (
+      SELECT week(CAST(l_shipdate AS DATE)) AS week, COUNT(*) AS n
+      FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 2000
+      GROUP BY 1
+    ) ORDER BY n DESC, week ASC LIMIT 1
+    """,
+)
+def w1_peak_week(spark, sf_dir):
+    # W1 (report.Rmd:246-247): global argmax → TakeOrderedAndProject, not
+    # a full sort (unique tiebreaker: week).
+    li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
+    weekly = (
+        li.filter(F.year("d") == 2000)
+        .groupBy(F.weekofyear("d").alias("week"))
+        .agg(F.count("*").alias("n"))
+    )
+    return weekly.orderBy(F.desc("n"), F.asc("week")).limit(1)
+
+
+@query(
+    "w2_peak_dow_per_flag",
+    oracle="""
+    SELECT l_returnflag, day_of_week, sum_qty FROM (
+      SELECT l_returnflag,
+             dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY sum_qty DESC, day_of_week ASC) = 1
+    """,
+)
+def w2_peak_dow_per_flag(spark, sf_dir):
+    # W2 (report.Rmd:440-447): per-group argmax via row_number window —
+    # one shuffle on the partition key, no driver-side split/lapply.
+    li = load_table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        "l_returnflag", F.dayofweek(F.to_date("l_shipdate")).alias("day_of_week")
+    ).agg(_dsum("l_quantity").alias("sum_qty"))
+    return per_group_argmax(
+        grid, ["l_returnflag"], [F.desc("sum_qty"), F.asc("day_of_week")]
+    )
+
+
+@query(
+    "w3_yoy_order_growth",
+    oracle="""
+    SELECT year, order_count,
+           (order_count - LAG(order_count) OVER (ORDER BY year))
+             / CAST(LAG(order_count) OVER (ORDER BY year) AS DOUBLE) * 100.0
+             AS growth_pct
+    FROM (
+      SELECT YEAR(CAST(o_orderdate AS DATE)) AS year, COUNT(*) AS order_count
+      FROM orders GROUP BY 1
+    )
+    """,
+)
+def w3_yoy_order_growth(spark, sf_dir):
+    # W3 (report.Rmd:197-202): YoY growth via lag over per-year totals
+    # (tiny input → single-partition window is safe).
+    od = load_table(spark, sf_dir, "orders")
+    yearly = od.groupBy(F.year(F.to_date("o_orderdate")).alias("year")).agg(
+        F.count("*").alias("order_count")
+    )
+    return yoy_growth(yearly, "year", "order_count", "growth_pct")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.6) and set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "o1_top10_customers",
+    oracle="""
+    SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders GROUP BY 1
+    ORDER BY order_count DESC, custkey ASC LIMIT 10
+    """,
+)
+def o1_top10_customers(spark, sf_dir):
+    # O1 (etl.R:649-659): ORDER BY ... DESC LIMIT 10 →
+    # TakeOrderedAndProject (no global sort materialized).
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("order_count"),
+            _dsum("o_totalprice").alias("total_value"),
+        )
+        .orderBy(F.desc("order_count"), F.asc("custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "o5_distinct_years_sorted",
+    oracle="""
+    SELECT DISTINCT YEAR(CAST(o_orderdate AS DATE)) AS year
+    FROM orders ORDER BY year
+    """,
+)
+def o5_distinct_years_sorted(spark, sf_dir):
+    # O5 (report.Rmd:158): distinct + sort.
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.select(F.year(F.to_date("o_orderdate")).alias("year"))
+        .distinct()
+        .orderBy("year")
+    )
+
+
+@query(
+    "u1_union_two_sources",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linestatus = 'F'
+      UNION ALL
+      SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linestatus = 'O'
+    ) GROUP BY 1
+    """,
+)
+def u1_union_two_sources(spark, sf_dir):
+    # U1 (etl.R:290-428 vs 444-589): two source pipelines merged with
+    # unionByName BEFORE the single global aggregate — replaces the
+    # reference's additive-upsert composition.
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select("l_returnflag", "l_quantity")
+    b = li.filter(F.col("l_linestatus") == "O").select("l_returnflag", "l_quantity")
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "u2_distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def u2_distinct_pairs(spark, sf_dir):
+    # U2 (etl.R:175-176): SELECT DISTINCT.
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Pivot (SURVEY §2.9) and scalar-function queries (§2.8)
+# ---------------------------------------------------------------------------
+
+_PIVOT_YEARS = list(range(1995, 2002))
+
+
+@query(
+    "r1_pivot_year_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           {cols}
+    FROM lineitem GROUP BY 1
+    """.format(
+        cols=",\n           ".join(
+            "CAST(SUM(CASE WHEN YEAR(CAST(l_shipdate AS DATE)) = {y} "
+            "THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS y{y}".format(y=y)
+            for y in _PIVOT_YEARS
+        )
+    ),
+)
+def r1_pivot_year_matrix(spark, sf_dir):
+    # R1 (report.Rmd:126, 142): dcast long→wide == groupBy().pivot() with
+    # explicit values (no extra distinct-values job at scale).
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.withColumn("year", F.year(F.to_date("l_shipdate")))
+        .groupBy("l_returnflag")
+        .pivot("year", _PIVOT_YEARS)
+        .agg(F.sum(F.col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+    )
+    return wide.select(
+        "l_returnflag", *[F.col(str(y)).alias(f"y{y}") for y in _PIVOT_YEARS]
+    )
+
+
+@query(
+    "f_calendar_keys",
+    oracle="""
+    SELECT DISTINCT
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS full_date,
+           CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m%d') AS INT) AS date_id,
+           YEAR(CAST(l_shipdate AS DATE)) AS year,
+           QUARTER(CAST(l_shipdate AS DATE)) AS quarter,
+           MONTH(CAST(l_shipdate AS DATE)) AS month,
+           week(CAST(l_shipdate AS DATE)) AS week,
+           DAYOFMONTH(CAST(l_shipdate AS DATE)) AS day_of_month,
+           dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week
+    FROM lineitem
+    """,
+)
+def f_calendar_keys(spark, sf_dir):
+    # F1-F5 (etl.R:75-81, 210-217): the full calendar-key derivation,
+    # including the ISO-week/calendar-year pairing (SURVEY §7.4.2).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("full_date")
+    ).distinct()
+    return with_calendar_keys(li, "full_date").withColumn(
+        "full_date", F.date_format("full_date", "yyyy-MM-dd")
+    )
+
+
+@query(
+    "f6_date_spine",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                      CAST(MAX(o_orderdate) AS DATE) AS hi
+               FROM orders),
+    spine AS (SELECT CAST(gs.generate_series AS DATE) AS d
+              FROM generate_series(DATE '1970-01-01', DATE '2100-12-31',
+                                   INTERVAL 1 DAY) gs, b
+              WHERE CAST(gs.generate_series AS DATE) BETWEEN b.lo AND b.hi)
+    SELECT strftime(d, '%Y-%m-%d') AS full_date,
+           CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+           YEAR(d) AS year,
+           QUARTER(d) AS quarter,
+           MONTH(d) AS month,
+           week(d) AS week,
+           DAYOFMONTH(d) AS day_of_month,
+           dayofweek(d) + 1 AS day_of_week
+    FROM spine
+    """,
+)
+def f6_date_spine(spark, sf_dir):
+    # F6 (etl.R:204): the dim_date daily spine between source bounds.
+    od = load_table(spark, sf_dir, "orders")
+    b = od.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    ).first()
+    return date_spine(spark, b["lo"], b["hi"]).withColumn(
+        "full_date", F.date_format("full_date", "yyyy-MM-dd")
+    )
+
+
+@query(
+    "f7_regex_inference_precedence",
+    oracle="""
+    SELECT category, COUNT(*) AS n FROM (
+      SELECT CASE
+               WHEN p_type LIKE 'STANDARD%' THEN 'standard_family'
+               WHEN p_type LIKE '%ANODIZED%' THEN 'anodized_family'
+               WHEN p_type LIKE 'ECONOMY%' THEN 'economy_family'
+             END AS category
+      FROM part
+    ) WHERE category IS NOT NULL GROUP BY 1
+    """,
+)
+def f7_regex_inference_precedence(spark, sf_dir):
+    # F7 (etl.R:272-285): overlapping regex rules with LAST-write-wins —
+    # 'STANDARD ANODIZED TIN' matches both the economy→anodized rule and
+    # the standard rule; the last rule in source order wins (the oracle's
+    # CASE lists rules in REVERSE order because CASE is first-match-wins).
+    part = load_table(spark, sf_dir, "part")
+    rules = [
+        (r"^ECONOMY", "economy_family"),
+        (r"ANODIZED", "anodized_family"),
+        (r"^STANDARD", "standard_family"),
+    ]
+    return (
+        part.withColumn("category", infer_with_precedence(F.col("p_type"), rules))
+        .filter(F.col("category").isNotNull())
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "f10_hours_arithmetic",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 60, 0) AS total_hours
+    FROM events GROUP BY 1
+    """,
+)
+def f10_hours_arithmetic(spark, sf_dir):
+    # F10/F11 (report.Rmd:116): minutes→hours derived metric.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(_dsum("value").alias("__sv"))
+        .withColumn("total_hours", F.round(F.col("__sv") / 60, 0))
+        .drop("__sv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The star-schema fact build, end to end, on the events source — the whole
+# reference ETL (etl.R:311-428) as one declarative plan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "star_fact_events",
+    oracle="""
+    SELECT CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS date_id,
+           n_name AS country, event_type,
+           COUNT(*) AS txn_count,
+           COUNT(DISTINCT user_id) AS unique_user_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN value >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS completed_events,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                ELSE 0 END AS avg_value_per_event,
+           YEAR(CAST(ts AS DATE)) AS year,
+           QUARTER(CAST(ts AS DATE)) AS quarter,
+           MONTH(CAST(ts AS DATE)) AS month,
+           week(CAST(ts AS DATE)) AS week
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3, 9, 10, 11, 12
+    """,
+)
+def star_fact_events(spark, sf_dir):
+    # The full fact_streaming_summary build (schema.R:132-148 grain;
+    # etl.R:311-428 dataflow): broadcast dim enrichment → single global
+    # groupBy with exact countDistinct → derived avg (P8) + calendar keys.
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("country")
+    )
+    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).withColumn(
+        "d", F.to_date("ts")
+    )
+    fact = (
+        enriched.groupBy(
+            F.date_format("d", "yyyyMMdd").cast("int").alias("date_id"),
+            "country",
+            "event_type",
+            F.year("d").alias("year"),
+            F.quarter("d").alias("quarter"),
+            F.month("d").alias("month"),
+            F.weekofyear("d").alias("week"),
+        )
+        .agg(
+            F.count("*").alias("txn_count"),
+            F.countDistinct("user_id").alias("unique_user_count"),
+            _dsum("value").alias("total_value"),
+            F.sum(F.when(F.col("value") >= 20, 1).otherwise(0)).alias(
+                "completed_events"
+            ),
+        )
+        .withColumn(
+            "avg_value_per_event",
+            F.when(
+                F.col("txn_count") > 0,
+                F.col("total_value") / F.col("txn_count"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return fact.select(
+        "date_id", "country", "event_type", "txn_count", "unique_user_count",
+        "total_value", "completed_events", "avg_value_per_event",
+        "year", "quarter", "month", "week",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended operators: dedup / similarity / text (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+    """,
+)
+def x_dedup_exact(spark, sf_dir):
+    # Exact dedup: one hash-agg shuffle on the content key (S10's
+    # INSERT IGNORE generalized).
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "text")
+
+
+@query(
+    "x_dedup_token_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(string_split(text, ' '), t -> t != '')) AS u(tok)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_tok FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE inter / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) >= 0.8
+    """,
+)
+def x_dedup_token_jaccard(spark, sf_dir):
+    # Exact n-gram/token Jaccard near-dup pairs via inverted-index join —
+    # the exact counterpart the MinHash path approximates.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@query("x_dedup_minhash_lsh")  # no SQL oracle: hash-family specific (rows-only check)
+def x_dedup_minhash_lsh(spark, sf_dir):
+    # MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
+    # Verified in tests against exact Jaccard instead of a SQL oracle.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, bands=8, n=3, threshold=0.4
+    )
+
+
+@query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
+def x_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+@query(
+    "x_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM q, c WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           ROUND(sim, 4) AS cosine_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def x_knn_bruteforce(spark, sf_dir):
+    # Exact cosine top-k over the embedding column: broadcast queries ×
+    # one corpus scan; JVM-side zip_with/aggregate vector math.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@query("x_knn_lsh_ann")  # no SQL oracle: LSH recall measured in tests
+def x_knn_lsh_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(emb, queries, k=5, dim=64)
+
+
+@query(
+    "x_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+           n_chars
+    FROM documents
+    """,
+)
+def x_text_stats(spark, sf_dir):
+    # Token counting (whitespace + BPE-ish regex) and punctuation density —
+    # all JVM-side expressions, no UDF.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        T.punct_count(F.col("text")).alias("punct_chars"),
+        "n_chars",
+    )
+
+
+@query(
+    "x_doc_stats_by_lang",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def x_doc_stats_by_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars"))
+        .withColumn(
+            "avg_chars", F.col("total_chars").cast("double") / F.col("docs")
+        )
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)

@@ -1,0 +1,62 @@
+"""Readers for the driver-provided parquet fixtures (TESTDATA.md).
+
+The reference's extract tier is a SQLite full scan + a chunked CSV read
+(loadAnalyticsDB.PractII.VarmaA.R:321-326, 479-488). Here every source is
+one declarative ``spark.read`` — column pruning and predicate pushdown
+reach the parquet scan via Catalyst, and the manual LIMIT/OFFSET paging
+(etl.R:306) is replaced by Spark's partitioned scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Pure metadata op — stays lazy.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as long nanos (legacy conf, runtime-
+    settable so it also works under a driver-owned session) and rebuild
+    the timestamp with exact integer division — no precision loss.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql access."""
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv_source(spark: SparkSession, path: str, schema, header: bool = True) -> DataFrame:
+    """CSV ingestion with an explicit schema (replaces etl.R:479-488's
+    header/headerless chunked read — one declarative call, no paging)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
