@@ -1,0 +1,67 @@
+"""Benchmark harness — times the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Reference baseline (BASELINE.md): ~51 s end-to-end ETL over 1.18M rows
+(~23K rows/s) + sub-second analytics. sf0.1 (~600K lineitem rows) is the
+closest fixture; `flagship_daily_rollup` and `star_fact_events` are the
+ETL analogs, the rest are the analytics catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+from sportstv_streaming_data_warehouse_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_daily_rollup",   # the ETL rollup (A1+A2, etl.R:369-413)
+    "star_fact_events",        # full star fact build incl. dim joins
+    "j5_fact_by_country",      # 3-way join + agg (report.Rmd:315-325)
+    "a4_global_summary",       # global multi-distinct agg
+    "w2_peak_dow_per_flag",    # windowed per-group argmax
+    "w3_yoy_order_growth",     # lag window
+    "r1_pivot_year_matrix",    # pivot
+    "x_dedup_exact",           # extended: exact dedup
+    "x_dedup_minhash_lsh",     # extended: MinHash LSH near-dup
+    "x_knn_bruteforce",        # extended: cosine top-k
+    "x_text_stats",            # extended: text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="sportstv-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        # count() fully executes the plan without driver-side row transfer
+        QUERIES[name](spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
