@@ -1,0 +1,226 @@
+"""The star-schema ETL, re-expressed as one declarative Spark plan.
+
+Reference dataflow (/root/reference/src/loadAnalyticsDB.PractII.VarmaA.R):
+a single-threaded R loop pulls 50K-row batches (etl.R:306,464), enriches
+each via named-vector hashmaps (etl.R:263-264), infers sports for
+orphaned assets with regex masks (etl.R:272-285), filters invalid rows
+(etl.R:357-359), aggregates per batch (etl.R:369-378) and additively
+upserts into MySQL (etl.R:396-413). Here the whole pipeline is ONE lazy
+DataFrame DAG — Catalyst plans broadcast joins for the dims and
+partial+final hash aggregation for the rollup; there is exactly one
+shuffle (the group-by exchange), and `unique_user_count` is the EXACT
+distinct, not the reference's batch-additive approximation
+(SURVEY.md §7.4.1).
+
+Scale posture: dims are KB-scale → broadcast; the fact is written
+partitionBy("year") (replacing MySQL RANGE partitions, schema.R:160-168)
+so year-filtered queries prune; at 100 TB the only heavy operator is the
+single hash-agg exchange on (date, country, sport) — bounded output
+cardinality (days × countries × sports), no skew risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.calendar import calendar_keys, date_spine
+from ..functions.inference import SPORT_RULES, infer_with_precedence
+
+
+def build_dim_country(countries: DataFrame) -> DataFrame:
+    """dim_country (schema.R:95-101) — straight projection."""
+    return countries.select(
+        F.col("country_id").cast("int"),
+        F.col("country").alias("country_name"),
+    )
+
+
+def build_dim_sport(assets: DataFrame) -> DataFrame:
+    """dim_sport (schema.R:109-115): DISTINCT sport, NULL/'' filtered
+    (etl.R:175-176), with a deterministic surrogate id replacing MySQL
+    AUTO_INCREMENT (note: the id is never used as a fact FK — the fact
+    denormalizes sport_name, schema.R:127)."""
+    sports = (
+        assets.filter(F.col("sport").isNotNull() & (F.col("sport") != ""))
+        .select("sport")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("sport")
+    return sports.withColumn("sport_id", F.row_number().over(w)).select(
+        "sport_id", F.col("sport").alias("sport_name")
+    )
+
+
+def build_dim_date(spark: SparkSession, start, end) -> DataFrame:
+    """dim_date (schema.R:71-87): daily spine with the reference's exact
+    calendar conventions (SURVEY.md §1.4)."""
+    return date_spine(spark, start, end).select(
+        "date_id", "full_date", "year", "quarter", "month", "week",
+        "day_of_month", "day_of_week",
+    )
+
+
+def build_user_country(subscribers: DataFrame, postal2city: DataFrame, cities: DataFrame) -> DataFrame:
+    """J1 (etl.R:252-260): snowflake flatten → distinct (user_id,
+    country_id). postal2city/cities are small → broadcast; the result is
+    itself a broadcastable dim."""
+    return (
+        subscribers.join(F.broadcast(postal2city), "postal_code")
+        .join(F.broadcast(cities), "city_id")
+        .select("user_id", "country_id")
+        .distinct()
+    )
+
+
+def enrich_transactions(
+    txns: DataFrame,
+    user_country: DataFrame,
+    asset_sport: DataFrame,
+) -> DataFrame:
+    """The per-batch enrichment loop (etl.R:311-428) as one plan:
+
+    J2/J3 broadcast lookups → J7 orphan recovery via last-write-wins
+    regex inference (etl.R:272-285; ICEHL- ⇒ Inline Hockey) → P3 validity
+    filter (drop rows with no country/sport/date) → P4 NULL→0 fill.
+    """
+    enriched = (
+        txns.join(F.broadcast(user_country), "user_id", "left")
+        .join(F.broadcast(asset_sport), "asset_id", "left")
+        .withColumn(
+            "sport",
+            F.coalesce(
+                F.col("sport"),
+                infer_with_precedence(F.col("asset_id"), SPORT_RULES),
+            ),
+        )
+        .withColumn("streaming_date", F.to_date("streaming_date"))
+        .na.drop(subset=["country_id", "sport", "streaming_date"])
+        .fillna({"minutes_streamed": 0, "completed": 0})
+    )
+    return enriched
+
+
+def build_fact(enriched: DataFrame) -> DataFrame:
+    """fact_streaming_summary (schema.R:132-148): grain (day, country,
+    sport), one global groupBy — Spark's partial+final HashAggregate
+    replaces the reference's manual batch-partials + additive upsert
+    (etl.R:369-413). countDistinct here is exact (§7.4.1)."""
+    d = F.col("streaming_date")
+    keys = calendar_keys(d)
+    return (
+        enriched.groupBy(
+            keys["date_id"].alias("date_id"),
+            F.col("country_id").cast("int").alias("country_id"),
+            F.col("sport").alias("sport_name"),
+            keys["year"].alias("year"),
+            keys["quarter"].alias("quarter"),
+            keys["month"].alias("month"),
+            keys["week"].alias("week"),
+        )
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.countDistinct("user_id").alias("unique_user_count"),
+            F.sum("minutes_streamed").cast("long").alias("total_minutes_streamed"),
+            F.sum(F.col("completed").cast("int")).cast("long").alias("completed_streams"),
+        )
+        .withColumn(
+            "avg_minutes_per_stream",
+            F.when(
+                F.col("transaction_count") > 0,
+                F.col("total_minutes_streamed") / F.col("transaction_count"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "date_id", "country_id", "sport_name", "transaction_count",
+            "unique_user_count", "total_minutes_streamed", "completed_streams",
+            "avg_minutes_per_stream", "year", "quarter", "month", "week",
+        )
+    )
+
+
+def write_fact(fact: DataFrame, path: str) -> None:
+    """Year-partitioned overwrite — the idempotent truncate-and-reload
+    (etl.R:144) plus MySQL RANGE partitioning (schema.R:160-168) in one
+    call. Partition pruning on `year` filters is automatic."""
+    fact.write.mode("overwrite").partitionBy("year").parquet(path)
+
+
+def validate_fact(fact: DataFrame, source_row_count: int, tolerance: int = 100) -> dict:
+    """The reference's inline validation stage (etl.R:624-753):
+    cross-validation of totals, week-range check, NULL-key check."""
+    agg = fact.agg(
+        F.sum("transaction_count").alias("fact_txns"),
+        F.min("week").alias("min_week"),
+        F.max("week").alias("max_week"),
+        F.sum(F.when(F.col("date_id").isNull(), 1).otherwise(0)).alias("null_dates"),
+        F.sum(F.when(F.col("country_id").isNull(), 1).otherwise(0)).alias("null_countries"),
+        F.sum(F.when(F.col("sport_name").isNull(), 1).otherwise(0)).alias("null_sports"),
+    ).first()
+    retained = int(agg["fact_txns"] or 0)
+    return {
+        "source_rows": source_row_count,
+        "fact_rows_represented": retained,
+        "rows_dropped": source_row_count - retained,
+        "retention_pct": round(100.0 * retained / source_row_count, 2) if source_row_count else 0.0,
+        "week_range_ok": bool(agg["min_week"] >= 1 and agg["max_week"] <= 53),
+        "null_keys_ok": (agg["null_dates"] or 0) == 0
+        and (agg["null_countries"] or 0) == 0
+        and (agg["null_sports"] or 0) == 0,
+    }
+
+
+def run_etl(
+    spark: SparkSession,
+    streaming_txns: DataFrame,
+    csv_txns: DataFrame | None,
+    subscribers: DataFrame,
+    postal2city: DataFrame,
+    cities: DataFrame,
+    countries: DataFrame,
+    assets: DataFrame,
+    out_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """Full batch ETL (entry point 2, SURVEY.md §3.2): both sources
+    union BEFORE the single aggregate (U1), then dims + fact."""
+    core_cols = [
+        "transaction_id", "user_id", "asset_id",
+        "streaming_date", "minutes_streamed", "completed",
+    ]
+    txns = streaming_txns.select(*core_cols)
+    if csv_txns is not None:
+        # CSV superset: extra columns dropped (etl.R:485-487 reads but
+        # never uses them); completed may need a cast (etl.R:530).
+        txns = txns.unionByName(
+            csv_txns.withColumn("completed", F.col("completed").cast("int")).select(
+                *core_cols
+            )
+        )
+
+    bounds = txns.agg(
+        F.min(F.to_date("streaming_date")).alias("lo"),
+        F.max(F.to_date("streaming_date")).alias("hi"),
+    ).first()
+
+    dim_country = build_dim_country(countries)
+    dim_sport = build_dim_sport(assets)
+    dim_date = build_dim_date(spark, bounds["lo"], bounds["hi"])
+    user_country = build_user_country(subscribers, postal2city, cities)
+    asset_sport = assets.filter(
+        F.col("sport").isNotNull() & (F.col("sport") != "")
+    ).select("asset_id", "sport")
+
+    fact = build_fact(enrich_transactions(txns, user_country, asset_sport))
+    if out_path:
+        write_fact(fact, out_path)
+        fact = spark.read.parquet(out_path)
+
+    return {
+        "dim_country": dim_country,
+        "dim_sport": dim_sport,
+        "dim_date": dim_date,
+        "fact": fact,
+        "source_txns": txns,
+    }
