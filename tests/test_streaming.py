@@ -1,0 +1,88 @@
+"""Structured Streaming ingestion tests: availableNow processing, late
+event-time data across restarts, and sink idempotency (SURVEY.md §2.10)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.streaming import ingest
+
+
+def _write_drop(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+DAY1 = "2024-03-01"
+DAY2 = "2024-03-02"
+
+
+def _rows_day(day: str, n: int, sport: str, start_uid: int = 0) -> list[dict]:
+    return [
+        {
+            "ts": f"{day}T{10 + (i % 10):02d}:00:00",
+            "user_id": start_uid + i,
+            "sport": sport,
+            "minutes_streamed": 10,
+            "completed": i % 2,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.fixture
+def paths(tmp_path):
+    return {
+        "in": str(tmp_path / "drops"),
+        "out": str(tmp_path / "fact"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _fact(spark, out_path):
+    return {
+        (r["day"].isoformat(), r["sport"]): r.asDict()
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+
+def test_available_now_rollup(spark, paths):
+    _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 20, "Ice Hockey") + _rows_day(DAY2, 5, "Ski Jumping"))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+
+    fact = _fact(spark, paths["out"])
+    assert fact[(DAY1, "Ice Hockey")]["transaction_count"] == 20
+    assert fact[(DAY1, "Ice Hockey")]["total_minutes_streamed"] == 200
+    assert fact[(DAY1, "Ice Hockey")]["completed_streams"] == 10
+    assert fact[(DAY2, "Ski Jumping")]["transaction_count"] == 5
+    # HLL estimate of 20 distinct users is near-exact at this cardinality
+    assert abs(fact[(DAY1, "Ice Hockey")]["unique_user_estimate"] - 20) <= 2
+
+
+def test_late_data_updates_prior_window(spark, paths):
+    _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 10, "Ice Hockey") + _rows_day(DAY2, 4, "Ice Hockey"))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    assert _fact(spark, paths["out"])[(DAY1, "Ice Hockey")]["transaction_count"] == 10
+
+    # a late DAY1 event arrives after DAY2 data — within the 2-day
+    # watermark, so the DAY1 window must update on restart
+    _write_drop(paths["in"], "f2.json", _rows_day(DAY1, 3, "Ice Hockey", start_uid=100))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+
+    fact = _fact(spark, paths["out"])
+    assert fact[(DAY1, "Ice Hockey")]["transaction_count"] == 13
+    assert fact[(DAY2, "Ice Hockey")]["transaction_count"] == 4
+
+
+def test_restart_without_new_data_is_idempotent(spark, paths):
+    _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 8, "Ski Jumping"))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    before = _fact(spark, paths["out"])
+
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    after = _fact(spark, paths["out"])
+    assert before == after
