@@ -46,9 +46,11 @@ def punct_count(text: Column) -> Column:
 
 
 def avg_token_len(text: Column) -> Column:
+    # raw IEEE division — no rounding, so the value is bit-identical in
+    # any engine computing sum(len)/n (SURVEY determinism contract)
     t = tokens(text)
     total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, v: a + v)
-    return F.when(F.size(t) > 0, F.round(total / F.size(t), 4)).otherwise(F.lit(0.0))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -59,7 +61,7 @@ def stopword_hits(text: Column, lang: str) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     n = token_count(text)
-    return F.when(n > 0, F.round(stopword_hits(text, lang) / n, 4)).otherwise(F.lit(0.0))
+    return F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:
@@ -75,7 +77,7 @@ def quality_score(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
     sw_score = F.least(stopword_ratio(text, "en") * 5.0, F.lit(1.0))
-    return F.round((len_score + punct_score + sw_score) / 3.0, 4)
+    return (len_score + punct_score + sw_score) / 3.0
 
 
 def lang_id(text: Column) -> Column:

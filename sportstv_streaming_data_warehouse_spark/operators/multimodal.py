@@ -1,0 +1,218 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata (BASELINE.json north star).
+
+The Spark-side machinery here is real and tested — schemas, Arrow-batched
+``mapInPandas``/``pandas_udf`` signatures, partitioning, frame explosion —
+while the codec step is a DETERMINISTIC FAKE: this container has no
+image/audio libraries, so blobs carry a tiny self-describing header
+(``SYNM`` magic + width/height/channels) that the "decoder" parses. Where
+a real library would be required, the import is try-gated and the fake is
+clearly marked; swapping in PIL/ffmpeg changes only ``_decode_blob``.
+
+Scale posture: every operator is a narrow per-partition transform (no
+shuffle); batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, so executor memory is
+header+blob bound regardless of table size. Embeddings feed straight
+into operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"SYNM"
+_HEADER_FMT = ">4sHHB"  # magic, width, height, channels
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("data", BinaryType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    IMAGE_SCHEMA.fields
+    + [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def make_blob(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """Synthetic self-describing media blob (deterministic in seed)."""
+    header = struct.pack(_HEADER_FMT, _MAGIC, width, height, channels)
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    body = rng.bytes(width * height * channels)
+    return header + body
+
+
+def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """n synthetic media rows; dimensions vary deterministically."""
+    rows = [
+        (i, make_blob(16 + (i % 4) * 8, 16 + (i % 3) * 8, 3, seed + i), "synm")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def _decode_blob(data: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE decode: parse the SYNM header. A real build
+    would do ``PIL.Image.open(io.BytesIO(data)).size`` here."""
+    try:
+        import PIL.Image  # noqa: F401  (absent in this container)
+        # real path intentionally unreachable without the library
+    except ImportError:
+        pass
+    if data is None or len(data) < _HEADER_SIZE or data[:4] != _MAGIC:
+        return (-1, -1, -1)
+    _, w, h, c = struct.unpack(_HEADER_FMT, data[:_HEADER_SIZE])
+    return (int(w), int(h), int(c))
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode/inspect blobs → typed metadata columns, via mapInPandas
+    (Arrow batches; one pass per partition, no shuffle)."""
+
+    # NOTE: the closure is fully self-contained (stdlib-only, no module
+    # globals) so cloudpickle ships it by value — Python workers need no
+    # importable copy of this package, whatever the driver's cwd.
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        def dec(b):
+            if b is None:
+                return (-1, -1, -1)
+            b = bytes(b)
+            if len(b) < 9 or b[:4] != b"SYNM":
+                return (-1, -1, -1)
+            _, w, h, c = _st.unpack(">4sHHB", b[:9])
+            return (int(w), int(h), int(c))
+
+        for pdf in batches:
+            meta = pdf["data"].map(dec)
+            pdf = pdf.copy()
+            pdf["width"] = [m[0] for m in meta]
+            pdf["height"] = [m[1] for m in meta]
+            pdf["channels"] = [m[2] for m in meta]
+            pdf["n_bytes"] = pdf["data"].map(lambda b: len(b) if b is not None else 0)
+            yield pdf
+
+    return df.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """'Resize' blobs to (width, height): the fake regenerates the body
+    deterministically from the original content hash, preserving the
+    real operator's shape — binary in, binary out, new header."""
+
+    header = struct.pack(_HEADER_FMT, _MAGIC, width, height, 3)
+    nbytes = width * height * 3
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as _np
+
+        def resize(b):
+            if b is None:
+                return None
+            seed = int.from_bytes(_hl.sha256(bytes(b)).digest()[:4], "big")
+            rng = _np.random.RandomState(seed & 0x7FFFFFFF)
+            return header + rng.bytes(nbytes)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["data"] = pdf["data"].map(resize)
+            yield pdf
+
+    return df.mapInPandas(fn, df.schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 256, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video-shaped blobs: split the body into
+    fixed-size frames, keep every n-th — a row-exploding mapInPandas
+    (the real version would call the container demuxer per frame)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_nos, out_frames = [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    continue
+                body = bytes(data)[9:]  # skip the 9-byte SYNM header
+                for fno in range(0, max(len(body) // frame_bytes, 1), every_n):
+                    out_ids.append(mid)
+                    out_nos.append(fno)
+                    out_frames.append(body[fno * frame_bytes : (fno + 1) * frame_bytes])
+            yield _pd.DataFrame(
+                {"media_id": out_ids, "frame_no": out_nos, "frame": out_frames}
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def embed_media(df: DataFrame, dim: int = 64) -> DataFrame:
+    """Content → embedding (array<float>): deterministic pseudo-features
+    from the content hash (a real build would run a vision encoder).
+    Output feeds operators/similarity.py unchanged."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            embs = []
+            for b in pdf["data"]:
+                if b is None:
+                    embs.append(None)
+                    continue
+                seed = int.from_bytes(_hl.sha256(bytes(b)).digest()[:4], "big")
+                rng = _np.random.RandomState(seed & 0x7FFFFFFF)
+                v = rng.randn(dim).astype(_np.float32)
+                v /= _np.linalg.norm(v)
+                embs.append(v.tolist())
+            yield _pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return df.mapInPandas(fn, out_schema)

@@ -1063,7 +1063,7 @@ def x_dedup_minhash_lsh(spark, sf_dir):
 @query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
 def x_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
 
 
 @query(
@@ -1099,9 +1099,11 @@ def x_knn_bruteforce(spark, sf_dir):
 
 @query("x_knn_lsh_ann")  # no SQL oracle: LSH recall measured in tests
 def x_knn_lsh_ann(spark, sf_dir):
+    # params tuned for ~0.7 recall on structure-free gaussian embeddings
+    # (tests/test_similarity_recall.py measures it against brute force)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_bucketed_topk(emb, queries, k=5, dim=64)
+    return S.lsh_bucketed_topk(emb, queries, k=5, dim=64, n_planes=5, n_tables=12)
 
 
 @query(
@@ -1146,6 +1148,94 @@ def x_doc_stats_by_lang(spark, sf_dir):
             "avg_chars", F.col("total_chars").cast("double") / F.col("docs")
         )
     )
+
+
+_SW = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in T.STOPWORDS.items()
+}
+_HITS = {
+    lang: (
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{_SW[lang]}], t)))"
+    )
+    for lang in T.STOPWORDS
+}
+
+
+@query(
+    "x_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_HITS['en']} AS he, {_HITS['de']} AS hd,
+             {_HITS['es']} AS hs, {_HITS['fr']} AS hf
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN he > 0 AND he >= hd AND he >= hs AND he >= hf THEN 'en'
+             WHEN hd > 0 AND hd >= he AND hd >= hs AND hd >= hf THEN 'de'
+             WHEN hs > 0 AND hs >= he AND hs >= hd AND hs >= hf THEN 'es'
+             WHEN hf > 0 AND hf >= he AND hf >= hd AND hf >= hs THEN 'fr'
+             ELSE 'und'
+           END AS lang_guess
+    FROM h
+    """,
+)
+def x_lang_id(spark, sf_dir):
+    # n-gram/stopword-vote language ID — deterministic argmax with fixed
+    # tie order, fully JVM-side.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def x_fingerprint(spark, sf_dir):
+    # polynomial rolling-hash document fingerprint (same recurrence in
+    # both engines — exact integer math, no UDF).
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_Q_NTOK = "len(list_filter(string_split(text, ' '), t -> t != ''))"
+_Q_PUNCT = "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
+
+
+@query(
+    "x_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_Q_NTOK} AS n_tokens,
+             {_Q_PUNCT} AS punct,
+             length(text) AS n_len,
+             {_HITS['en']} AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           (least(n_tokens / 100.0, 1.0)
+            + (1.0 - least((CASE WHEN n_len > 0 THEN punct / CAST(n_len AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0))
+            + least((CASE WHEN n_tokens > 0 THEN sw_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+           ) / 3.0 AS quality
+    FROM s
+    """,
+)
+def x_quality_score(spark, sf_dir):
+    # Gopher/C4-style heuristic quality score; identical IEEE sequence in
+    # the oracle (no rounding anywhere).
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

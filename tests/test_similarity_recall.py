@@ -1,0 +1,60 @@
+"""ANN quality gates: LSH recall measured against exact brute force, and
+MinHash-LSH candidate quality against exact token Jaccard."""
+
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+    minhash_near_duplicates,
+    token_jaccard_pairs,
+)
+from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+from .conftest import SF01
+
+
+def test_lsh_ann_recall(spark):
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = lsh_bucketed_topk(emb, queries, k=5, dim=64, n_planes=5, n_tables=12)
+
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    # random gaussian embeddings are the hardest case for LSH (no cluster
+    # structure, top-5 cosines only ~0.4): 12 tables x 5 planes gives
+    # P(hit) ~ 1-(1-p^5)^12 ~ 0.69 at those angles
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+    # and every ANN similarity must be exact (scoring is not approximated)
+    ann_sims = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in ann.collect()}
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact.collect()}
+    for k_, v in ann_sims.items():
+        if k_ in exact_sims:
+            assert abs(v - exact_sims[k_]) < 1e-9
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """Like-for-like: unigram (n=1) minhash signatures vs exact TOKEN
+    Jaccard, evaluated on strongly-similar pairs (>=0.8) where LSH
+    banding (r=4, b=8) has ~0.99 candidate probability."""
+    docs = load_table(spark, SF01, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain high-overlap docs"
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", num_hashes=32, bands=8, n=1, threshold=0.3
+        ).collect()
+    }
+    hits = sum(1 for k in exact if k in est)
+    assert hits / len(exact) >= 0.7, f"MinHash recall {hits/len(exact):.2f} on >=0.8 pairs"
+    # estimates must track truth: mean absolute error bounded
+    errs = [abs(est[k] - v) for k, v in exact.items() if k in est]
+    assert sum(errs) / len(errs) < 0.15
