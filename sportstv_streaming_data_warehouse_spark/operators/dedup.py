@@ -33,6 +33,17 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as ONE parquet file = one partition,
+    serializing all per-row signature work onto a single core. Fan out to
+    the session's parallelism when under-partitioned; at real scale the
+    source already has many partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact key — one shuffle."""
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
@@ -62,7 +73,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int
         for _ in range(num_hashes)
     ]
 
-    exploded = df.select(
+    exploded = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_HASH_PRIME)))
@@ -151,7 +162,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Token hash bits vote ±1 per position; the signature packs the sign
     bits. One explode + one groupBy(id) with 64 conditional sums.
     """
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -232,7 +243,7 @@ def token_jaccard_pairs(
     (stopword explosion guard — at 100 TB an unfiltered self-join on 'the'
     is quadratic; the cap bounds each token's join output).
     """
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
     )

@@ -24,6 +24,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (sequential fold — deterministic)."""
@@ -64,7 +66,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = _ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -118,6 +122,7 @@ def lsh_bucketed_topk(
     each candidate scored exactly, then per-query top-k. At 100 TB the
     corpus side is hash-partitioned by bucket — no crossJoin anywhere.
     """
+    corpus = _ensure_parallelism(corpus)
     tables = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)

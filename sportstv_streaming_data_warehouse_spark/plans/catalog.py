@@ -336,8 +336,11 @@ def j2_broadcast_user_enrichment(spark, sf_dir):
     dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", F.col("n_name").alias("country")
     )
+    # nation is hint-broadcast (always tiny); the customer-level dim is
+    # left to AQE — broadcast at test SF, sort-merge at 100 TB where a
+    # user dim no longer fits an executor.
     return (
-        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        ev.join(dim, ev.user_id == dim.c_custkey)
         .groupBy("country", "event_type")
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("unique_users"))
     )
@@ -445,7 +448,7 @@ def ja_orphan_anti_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
     return (
-        ev.join(F.broadcast(c), "user_id", "left_anti")
+        ev.join(c, "user_id", "left_anti")
         .groupBy("event_type")
         .agg(F.count("*").alias("orphan_events"))
     )
@@ -969,7 +972,8 @@ def star_fact_events(spark, sf_dir):
     dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", F.col("n_name").alias("country")
     )
-    enriched = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).withColumn(
+    # customer-scale dim: no broadcast hint — AQE picks the strategy
+    enriched = ev.join(dim, ev.user_id == dim.c_custkey).withColumn(
         "d", F.to_date("ts")
     )
     fact = (

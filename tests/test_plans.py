@@ -1,0 +1,89 @@
+"""Physical-plan quality gates: the properties that keep these queries
+fast at 100 TB — pushdown reaching the scan, column pruning, broadcast
+joins for tiny dims, no accidental sort-merge joins or extra shuffles.
+SURVEY.md §4's 'explain and iterate' contract as executable assertions."""
+
+import pytest
+
+from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+from .conftest import SF01
+
+
+def plan_of(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF01)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def scan_lines(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_s1_filter_and_projection_pushed(spark):
+    plan = plan_of(spark, "s1_scan_pruned_projection")
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    # only the 4 projected columns are read (column pruning)
+    assert "event_id" in scans[0] and "props" not in scans[0] and "ts#" not in scans[0]
+    # the value predicate reaches the parquet reader
+    assert "value" in scans[0] and "95.0" in scans[0]
+    assert "Exchange" not in plan  # pure scan+filter: no shuffle at all
+
+
+def test_flagship_prunes_columns_and_bounds_shuffles(spark):
+    plan = plan_of(spark, "flagship_daily_rollup")
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    # 6 needed columns only — discount/tax/partkey/suppkey never read
+    assert "l_discount" not in scans[0] and "l_partkey" not in scans[0]
+    # exact countDistinct costs one extra exchange (expand + regroup);
+    # anything beyond 2 means a planning regression
+    assert plan.count("Exchange") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan  # partial+final hash agg, no sort-agg
+
+
+def test_j2_enrichment_broadcasts_tiny_dim(spark):
+    plan = plan_of(spark, "j2_broadcast_user_enrichment")
+    # nation (25 rows) must broadcast; at this SF customer does too (AQE
+    # decides) — the big events side must never sort-merge
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_p6_year_filter_reaches_scan(spark):
+    plan = plan_of(spark, "p6_year_equality_prune")
+    scans = scan_lines(plan)
+    assert len(scans) == 1 and "1998" in scans[0]
+    # only the two needed columns are read
+    assert "l_quantity" in scans[0] and "l_extendedprice" not in scans[0]
+
+
+def test_o1_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "o1_top10_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_j1_snowflake_broadcasts_both_dims(spark):
+    plan = plan_of(spark, "j1_snowflake_flatten_distinct")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["u1_union_two_sources", "a8_ratio_of_sums_by_type"]
+)
+def test_single_shuffle_aggregations(spark, name):
+    # plain groupBy rollups: exactly one exchange (partial agg map-side,
+    # final after one hash partitioning)
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_a12_distinct_agg_bounded_shuffles(spark):
+    # multi-column exact countDistinct = Expand + regroup: 2 exchanges is
+    # the Catalyst-optimal shape; more means a regression
+    plan = plan_of(spark, "a12_yearly_validation")
+    assert plan.count("Exchange") == 2, plan
+    assert "Expand" in plan
