@@ -1154,6 +1154,69 @@ def x_doc_stats_by_lang(spark, sf_dir):
     )
 
 
+@query(
+    "a_rollup_hierarchy",
+    oracle="""
+    SELECT YEAR(CAST(o_orderdate AS DATE)) AS year,
+           MONTH(CAST(o_orderdate AS DATE)) AS month,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           GROUPING(YEAR(CAST(o_orderdate AS DATE))) AS g_year,
+           GROUPING(MONTH(CAST(o_orderdate AS DATE))) AS g_month
+    FROM orders
+    GROUP BY ROLLUP(YEAR(CAST(o_orderdate AS DATE)), MONTH(CAST(o_orderdate AS DATE)))
+    """,
+)
+def a_rollup_hierarchy(spark, sf_dir):
+    # The reference issues its year/month hierarchy as separate GROUP BYs
+    # (SURVEY §2.4 note); Spark's rollup computes all levels in ONE pass —
+    # grand total, per-year, and per-(year,month) — with grouping flags.
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("d", F.to_date("o_orderdate"))
+        .withColumn("year", F.year("d"))
+        .withColumn("month", F.month("d"))
+    )
+    return od.rollup("year", "month").agg(
+        F.count("*").alias("order_count"),
+        _dsum("o_totalprice").alias("total_value"),
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("month").cast("int").alias("g_month"),
+    )
+
+
+@query(
+    "x_dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             AS cosine_sim
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.5
+    """,
+)
+def x_dedup_embedding_cosine(spark, sf_dir):
+    # Embedding-cosine near-duplicate pairs (semantic dedup). Brute-force
+    # all-pairs here as the exact baseline; at 100 TB the identical
+    # predicate runs over LSH-bucketed candidates (lsh_bucketed_topk) —
+    # same scoring expression, quadratic→bucket-bounded work.
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", S.cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("cosine_sim") >= 0.5)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 _SW = {
     lang: ", ".join(f"'{w}'" for w in words) for lang, words in T.STOPWORDS.items()
 }

@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 from sportstv_streaming_data_warehouse_spark.session import get_spark
@@ -8,5 +10,11 @@ SF01 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="sportstv-tests", master="local[4]", shuffle_partitions=8)
+    warehouse = tempfile.mkdtemp(prefix="sportstv-warehouse-")
+    s = get_spark(
+        app_name="sportstv-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
