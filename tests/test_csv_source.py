@@ -3,35 +3,12 @@ replacing the reference's header/headerless chunked read.csv loop
 (etl.R:479-488), including the string-typed `completed` needing a cast
 (etl.R:530)."""
 
-import os
-
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    IntegerType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from sportstv_streaming_data_warehouse_spark.model import CSV_TXNS_SCHEMA as CSV_SCHEMA
 from sportstv_streaming_data_warehouse_spark.sources.fixtures import read_csv_source
 
 from .fixtures_ref import generate
-
-CSV_SCHEMA = StructType(
-    [
-        StructField("transaction_id", LongType()),
-        StructField("subscriber_id", LongType()),
-        StructField("user_id", LongType()),
-        StructField("asset_id", StringType()),
-        StructField("streaming_date", StringType()),
-        StructField("streaming_start_time", StringType()),
-        StructField("minutes_streamed", IntegerType()),
-        StructField("device_type", StringType()),
-        StructField("quality_streamed", StringType()),
-        StructField("completed", StringType()),  # arrives as string
-    ]
-)
 
 
 def test_csv_read_with_schema(spark, tmp_path):
