@@ -77,8 +77,10 @@ def _dsum(col: str, scale: int = 2):
 def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
+        # group on the 4-byte date key (2.6x faster than a string key at
+        # sf0.1); the display string is derived AFTER aggregation
         li.groupBy(
-            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.to_date("l_shipdate").alias("__d"),
             "l_returnflag",
             "l_linestatus",
         )
@@ -94,6 +96,12 @@ def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("txn_count") > 0,
                 F.col("sum_qty") / F.col("txn_count"),
             ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("ship_date", F.date_format("__d", "yyyy-MM-dd"))
+        .drop("__d")
+        .select(
+            "ship_date", "l_returnflag", "l_linestatus", "txn_count",
+            "unique_orders", "sum_qty", "sum_price", "avg_qty_per_txn",
         )
     )
 
@@ -1151,6 +1159,38 @@ def x_doc_stats_by_lang(spark, sf_dir):
         .withColumn(
             "avg_chars", F.col("total_chars").cast("double") / F.col("docs")
         )
+    )
+
+
+@query(
+    "f_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f_json_extract(spark, sf_dir):
+    # JSON-in-string props column (no JSON anywhere in the reference —
+    # SURVEY §2.8 — but events.props carries it and the engine supports
+    # it natively via get_json_object, JVM-side).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("a2_approx_distinct_scale")  # no oracle: HLL sketch is engine-specific
+def a2_approx_distinct_scale(spark, sf_dir):
+    # The 100-TB posture for A2 (SURVEY §7.2 M5): approx_count_distinct
+    # replaces exact distinct when the Expand+regroup cost matters.
+    # tests/test_approx.py bounds its error against the exact count.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.year(F.to_date("l_shipdate")).alias("year")).agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
     )
 
 

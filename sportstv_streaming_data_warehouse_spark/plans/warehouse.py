@@ -95,7 +95,9 @@ def load_star(spark: SparkSession, etl_result: dict[str, DataFrame], db: str = "
 def describe_warehouse(spark: SparkSession, db: str = "sportstv") -> dict:
     """S12: catalog introspection (the Spark equivalent of the
     INFORMATION_SCHEMA / SHOW INDEX probes at schema.R:180-250)."""
-    tables = [t.name for t in spark.catalog.listTables(db)]
+    # listTables(db) also returns session-global TEMP views; only the
+    # managed tables belong to the warehouse
+    tables = [t.name for t in spark.catalog.listTables(db) if not t.isTemporary]
     out: dict = {"database": db, "tables": {}}
     for t in sorted(tables):
         cols = [

@@ -78,6 +78,68 @@ def test_late_data_updates_prior_window(spark, paths):
     assert fact[(DAY2, "Ice Hockey")]["transaction_count"] == 4
 
 
+def test_streaming_batch_parity_on_events_fixture(spark):
+    """The streaming rollup over the real events table must equal the
+    batch groupBy — same engine, two execution modes (SURVEY §2.10)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+    from .conftest import SF001
+
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory
+    events_dir = tempfile.mkdtemp(prefix="events-stream-")
+    shutil.copy(f"{SF001}/events.parquet", events_dir)
+
+    raw_schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    rollup = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.to_date("w.start").alias("day"), "event_type", "n")
+    )
+    q = (
+        rollup.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM events_rollup").collect()
+    }
+    spark.catalog.dropTempView("events_rollup")
+    expected = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF001, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_restart_without_new_data_is_idempotent(spark, paths):
     _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 8, "Ski Jumping"))
     ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])

@@ -34,7 +34,7 @@ def loaded(spark):
 
 def test_tables_exist_and_match(spark, loaded):
     desc = warehouse.describe_warehouse(spark, DB)
-    assert set(desc["tables"]) == set(warehouse.STAR_TABLES)
+    assert set(desc["tables"]) == set(warehouse.STAR_TABLES), desc
     fact_sql = spark.table(f"{DB}.fact_streaming_summary")
     assert fact_sql.count() == loaded["fact"].count()
     # values round-trip through the managed table
@@ -91,3 +91,16 @@ def test_drop_create_cycle(spark):
     assert not any(
         d.name == "cycle_db" for d in spark.catalog.listDatabases()
     )
+
+
+def test_drop_create_cycle_ignores_temp_views(spark):
+    # a session-global temp view (e.g. a memory-sink stream) must not
+    # appear as a warehouse table
+    spark.range(1).createOrReplaceTempView("stray_temp_view")
+    try:
+        warehouse.create_star_schema(spark, "cycle_db2")
+        desc = warehouse.describe_warehouse(spark, "cycle_db2")
+        assert set(desc["tables"]) == set(warehouse.STAR_TABLES)
+    finally:
+        spark.catalog.dropTempView("stray_temp_view")
+        warehouse.drop_star_schema(spark, "cycle_db2")
