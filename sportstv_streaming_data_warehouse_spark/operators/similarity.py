@@ -104,6 +104,73 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into centroid cells, probe
+    only the n_probe nearest cells per query.
+
+    Centroids are a deterministic sample of corpus vectors (every n-th by
+    id — kmeans would tighten cells but sampling keeps the operator
+    dependency-free and reproducible). Cell assignment is an argmax-dot
+    against the broadcast centroid set; the probe join is an equi-join on
+    centroid_id, so per-query work is |corpus| * n_probe / n_centroids —
+    the scale path when even LSH tables are too coarse.
+    """
+    corpus = _ensure_parallelism(corpus)
+    total = corpus.count()
+    step = max(total // n_centroids, 1)
+    centroids = (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__centroid"))
+    )
+
+    def assign(df: DataFrame, idc: str, vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__cd", dot(F.col(vec), F.col("__centroid"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .drop("__centroid", "__cd", "__cr")
+        )
+
+    c_assigned = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id", "__cvec", 1,
+    )
+    q_probes = assign(
+        queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")),
+        query_id_col, "__qvec", n_probe,
+    )
+
+    cand = c_assigned.join(q_probes, "centroid_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = cand.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "neighbor_id", "rank",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

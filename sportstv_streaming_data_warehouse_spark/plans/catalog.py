@@ -1109,6 +1109,15 @@ def x_knn_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5)
 
 
+@query("x_knn_ivf_ann")  # no SQL oracle: IVF recall measured in tests
+def x_knn_ivf_ann(spark, sf_dir):
+    # IVF cell-probe ANN — the second scale path besides LSH; recall
+    # bounded against brute force in tests/test_similarity_recall.py.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+
+
 @query("x_knn_lsh_ann")  # no SQL oracle: LSH recall measured in tests
 def x_knn_lsh_ann(spark, sf_dir):
     # params tuned for ~0.7 recall on structure-free gaussian embeddings
@@ -1158,6 +1167,56 @@ def x_doc_stats_by_lang(spark, sf_dir):
         .agg(F.count("*").alias("docs"), F.sum("n_chars").alias("total_chars"))
         .withColumn(
             "avg_chars", F.col("total_chars").cast("double") / F.col("docs")
+        )
+    )
+
+
+@query(
+    "w_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    # Sessionization: gap > 30 min starts a new session — lag + running
+    # sum windows, the canonical event-analytics operator (batch twin of
+    # the applyInPandasWithState streaming version). One shuffle on
+    # user_id serves both windows and the final groupBy.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800)
+    ).cast("int")
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
         )
     )
 

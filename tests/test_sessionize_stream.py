@@ -1,0 +1,92 @@
+"""Stateful streaming sessionization: sessions close when a later batch
+proves the gap elapsed; open sessions persist in state across batches."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sportstv_streaming_data_warehouse_spark.streaming.sessionize import (
+    sessionize_stream,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def _drop(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for ts, uid in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "kind": "e"}) + "\n")
+
+
+def _run(spark, in_dir, out_dir, ckpt):
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(in_dir)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _e: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        rows = spark.read.parquet(out_dir).collect()
+    except Exception:
+        return []
+    return sorted(
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in rows
+    )
+
+
+def test_sessions_close_on_gap_within_batch(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    _drop(
+        in_dir,
+        "f1.json",
+        [
+            ("2024-05-01T10:00:00", 1),
+            ("2024-05-01T10:10:00", 1),
+            ("2024-05-01T12:00:00", 1),  # > 30 min after 10:10 → closes s1
+            ("2024-05-01T09:00:00", 2),
+        ],
+    )
+    out = _run(spark, in_dir, str(tmp_path / "out"), ckpt)
+    # user 1's first session (2 events) is closed by the 12:00 event; the
+    # watermark (12:00 - 1h) also passes user 2's timeout (09:30), so the
+    # event-time timeout closes that lone-event session. user 1's 12:00
+    # session stays open in state.
+    assert out == [
+        (1, "2024-05-01T10:00:00", "2024-05-01T10:10:00", 2),
+        (2, "2024-05-01T09:00:00", "2024-05-01T09:00:00", 1),
+    ]
+
+
+def test_open_session_survives_restart_then_closes(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _drop(in_dir, "f1.json", [("2024-05-01T10:00:00", 7), ("2024-05-01T10:05:00", 7)])
+    out1 = _run(spark, in_dir, out_dir, ckpt)
+    assert out1 == []  # still open: watermark (09:05) < timeout (10:35)
+
+    # a later batch 2h on: proves the gap, closes the stored session
+    _drop(in_dir, "f2.json", [("2024-05-01T12:00:00", 7)])
+    out2 = _run(spark, in_dir, out_dir, ckpt)
+    assert out2 == [(7, "2024-05-01T10:00:00", "2024-05-01T10:05:00", 2)]

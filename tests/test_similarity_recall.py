@@ -9,6 +9,7 @@ from sportstv_streaming_data_warehouse_spark.operators.dedup import (
 )
 from sportstv_streaming_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
@@ -35,6 +36,29 @@ def test_lsh_ann_recall(spark):
     for k_, v in ann_sims.items():
         if k_ in exact_sims:
             assert abs(v - exact_sims[k_]) < 1e-9
+
+
+def test_ivf_ann_recall(spark):
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = ivf.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(e & a) / len(e)
+    # probing 8/32 cells scans ~25% of a structure-free corpus; the
+    # query's own cell concentrates true neighbors above that floor
+    assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+    # candidate scoring is exact
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact.collect()
+    }
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["cosine_sim"] - exact_sims[key]) < 1e-9
 
 
 def test_minhash_estimates_track_exact_jaccard(spark):
