@@ -25,6 +25,9 @@ HEADLINE = [
     "w2_peak_dow_per_flag",    # windowed per-group argmax
     "w3_yoy_order_growth",     # lag window
     "r1_pivot_year_matrix",    # pivot
+    "w_sessionize",            # gap sessionization (lag + running sum)
+    "a_rollup_hierarchy",      # one-pass ROLLUP
+    "f_json_extract",          # JSON props extraction
     "x_dedup_exact",           # extended: exact dedup
     "x_dedup_minhash_lsh",     # extended: MinHash LSH near-dup
     "x_knn_bruteforce",        # extended: cosine top-k

@@ -81,6 +81,31 @@ def test_single_shuffle_aggregations(spark, name):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A dim-filtered join against the year-partitioned fact must prune
+    fact partitions at runtime (Spark DPP — the join-driven counterpart
+    of the static pruning in test_star_etl)."""
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF01, "lineitem").withColumn(
+        "year", F.year(F.to_date("l_shipdate"))
+    )
+    path = str(tmp_path / "fact_part")
+    li.write.mode("overwrite").partitionBy("year").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("year"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    joined = fact.join(dim.filter("flag"), "year").groupBy("year").count()
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    physical = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in optimized or "dynamicpruning" in physical, physical
+
+
 def test_a12_distinct_agg_bounded_shuffles(spark):
     # multi-column exact countDistinct = Expand + regroup: 2 exchanges is
     # the Catalyst-optimal shape; more means a regression
