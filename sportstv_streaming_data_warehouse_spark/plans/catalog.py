@@ -212,7 +212,7 @@ def p3_p4_p5_quality_clean(spark, sf_dir):
 @query(
     "p6_year_equality_prune",
     oracle="""
-    SELECT MONTH(CAST(l_shipdate AS DATE)) AS month,
+    SELECT CAST(MONTH(CAST(l_shipdate AS DATE)) AS INTEGER) AS month,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 1998
@@ -233,7 +233,7 @@ def p6_year_equality_prune(spark, sf_dir):
 @query(
     "p7_year_range_prune",
     oracle="""
-    SELECT YEAR(CAST(l_shipdate AS DATE)) AS year,
+    SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) AS INTEGER) AS year,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) >= 2000
@@ -385,7 +385,7 @@ def j5_fact_by_country(spark, sf_dir):
 @query(
     "j6_fact_by_dow_via_date_dim",
     oracle="""
-    SELECT dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week,
+    SELECT CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS day_of_week,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
@@ -496,8 +496,8 @@ def a4_global_summary(spark, sf_dir):
 @query(
     "a5_year_bounds",
     oracle="""
-    SELECT MIN(YEAR(CAST(o_orderdate AS DATE))) AS min_year,
-           MAX(YEAR(CAST(o_orderdate AS DATE))) AS max_year
+    SELECT CAST(MIN(YEAR(CAST(o_orderdate AS DATE))) AS INTEGER) AS min_year,
+           CAST(MAX(YEAR(CAST(o_orderdate AS DATE))) AS INTEGER) AS max_year
     FROM orders
     """,
 )
@@ -511,7 +511,7 @@ def a5_year_bounds(spark, sf_dir):
 @query(
     "a6_growth_by_year_priority",
     oracle="""
-    SELECT YEAR(CAST(o_orderdate AS DATE)) AS year,
+    SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
            o_orderpriority,
            COUNT(*) AS order_count,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1000 AS value_thousands
@@ -534,7 +534,7 @@ def a6_growth_by_year_priority(spark, sf_dir):
 @query(
     "a7_weekly_latest_year",
     oracle="""
-    SELECT week(CAST(l_shipdate AS DATE)) AS week,
+    SELECT CAST(week(CAST(l_shipdate AS DATE)) AS INTEGER) AS week,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 2001
@@ -576,7 +576,7 @@ def a8_ratio_of_sums_by_type(spark, sf_dir):
     "a11_type_dow_matrix",
     oracle="""
     SELECT event_type,
-           dayofweek(CAST(ts AS DATE)) + 1 AS day_of_week,
+           CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS day_of_week,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
@@ -594,7 +594,7 @@ def a11_type_dow_matrix(spark, sf_dir):
 @query(
     "a12_yearly_validation",
     oracle="""
-    SELECT YEAR(CAST(l_shipdate AS DATE)) AS year,
+    SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) AS INTEGER) AS year,
            COUNT(*) AS n,
            COUNT(DISTINCT l_suppkey) AS unique_suppliers,
            COUNT(DISTINCT l_partkey) AS unique_parts
@@ -649,7 +649,7 @@ def a13_avg_of_precomputed(spark, sf_dir):
     "w1_peak_week",
     oracle="""
     SELECT week, n FROM (
-      SELECT week(CAST(l_shipdate AS DATE)) AS week, COUNT(*) AS n
+      SELECT CAST(week(CAST(l_shipdate AS DATE)) AS INTEGER) AS week, COUNT(*) AS n
       FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 2000
       GROUP BY 1
     ) ORDER BY n DESC, week ASC LIMIT 1
@@ -672,7 +672,7 @@ def w1_peak_week(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, day_of_week, sum_qty FROM (
       SELECT l_returnflag,
-             dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week,
+             CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS day_of_week,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY 1, 2
     )
@@ -700,7 +700,7 @@ def w2_peak_dow_per_flag(spark, sf_dir):
              / CAST(LAG(order_count) OVER (ORDER BY year) AS DOUBLE) * 100.0
              AS growth_pct
     FROM (
-      SELECT YEAR(CAST(o_orderdate AS DATE)) AS year, COUNT(*) AS order_count
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year, COUNT(*) AS order_count
       FROM orders GROUP BY 1
     )
     """,
@@ -746,7 +746,7 @@ def o1_top10_customers(spark, sf_dir):
 @query(
     "o5_distinct_years_sorted",
     oracle="""
-    SELECT DISTINCT YEAR(CAST(o_orderdate AS DATE)) AS year
+    SELECT DISTINCT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year
     FROM orders ORDER BY year
     """,
 )
@@ -839,12 +839,12 @@ def r1_pivot_year_matrix(spark, sf_dir):
     SELECT DISTINCT
            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS full_date,
            CAST(strftime(CAST(l_shipdate AS DATE), '%Y%m%d') AS INT) AS date_id,
-           YEAR(CAST(l_shipdate AS DATE)) AS year,
-           QUARTER(CAST(l_shipdate AS DATE)) AS quarter,
-           MONTH(CAST(l_shipdate AS DATE)) AS month,
-           week(CAST(l_shipdate AS DATE)) AS week,
-           DAYOFMONTH(CAST(l_shipdate AS DATE)) AS day_of_month,
-           dayofweek(CAST(l_shipdate AS DATE)) + 1 AS day_of_week
+           CAST(YEAR(CAST(l_shipdate AS DATE)) AS INTEGER) AS year,
+           CAST(QUARTER(CAST(l_shipdate AS DATE)) AS INTEGER) AS quarter,
+           CAST(MONTH(CAST(l_shipdate AS DATE)) AS INTEGER) AS month,
+           CAST(week(CAST(l_shipdate AS DATE)) AS INTEGER) AS week,
+           CAST(DAYOFMONTH(CAST(l_shipdate AS DATE)) AS INTEGER) AS day_of_month,
+           CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS day_of_week
     FROM lineitem
     """,
 )
@@ -871,12 +871,12 @@ def f_calendar_keys(spark, sf_dir):
               WHERE CAST(gs.generate_series AS DATE) BETWEEN b.lo AND b.hi)
     SELECT strftime(d, '%Y-%m-%d') AS full_date,
            CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
-           YEAR(d) AS year,
-           QUARTER(d) AS quarter,
-           MONTH(d) AS month,
-           week(d) AS week,
-           DAYOFMONTH(d) AS day_of_month,
-           dayofweek(d) + 1 AS day_of_week
+           CAST(YEAR(d) AS INTEGER) AS year,
+           CAST(QUARTER(d) AS INTEGER) AS quarter,
+           CAST(MONTH(d) AS INTEGER) AS month,
+           CAST(week(d) AS INTEGER) AS week,
+           CAST(DAYOFMONTH(d) AS INTEGER) AS day_of_month,
+           CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week
     FROM spine
     """,
 )
@@ -960,10 +960,10 @@ def f10_hours_arithmetic(spark, sf_dir):
            CASE WHEN COUNT(*) > 0
                 THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                 ELSE 0 END AS avg_value_per_event,
-           YEAR(CAST(ts AS DATE)) AS year,
-           QUARTER(CAST(ts AS DATE)) AS quarter,
-           MONTH(CAST(ts AS DATE)) AS month,
-           week(CAST(ts AS DATE)) AS week
+           CAST(YEAR(CAST(ts AS DATE)) AS INTEGER) AS year,
+           CAST(QUARTER(CAST(ts AS DATE)) AS INTEGER) AS quarter,
+           CAST(MONTH(CAST(ts AS DATE)) AS INTEGER) AS month,
+           CAST(week(CAST(ts AS DATE)) AS INTEGER) AS week
     FROM events
     JOIN customer ON user_id = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -1095,7 +1095,7 @@ def x_dedup_simhash(spark, sf_dir):
       FROM q, c WHERE q.query_id != c.neighbor_id
     )
     SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank,
            ROUND(sim, 4) AS cosine_sim
     FROM scored
     QUALIFY rank <= 5
@@ -1131,9 +1131,9 @@ def x_knn_lsh_ann(spark, sf_dir):
     "x_text_stats",
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
-           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct_chars,
+           CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INTEGER) AS punct_chars,
            n_chars
     FROM documents
     """,
@@ -1256,12 +1256,12 @@ def a2_approx_distinct_scale(spark, sf_dir):
 @query(
     "a_rollup_hierarchy",
     oracle="""
-    SELECT YEAR(CAST(o_orderdate AS DATE)) AS year,
-           MONTH(CAST(o_orderdate AS DATE)) AS month,
+    SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
+           CAST(MONTH(CAST(o_orderdate AS DATE)) AS INTEGER) AS month,
            COUNT(*) AS order_count,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           GROUPING(YEAR(CAST(o_orderdate AS DATE))) AS g_year,
-           GROUPING(MONTH(CAST(o_orderdate AS DATE))) AS g_month
+           CAST(GROUPING(YEAR(CAST(o_orderdate AS DATE))) AS INTEGER) AS g_year,
+           CAST(GROUPING(MONTH(CAST(o_orderdate AS DATE))) AS INTEGER) AS g_month
     FROM orders
     GROUP BY ROLLUP(YEAR(CAST(o_orderdate AS DATE)), MONTH(CAST(o_orderdate AS DATE)))
     """,
