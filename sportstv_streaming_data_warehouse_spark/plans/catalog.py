@@ -444,21 +444,31 @@ def j7_enrich_with_fallback(spark, sf_dir):
 @query(
     "ja_orphan_anti_join",
     oracle="""
-    SELECT event_type, COUNT(*) AS orphan_events
+    SELECT event_type, COUNT(*) AS orphan_events,
+           COUNT(DISTINCT user_id) AS orphan_users
     FROM events
-    WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
     GROUP BY 1
     """,
 )
 def ja_orphan_anti_join(spark, sf_dir):
     # The NOT-matched side of J3 (orphaned rows, etl.R:335) as a proper
-    # left_anti join (broadcast: the key list is small).
+    # left_anti join. The lookup keeps only good-standing customers so
+    # the orphan set is non-empty at every SF (a 0-row match would be
+    # weak evidence the operator works).
     ev = load_table(spark, sf_dir, "events")
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
     return (
         ev.join(c, "user_id", "left_anti")
         .groupBy("event_type")
-        .agg(F.count("*").alias("orphan_events"))
+        .agg(
+            F.count("*").alias("orphan_events"),
+            F.countDistinct("user_id").alias("orphan_users"),
+        )
     )
 
 
@@ -740,6 +750,26 @@ def o1_top10_customers(spark, sf_dir):
         )
         .orderBy(F.desc("order_count"), F.asc("custkey"))
         .limit(10)
+    )
+
+
+@query(
+    "o2_top_events_full_sort",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 100
+    """,
+)
+def o2_top_events_full_sort(spark, sf_dir):
+    # O2 (report.Rmd:272): descending value ordering, realized as top-N —
+    # Catalyst plans TakeOrderedAndProject, never a global sort.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
     )
 
 
