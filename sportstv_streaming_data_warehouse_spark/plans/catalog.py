@@ -1014,16 +1014,11 @@ def star_fact_events(spark, sf_dir):
     enriched = ev.join(dim, ev.user_id == dim.c_custkey).withColumn(
         "d", F.to_date("ts")
     )
+    # shuffle on the MINIMAL grain key (date, country, type); the four
+    # calendar keys are functions of the date and derived after the agg —
+    # narrower shuffle rows, identical result
     fact = (
-        enriched.groupBy(
-            F.date_format("d", "yyyyMMdd").cast("int").alias("date_id"),
-            "country",
-            "event_type",
-            F.year("d").alias("year"),
-            F.quarter("d").alias("quarter"),
-            F.month("d").alias("month"),
-            F.weekofyear("d").alias("week"),
-        )
+        enriched.groupBy("d", "country", "event_type")
         .agg(
             F.count("*").alias("txn_count"),
             F.countDistinct("user_id").alias("unique_user_count"),
@@ -1038,6 +1033,15 @@ def star_fact_events(spark, sf_dir):
                 F.col("txn_count") > 0,
                 F.col("total_value") / F.col("txn_count"),
             ).otherwise(F.lit(0.0)),
+        )
+        .withColumns(
+            {
+                "date_id": F.date_format("d", "yyyyMMdd").cast("int"),
+                "year": F.year("d"),
+                "quarter": F.quarter("d"),
+                "month": F.month("d"),
+                "week": F.weekofyear("d"),
+            }
         )
     )
     return fact.select(
