@@ -1,0 +1,103 @@
+"""Property-based and exhaustive-sweep tests for the load-bearing
+semantics: calendar conventions vs Python's datetime, inference
+precedence vs a reference implementation, Jaccard vs Python sets."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.functions.calendar import date_spine
+from sportstv_streaming_data_warehouse_spark.functions.inference import (
+    infer_with_precedence,
+)
+from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+    token_jaccard_pairs,
+)
+
+
+def test_calendar_keys_exhaustive_sweep(spark):
+    """Every day over an 11-year span (incl. leap years and ISO-week-53
+    boundaries) must match Python's calendar exactly (SURVEY §1.4)."""
+    start, end = dt.date(1995, 1, 1), dt.date(2005, 12, 31)
+    rows = date_spine(spark, start, end).collect()
+    assert len(rows) == (end - start).days + 1
+    for r in rows:
+        d = r["full_date"]
+        assert r["date_id"] == int(d.strftime("%Y%m%d"))
+        assert r["year"] == d.year
+        assert r["quarter"] == (d.month - 1) // 3 + 1
+        assert r["month"] == d.month
+        assert r["day_of_month"] == d.day
+        # ISO-8601 week, paired with CALENDAR year (the reference's
+        # deliberate subtlety — week 53 can appear in January)
+        assert r["week"] == d.isocalendar()[1], d
+        # R %w + 1 convention: Sunday=1 .. Saturday=7
+        assert r["day_of_week"] == (d.weekday() + 1) % 7 + 1, d
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["DEL-1", "ICE-2", "ICEHL-3", "IHL-4", "SKJ-5", "FIS-6",
+             "OXXX-7", "MSL-8", "NLN-9", "SLXXX-10", "random"]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_inference_precedence_matches_reference_impl(spark, values):
+    """infer_with_precedence == the R masks' last-write-wins loop."""
+    import re
+
+    rules = [
+        (r"^(DEL|AHL|AIH|IHB|SIH|NLN|NLA|ICE|NXXX|SLXXX)-", "Ice Hockey"),
+        (r"^(IHL|ICEHL)-", "Inline Hockey"),
+        (r"^(SKJ|SKA|FIS)-", "Ski Jumping"),
+    ]
+
+    def reference(v):  # etl.R:272-285: later assignments overwrite
+        out = None
+        for pat, label in rules:
+            if re.search(pat, v):
+                out = label
+        return out
+
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    got = [
+        r["lab"]
+        for r in df.select(
+            infer_with_precedence(F.col("v"), rules).alias("lab")
+        ).collect()
+    ]
+    assert got == [reference(v) for v in values]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=8
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_token_jaccard_matches_python_sets(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = set(texts[i].split()), set(texts[j].split())
+            inter = len(a & b)
+            if inter == 0:
+                assert (i, j) not in got  # inverted index never pairs them
+            else:
+                expected = inter / len(a | b)
+                assert abs(got[(i, j)] - expected) < 1e-12
