@@ -1091,9 +1091,15 @@ def x_dedup_exact(spark, sf_dir):
 )
 def x_dedup_token_jaccard(spark, sf_dir):
     # Exact n-gram/token Jaccard near-dup pairs via inverted-index join —
-    # the exact counterpart the MinHash path approximates.
+    # the exact counterpart the MinHash path approximates. The
+    # frequent-token cap is inactive at the sf0.01 correctness scale
+    # (500 docs < 2000) so the oracle match stays exact, but bounds the
+    # self-join blowup if run at larger SFs where stop-tokens appear in
+    # nearly every document.
     docs = load_table(spark, sf_dir, "documents")
-    return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_token_docs=2000
+    )
 
 
 @query("x_dedup_minhash_lsh")  # no SQL oracle: hash-family specific (rows-only check)
@@ -1202,6 +1208,42 @@ def x_doc_stats_by_lang(spark, sf_dir):
         .withColumn(
             "avg_chars", F.col("total_chars").cast("double") / F.col("docs")
         )
+    )
+
+
+@query(
+    "sql_surface_weekly_top",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(week(CAST(ts AS DATE)) AS INTEGER) AS week, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n FROM (
+      SELECT week, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY week
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM weekly
+    ) WHERE rk = 1
+    """,
+)
+def sql_surface_weekly_top(spark, sf_dir):
+    # The spark.sql surface (SURVEY §3.3): temp views + SQL text compile
+    # to the SAME Catalyst plans as the DataFrame API — this one runs the
+    # per-week argmax entirely as SQL.
+    from ..sources.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT week, event_type, n FROM (
+          SELECT weekofyear(to_date(ts)) AS week, event_type,
+                 COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY weekofyear(to_date(ts))
+                                    ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+          FROM events GROUP BY 1, 2
+        ) WHERE rk = 1
+        """
     )
 
 

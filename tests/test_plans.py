@@ -106,6 +106,26 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in optimized or "dynamicpruning" in physical, physical
 
 
+def test_fact_cache_for_report_session(spark):
+    """SURVEY §7.4.6: the report session meets the <100ms interactive
+    baseline by caching the tiny materialized fact — repeat queries must
+    read the InMemoryRelation, not re-scan parquet."""
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+    fact = QUERIES["star_fact_events"](spark, SF01).cache()
+    try:
+        fact.count()  # materialize
+        plan = (
+            fact.groupBy("country").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # (the InMemoryRelation's stored lineage still prints a FileScan;
+        # the executed access path is the in-memory scan)
+        assert "InMemoryTableScan" in plan
+    finally:
+        fact.unpersist()
+
+
 def test_a12_distinct_agg_bounded_shuffles(spark):
     # multi-column exact countDistinct = Expand + regroup: 2 exchanges is
     # the Catalyst-optimal shape; more means a regression
