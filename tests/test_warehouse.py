@@ -83,9 +83,9 @@ def test_drop_create_cycle(spark):
     warehouse.drop_star_schema(spark, "cycle_db")
     warehouse.create_star_schema(spark, "cycle_db")
     warehouse.create_star_schema(spark, "cycle_db")  # idempotent
-    assert set(t.name for t in spark.catalog.listTables("cycle_db")) == set(
-        warehouse.STAR_TABLES
-    )
+    assert set(
+        t.name for t in spark.catalog.listTables("cycle_db") if not t.isTemporary
+    ) == set(warehouse.STAR_TABLES)
     warehouse.drop_star_schema(spark, "cycle_db")
     warehouse.drop_star_schema(spark, "cycle_db")  # idempotent
     assert not any(
