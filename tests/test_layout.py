@@ -1,0 +1,64 @@
+"""Layout clustering must actually tighten per-file parquet statistics —
+measured from the files' own row-group metadata, the thing the scanner
+skips on."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.plans.layout import (
+    cluster_by_range,
+    zorder_by,
+)
+from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+from .conftest import SF01
+
+
+def _file_spans(path: str, col: str) -> list[float]:
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        lo, hi = min(los), max(his)
+        spans.append(
+            (hi - lo).total_seconds() if hasattr(hi - lo, "total_seconds") else float(hi - lo)
+        )
+    return spans
+
+
+def test_range_cluster_tightens_file_stats(spark, tmp_path):
+    li = load_table(spark, SF01, "lineitem")
+    base, clustered = str(tmp_path / "base"), str(tmp_path / "clustered")
+    li.repartition(16).write.parquet(base)  # hash layout: every file spans everything
+    cluster_by_range(li, ["l_shipdate"], num_files=16).write.parquet(clustered)
+
+    base_spans = _file_spans(base, "l_shipdate")
+    clus_spans = _file_spans(clustered, "l_shipdate")
+    global_span = max(base_spans)
+    # unclustered files each cover ~the whole range; clustered files ~1/16
+    assert max(clus_spans) < global_span / 4
+    assert sum(clus_spans) / len(clus_spans) < global_span / 8
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    li = load_table(spark, SF01, "lineitem").withColumn(
+        "ship_days", F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01"))
+    )
+    base, z = str(tmp_path / "base"), str(tmp_path / "z")
+    li.repartition(16).write.parquet(base)
+    zorder_by(li, ["ship_days", "l_partkey"], num_files=16).write.parquet(z)
+
+    for col in ["ship_days", "l_partkey"]:
+        base_avg = sum(_file_spans(base, col)) / 16
+        z_avg = sum(_file_spans(z, col)) / 16
+        # both interleaved dimensions shrink (a single-col sort would
+        # only shrink one); sqrt(16)=4 is the theoretical factor, assert
+        # a conservative 2x
+        assert z_avg < base_avg / 2, (col, z_avg, base_avg)
