@@ -4,7 +4,6 @@ proves the gap elapsed; open sessions persist in state across batches."""
 import json
 import os
 
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
     StringType,

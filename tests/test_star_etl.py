@@ -3,8 +3,6 @@ behaviors SURVEY.md §7.4 calls load-bearing — inference precedence, the
 ISO-week-53/calendar-year pairing, retention accounting, exact distinct
 counts — plus a full-pipeline DuckDB cross-check."""
 
-import datetime as dt
-
 import duckdb
 import pytest
 from pyspark.sql import functions as F
