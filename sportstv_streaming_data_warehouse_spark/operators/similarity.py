@@ -98,6 +98,37 @@ def brute_force_topk(
     )
 
 
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Unit-normalize vectors JVM-side (whole-stage codegen path)."""
+    n = norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    )
+
+
+def normalize_embeddings_pandas(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The same normalization as an Arrow-batched pandas_udf — the
+    vectorized-Python escape hatch (SURVEY §2.11) for math the built-ins
+    can't express. Kept alongside the JVM version so tests can assert the
+    two paths agree; the closure is self-contained (executors need no
+    package import)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _norm(s):
+        import numpy as _np
+
+        def one(v):
+            if v is None:
+                return None
+            a = _np.asarray(v, dtype=float)
+            return (a / _np.linalg.norm(a)).tolist()
+
+        return s.map(one)
+
+    return df.withColumn(vec_col, _norm(vec_col))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

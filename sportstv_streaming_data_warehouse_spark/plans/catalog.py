@@ -1102,6 +1102,36 @@ def x_dedup_token_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "x_dedup_canonical",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS canonical
+    FROM documents
+    GROUP BY 2
+    """,
+)
+def x_dedup_canonical(spark, sf_dir):
+    # Canonicalized exact dedup (C4-style): lowercase, strip punctuation,
+    # collapse whitespace, then hash-agg on the canonical form — catches
+    # trivially-reformatted duplicates exact dedup misses.
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    return (
+        docs.withColumn("canonical", canonical)
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "canonical")
+    )
+
+
 @query("x_dedup_minhash_lsh")  # no SQL oracle: hash-family specific (rows-only check)
 def x_dedup_minhash_lsh(spark, sf_dir):
     # MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).

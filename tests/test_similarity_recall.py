@@ -11,6 +11,8 @@ from sportstv_streaming_data_warehouse_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
+    normalize_embeddings,
+    normalize_embeddings_pandas,
 )
 from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
 
@@ -59,6 +61,25 @@ def test_ivf_ann_recall(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert abs(r["cosine_sim"] - exact_sims[key]) < 1e-9
+
+
+def test_pandas_udf_matches_jvm_normalization(spark):
+    """The pandas_udf escape hatch and the JVM expression path must agree
+    (numpy's pairwise summation vs the sequential fold differ only in
+    final ulps)."""
+    emb = load_table(spark, SF01, "embeddings").limit(100)
+    jvm = {
+        r["vec_id"]: r["embedding"]
+        for r in normalize_embeddings(emb).collect()
+    }
+    py = {
+        r["vec_id"]: r["embedding"]
+        for r in normalize_embeddings_pandas(emb).collect()
+    }
+    assert set(jvm) == set(py)
+    for k in jvm:
+        for a, b in zip(jvm[k], py[k]):
+            assert abs(a - b) < 1e-12
 
 
 def test_minhash_estimates_track_exact_jaccard(spark):
