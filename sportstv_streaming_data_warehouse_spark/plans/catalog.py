@@ -1103,6 +1103,74 @@ def x_dedup_token_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT range AS band_id,
+             CAST(range * 5 AS DOUBLE) AS lo,
+             CAST(range * 5 + 7 AS DOUBLE) AS hi
+      FROM range(0, 20)
+    )
+    SELECT band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    GROUP BY 1
+    """,
+)
+def x_range_join_value_bands(spark, sf_dir):
+    # Range/interval join (operators/ranges.py): events bucketed into
+    # overlapping value bands via the banding equi-join — the oracle runs
+    # the naive theta join, proving the fast path is semantics-identical.
+    from ..operators.ranges import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5).cast("double").alias("lo"),
+        (F.col("id") * 5 + 7).cast("double").alias("hi"),
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_size=8.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"), _dsum("value").alias("sum_value")
+    )
+
+
+@query(
+    "x_asof_join_last_signup",
+    oracle="""
+    WITH sign AS (SELECT ts, user_id, value FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, e.user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           s.value AS asof_value
+    FROM events e
+    ASOF LEFT JOIN sign s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def x_asof_join_last_signup(spark, sf_dir):
+    # As-of join (operators/asof.py): each event gets the user's most
+    # recent signup value at-or-before its timestamp. Spark has no native
+    # as-of join — this is the union + last(ignorenulls) window
+    # composition; the oracle is DuckDB's NATIVE ASOF JOIN, so the
+    # semantics (inclusive, per-key, left) are checked against an
+    # independent reference implementation.
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "ts", "user_id", "value"
+    )
+    out = asof_join(
+        ev, sign, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+@query(
     "x_dedup_canonical",
     oracle="""
     SELECT MIN(doc_id) AS doc_id,

@@ -1,0 +1,73 @@
+"""As-of and range join operators: semantics against hand-built
+expectations, plan shape (equi-join, not nested-loop), and the as-of
+tolerance horizon."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.asof import asof_join
+from sportstv_streaming_data_warehouse_spark.operators.ranges import range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_semantics_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00")),
+            (2, _ts("2024-01-01T12:00:00")),
+            (3, _ts("2024-01-01T09:00:00")),  # before any right row
+        ],
+        ["id", "ts"],
+    ).withColumn("user", F.lit(1))
+    right = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T10:00:00"), 100.0),  # same instant as id=1
+            (_ts("2024-01-01T11:30:00"), 200.0),
+        ],
+        ["ts", "price"],
+    ).withColumn("user", F.lit(1))
+
+    out = {
+        r["id"]: r["asof_price"]
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", right_ts="ts", value_cols=["price"]
+        ).collect()
+    }
+    # inclusive: the 10:00 right row matches the 10:00 left row
+    assert out == {1: 100.0, 2: 200.0, 3: None}
+
+    # 15-minute tolerance: id=2 (last right row 30 min earlier) nulls out
+    out_tol = {
+        r["id"]: r["asof_price"]
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", right_ts="ts",
+            value_cols=["price"], tolerance_seconds=900,
+        ).collect()
+    }
+    assert out_tol == {1: 100.0, 2: None, 3: None}
+
+
+def test_range_join_matches_theta_join(spark):
+    points = spark.range(0, 1000).select(
+        F.col("id").alias("pid"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    intervals = spark.range(0, 20).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 5).cast("double").alias("lo"),
+        (F.col("id") * 5 + 7).cast("double").alias("hi"),
+    )
+    fast = range_join(points, intervals, "v", "lo", "hi", bucket_size=8.0)
+    slow = points.join(
+        intervals, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    assert fast.count() == slow.count()
+    a = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    b = sorted((r["pid"], r["iid"]) for r in slow.collect())
+    assert a == b
+    # the point: banding turns the theta join into a hash equi-join
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
