@@ -1415,6 +1415,29 @@ def f_json_extract(spark, sf_dir):
     )
 
 
+@query(
+    "a_quantiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a_quantiles_by_flag(spark, sf_dir):
+    # Exact interpolated percentiles (no percentile function anywhere in
+    # the reference — MySQL 8 lacks one; Spark computes them in one agg).
+    # Spark percentile() and DuckDB quantile_cont use the same linear
+    # interpolation — verified bit-exact.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
 @query("a2_approx_distinct_scale")  # no oracle: HLL sketch is engine-specific
 def a2_approx_distinct_scale(spark, sf_dir):
     # The 100-TB posture for A2 (SURVEY §7.2 M5): approx_count_distinct
