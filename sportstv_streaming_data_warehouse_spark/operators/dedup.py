@@ -49,13 +49,26 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array column (JVM-side).
+
+    ``distinct=True`` for set-semantics (minhash/Jaccard): docs shorter
+    than n tokens contribute their whole text as one shingle so they
+    still participate in dedup. ``distinct=False`` keeps multiplicity for
+    frequency analyses (n-gram counting) and yields NO grams for
+    too-short docs — a 1-token doc has no bigrams.
+    """
     toks = _tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(
+        F.array(F.concat_ws(" ", toks))
+        if distinct
+        else F.array().cast("array<string>")
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3, seed: int = 42) -> DataFrame:

@@ -1268,24 +1268,70 @@ def x_knn_lsh_ann(spark, sf_dir):
 @query(
     "x_text_stats",
     oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INTEGER) AS n_tokens,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
            CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
+                ELSE 0.0 END AS avg_token_len,
            n_chars
-    FROM documents
+    FROM t
     """,
 )
 def x_text_stats(spark, sf_dir):
-    # Token counting (whitespace + BPE-ish regex) and punctuation density —
-    # all JVM-side expressions, no UDF.
+    # Token counting (whitespace + BPE-ish regex), punctuation density,
+    # average token length — all JVM-side expressions, no UDF.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
         T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
         T.punct_count(F.col("text")).alias("punct_chars"),
+        T.avg_token_len(F.col("text")).alias("avg_token_len"),
         "n_chars",
+    )
+
+
+@query(
+    "x_top_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT toks[g.i] || ' ' || toks[g.i + 1] AS bigram
+      FROM d, (SELECT CAST(generate_series AS INT) AS i
+               FROM generate_series(1, 10000)) g
+      WHERE g.i <= len(toks) - 1
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY 1
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def x_top_bigrams(spark, sf_dir):
+    # Corpus-level n-gram frequency (the statistic behind n-gram LMs and
+    # contamination checks): per-row gram arrays explode into one
+    # hash-agg; top-k via TakeOrderedAndProject.
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            D.word_shingles(F.col("text"), n=2, distinct=False)
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
     )
 
 
