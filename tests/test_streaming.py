@@ -140,6 +140,53 @@ def test_streaming_batch_parity_on_events_fixture(spark):
     assert got == expected
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """At-least-once sources replay events; dropDuplicatesWithinWatermark
+    on the event id makes the rollup effectively-once without unbounded
+    state (dedup state evicts with the watermark)."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    in_dir = str(tmp_path / "in")
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("sport", StringType()),
+        StructField("minutes_streamed", IntegerType()),
+    ])
+    rows = [
+        {"event_id": i, "ts": f"2024-03-01T10:{i:02d}:00", "sport": "Ice Hockey",
+         "minutes_streamed": 10}
+        for i in range(10)
+    ]
+    # the same 10 events delivered twice (plus an extra duplicate of id 0)
+    _write_drop(in_dir, "f1.json", rows)
+    _write_drop(in_dir, "f2.json", rows + [rows[0]])
+
+    stream = (
+        spark.readStream.schema(schema).json(in_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = stream.groupBy("sport").agg(
+        F.count("*").alias("n"),
+        F.sum("minutes_streamed").cast("long").alias("minutes"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedup_rollup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM dedup_rollup").collect()
+    spark.catalog.dropTempView("dedup_rollup")
+    assert len(out) == 1
+    assert out[0]["n"] == 10 and out[0]["minutes"] == 100  # replays ignored
+
+
 def test_restart_without_new_data_is_idempotent(spark, paths):
     _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 8, "Ski Jumping"))
     ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
