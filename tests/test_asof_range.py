@@ -51,6 +51,45 @@ def test_asof_semantics_and_tolerance(spark):
     assert out_tol == {1: 100.0, 2: None, 3: None}
 
 
+def test_asof_matches_pandas_merge_asof(spark):
+    """Random workloads vs pandas merge_asof (an independent reference
+    implementation with identical inclusive-backward semantics)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, rng.randrange(4), base + dt.timedelta(minutes=rng.randrange(5000)))
+        for i in range(300)
+    ]
+    right_rows = [
+        (rng.randrange(4), base + dt.timedelta(minutes=rng.randrange(5000)), float(j))
+        for j in range(60)
+    ]
+    left = spark.createDataFrame(left_rows, ["id", "user", "ts"])
+    right = spark.createDataFrame(right_rows, ["user", "ts", "price"])
+
+    got = {
+        r["id"]: r["asof_price"]
+        for r in asof_join(
+            left, right, on="user", left_ts="ts", right_ts="ts", value_cols=["price"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["id", "user", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["user", "ts", "price"]).sort_values("ts")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="user", direction="backward", allow_exact_matches=True
+    )
+    expected = {
+        int(r.id): (None if pd.isna(r.price) else float(r.price))
+        for r in merged.itertuples()
+    }
+    assert got == expected
+
+
 def test_range_join_matches_theta_join(spark):
     points = spark.range(0, 1000).select(
         F.col("id").alias("pid"), (F.col("id") % 97).cast("double").alias("v")
