@@ -1103,6 +1103,45 @@ def x_dedup_token_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_user_value_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+             CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT user_id, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+                THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope
+    FROM agg
+    """,
+)
+def x_user_value_trend(spark, sf_dir):
+    # Per-user least-squares trend of value over time — closed-form from
+    # exact sums (operators/regression.py). x is seconds since
+    # 2024-01-01 so x-squared sums stay well inside long/double range.
+    from ..operators.regression import trend_expr
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x", (F.unix_timestamp("ts") - F.lit(1704067200)).cast("long")
+    )
+    return trend_expr(ev, "user_id", "x", "value")
+
+
+@query(
     "x_range_join_value_bands",
     oracle="""
     WITH bands AS (
