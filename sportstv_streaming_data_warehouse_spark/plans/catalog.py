@@ -1523,6 +1523,110 @@ def a_quantiles_by_flag(spark, sf_dir):
     )
 
 
+@query(
+    "a_cube_matrix",
+    oracle="""
+    SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
+           o_orderstatus,
+           COUNT(*) AS order_count,
+           CAST(GROUPING(YEAR(CAST(o_orderdate AS DATE))) AS INTEGER) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status
+    FROM orders
+    GROUP BY CUBE(YEAR(CAST(o_orderdate AS DATE)), o_orderstatus)
+    """,
+)
+def a_cube_matrix(spark, sf_dir):
+    # CUBE: all four grouping combinations in one pass — the full
+    # generalization of the reference's separate per-level GROUP BYs.
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year(F.to_date("o_orderdate"))
+    )
+    return od.cube("year", "o_orderstatus").agg(
+        F.count("*").alias("order_count"),
+        F.grouping("year").cast("int").alias("g_year"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+@query(
+    "w_moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(CAST(l_shipdate AS DATE)) / 86400) AS BIGINT) AS day_num,
+             strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE YEAR(CAST(l_shipdate AS DATE)) = 2000
+      GROUP BY 1, 2
+    )
+    SELECT ship_date, n, sum_qty,
+           CAST(SUM(CAST(sum_qty AS DECIMAL(18,2)))
+                  OVER (ORDER BY day_num
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / SUM(n) OVER (ORDER BY day_num
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS avg_qty_7d
+    FROM daily
+    """,
+)
+def w_moving_avg_7d(spark, sf_dir):
+    # Rolling 7-day average via a RANGE window over the integer day
+    # number (gap-aware: missing days shrink the window, unlike a ROWS
+    # frame). Decimal accumulation keeps the windowed sum exact.
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "d", F.to_date("l_shipdate")
+    )
+    daily = (
+        li.filter(F.year("d") == 2000)
+        .groupBy(
+            (F.unix_date("d")).cast("long").alias("day_num"),
+            F.date_format("d", "yyyy-MM-dd").alias("ship_date"),
+        )
+        .agg(F.count("*").alias("n"), _dsum("l_quantity").alias("sum_qty"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "ship_date",
+        "n",
+        "sum_qty",
+        (
+            F.sum(F.col("sum_qty").cast(DecimalType(18, 2))).over(w).cast("double")
+            / F.sum("n").over(w)
+        ).alias("avg_qty_7d"),
+    )
+
+
+@query(
+    "a_share_of_total",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, sum_value,
+           n / CAST(SUM(n) OVER () AS DOUBLE) * 100.0 AS share_pct
+    FROM per
+    """,
+)
+def a_share_of_total(spark, sf_dir):
+    # A14 (report.Rmd:309, 359): percentage-of-total shares — computed
+    # distributed via an unpartitioned window over the tiny aggregate,
+    # not driver-side arithmetic.
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), _dsum("value").alias("sum_value")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "event_type",
+        "n",
+        "sum_value",
+        (F.col("n") / F.sum("n").over(w).cast("double") * 100.0).alias("share_pct"),
+    )
+
+
 @query("a2_approx_distinct_scale")  # no oracle: HLL sketch is engine-specific
 def a2_approx_distinct_scale(spark, sf_dir):
     # The 100-TB posture for A2 (SURVEY §7.2 M5): approx_count_distinct
