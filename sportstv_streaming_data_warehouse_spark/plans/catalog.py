@@ -817,6 +817,117 @@ def u1_union_two_sources(spark, sf_dir):
 
 
 @query(
+    "js_semi_active_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND YEAR(CAST(o.o_orderdate AS DATE)) = 2000)
+    """,
+)
+def js_semi_active_customers(spark, sf_dir):
+    # left_semi join == EXISTS subquery: customers with 2000 activity,
+    # without duplicating or widening the left side.
+    c = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.to_date("o_orderdate")) == 2000
+    )
+    return c.join(
+        od, c.c_custkey == od.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "u3_except_churned",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE YEAR(CAST(o_orderdate AS DATE)) = 2000
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE YEAR(CAST(o_orderdate AS DATE)) = 2001
+    """,
+)
+def u3_except_churned(spark, sf_dir):
+    # EXCEPT: customers active in 2000 but not 2001 (no INTERSECT/EXCEPT
+    # anywhere in the reference — SURVEY §2.7 — engine supports both).
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year(F.to_date("o_orderdate"))
+    )
+    y2000 = od.filter(F.col("year") == 2000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y2001 = od.filter(F.col("year") == 2001).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract == EXCEPT (set semantics); exceptAll would keep customers
+    # whose 2000 order count merely exceeds their 2001 count
+    return y2000.subtract(y2001)
+
+
+@query(
+    "u4_intersect_retained",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE YEAR(CAST(o_orderdate AS DATE)) = 2000
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE YEAR(CAST(o_orderdate AS DATE)) = 2001
+    """,
+)
+def u4_intersect_retained(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year(F.to_date("o_orderdate"))
+    )
+    y2000 = od.filter(F.col("year") == 2000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y2001 = od.filter(F.col("year") == 2001).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y2000.intersect(y2001)
+
+
+@query(
+    "r2_unpivot_year_matrix",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN YEAR(CAST(l_shipdate AS DATE)) = 1998
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS y1998,
+             CAST(SUM(CASE WHEN YEAR(CAST(l_shipdate AS DATE)) = 1999
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS y1999,
+             CAST(SUM(CASE WHEN YEAR(CAST(l_shipdate AS DATE)) = 2000
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS y2000
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, year, sum_qty FROM (
+      SELECT l_returnflag, 'y1998' AS year, y1998 AS sum_qty FROM wide
+      UNION ALL SELECT l_returnflag, 'y1999', y1999 FROM wide
+      UNION ALL SELECT l_returnflag, 'y2000', y2000 FROM wide
+    ) WHERE sum_qty IS NOT NULL
+    """,
+)
+def r2_unpivot_year_matrix(spark, sf_dir):
+    # R1's inverse: wide→long via DataFrame.unpivot (melt) — the pair
+    # proves reshape round-trips.
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.withColumn("year", F.year(F.to_date("l_shipdate")))
+        .groupBy("l_returnflag")
+        .pivot("year", [1998, 1999, 2000])
+        .agg(F.sum(F.col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
+        .select(
+            "l_returnflag",
+            *[F.col(str(y)).alias(f"y{y}") for y in (1998, 1999, 2000)],
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["y1998", "y1999", "y2000"], "year", "sum_qty"
+    ).filter(F.col("sum_qty").isNotNull())
+
+
+@query(
     "u2_distinct_pairs",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
