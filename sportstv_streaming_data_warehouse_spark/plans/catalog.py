@@ -1738,6 +1738,39 @@ def a_share_of_total(spark, sf_dir):
     )
 
 
+@query(
+    "f_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INTEGER) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INTEGER) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY 1
+    """,
+)
+def f_from_json_struct(spark, sf_dir):
+    # Nested types: parse the JSON props into a typed struct column with
+    # from_json, then filter/aggregate on the struct field — predicate on
+    # parsed JSON stays JVM-side (no reference equivalent; the engine
+    # handles struct/array/map natively).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = StructType([StructField("k", IntegerType())])
+    parsed = ev.withColumn("p", F.from_json("props", props_schema))
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 @query("a2_approx_distinct_scale")  # no oracle: HLL sketch is engine-specific
 def a2_approx_distinct_scale(spark, sf_dir):
     # The 100-TB posture for A2 (SURVEY §7.2 M5): approx_count_distinct
