@@ -194,12 +194,18 @@ def validate_fact(fact: DataFrame, source_row_count: int, tolerance: int = 100) 
         F.sum(F.when(F.col("sport_name").isNull(), 1).otherwise(0)).alias("null_sports"),
     ).first()
     retained = int(agg["fact_txns"] or 0)
+    # an empty fact (everything filtered) yields NULL min/max — vacuously
+    # in range rather than a crash
+    week_ok = (
+        agg["min_week"] is None
+        or (agg["min_week"] >= 1 and agg["max_week"] <= 53)
+    )
     return {
         "source_rows": source_row_count,
         "fact_rows_represented": retained,
         "rows_dropped": source_row_count - retained,
         "retention_pct": round(100.0 * retained / source_row_count, 2) if source_row_count else 0.0,
-        "week_range_ok": bool(agg["min_week"] >= 1 and agg["max_week"] <= 53),
+        "week_range_ok": bool(week_ok),
         "null_keys_ok": (agg["null_dates"] or 0) == 0
         and (agg["null_countries"] or 0) == 0
         and (agg["null_sports"] or 0) == 0,

@@ -155,6 +155,23 @@ def test_fact_write_partition_pruning(etl, tmp_path, spark):
     assert "year=2021" in partdirs and len(partdirs) >= 2
 
 
+def test_validate_handles_empty_fact(spark):
+    """All rows filtered out (e.g. no recoverable sports) must produce an
+    empty fact and a non-crashing validation report."""
+    empty = spark.createDataFrame(
+        [],
+        "transaction_id long, user_id long, asset_id string,"
+        " streaming_date string, minutes_streamed int, completed int",
+    )
+    uc = spark.createDataFrame([(1, 1)], ["user_id", "country_id"])
+    asp = spark.createDataFrame([("DEL-1", "Ice Hockey")], ["asset_id", "sport"])
+    fact = star.build_fact(star.enrich_transactions(empty, uc, asp))
+    assert fact.count() == 0
+    v = star.validate_fact(fact, 0)
+    assert v["fact_rows_represented"] == 0
+    assert v["week_range_ok"] and v["null_keys_ok"]
+
+
 def test_full_pipeline_duckdb_crosscheck(etl, data):
     """The entire ETL (union → snowflake → inference → filter → fill →
     rollup) recomputed in DuckDB SQL must match the Spark fact exactly."""
