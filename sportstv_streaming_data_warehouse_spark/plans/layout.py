@@ -75,3 +75,30 @@ def zorder_by(df: DataFrame, cols: list[str], num_files: int = 32, bits: int = 1
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compact a small-files dataset (e.g. a streaming sink that accreted
+    one file per micro-batch) into ~target-sized files, atomically.
+
+    Returns the new file count. Reads once, coalesces (no shuffle),
+    writes to a staging dir, swaps. The streaming-sink counterpart of
+    Delta's OPTIMIZE.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = glob.glob(f"{path}/*.parquet")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if n_out >= len(files):
+        return len(files)  # nothing to gain
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return len(glob.glob(f"{path}/*.parquet"))
