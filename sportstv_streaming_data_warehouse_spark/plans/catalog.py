@@ -1904,6 +1904,94 @@ def x_fingerprint(spark, sf_dir):
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(text, ''), "
+    "ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+_Q_NTOK_FWD = "len(list_filter(string_split(text, ' '), t -> t != ''))"
+_HITS_EN_FWD = (
+    "len(list_filter(string_split(lower(text), ' '), "
+    "t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], t)))"
+)
+
+
+@query(
+    "x_content_hash_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_FP} % 10 < 8 THEN 'train'
+                  WHEN {_FP} % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS docs
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def x_content_hash_split(spark, sf_dir):
+    # Train/valid/test split keyed on the CONTENT fingerprint, not the
+    # row id: exact duplicates land in the same split by construction, so
+    # dup-driven train→test leakage is impossible. The fingerprint
+    # recurrence is engine-portable (same integer math in the oracle).
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = T.fingerprint(F.col("text")) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("docs"))
+    )
+
+
+@query(
+    "x_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (least({_Q_NTOK_FWD} / 100.0, 1.0)
+              + (1.0 - least((CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                        / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0))
+              + least((CASE WHEN {_Q_NTOK_FWD} > 0
+                   THEN {_HITS_EN_FWD} / CAST({_Q_NTOK_FWD} AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+             ) / 3.0 AS quality
+      FROM documents
+    )
+    SELECT decile, COUNT(*) AS docs,
+           CAST(MIN(quality) AS DOUBLE) AS min_q,
+           CAST(MAX(quality) AS DOUBLE) AS max_q
+    FROM (SELECT doc_id, quality,
+                 CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS INTEGER) AS decile
+          FROM scored)
+    GROUP BY 1
+    """,
+)
+def x_quality_deciles(spark, sf_dir):
+    # Curriculum binning: decile buckets over the quality score (unique
+    # tiebreak doc_id makes NTILE deterministic), with per-bucket bounds —
+    # the 'keep top-k% quality' selection a data pipeline runs before
+    # training.
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
+
+
 _Q_NTOK = "len(list_filter(string_split(text, ' '), t -> t != ''))"
 _Q_PUNCT = "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
 
