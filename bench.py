@@ -28,6 +28,8 @@ HEADLINE = [
     "w_sessionize",            # gap sessionization (lag + running sum)
     "a_rollup_hierarchy",      # one-pass ROLLUP
     "f_json_extract",          # JSON props extraction
+    "x_asof_join_last_signup", # as-of join (union + window composition)
+    "x_range_join_value_bands",# banded interval join
     "x_dedup_exact",           # extended: exact dedup
     "x_dedup_minhash_lsh",     # extended: MinHash LSH near-dup
     "x_knn_bruteforce",        # extended: cosine top-k
