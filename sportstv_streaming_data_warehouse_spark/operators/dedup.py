@@ -249,6 +249,96 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
     return pairs
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate CLUSTERS: iterative
+    min-label propagation (the distributed union-find) — each node
+    repeatedly adopts the smallest label among itself and its neighbors
+    until fixpoint.
+
+    Returns (node, cluster_id) where cluster_id is the smallest node id
+    in the component. Each round combines neighbor-min propagation with
+    POINTER JUMPING (label := label(label)), giving O(log diameter)
+    convergence; ``localCheckpoint`` truncates the plan lineage every
+    round — without it, iterative DataFrame algorithms compound their
+    plans until analysis/codegen exhausts the driver heap.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jump: adopt the label of one's label (halves chains)
+        lab_map = stepped.select(
+            F.col("node").alias("__m_node"), F.col("label").alias("__m_label")
+        )
+        new_labels = (
+            stepped.join(lab_map, stepped.label == F.col("__m_node"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__m_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster; singleton
+    docs (no pairs) survive untouched."""
+    comp = connected_components(pairs)
+    tagged = df.join(comp, df[id_col] == comp.node, "left")
+    keep_ids = (
+        tagged.withColumn(
+            "__cluster", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .groupBy("__cluster")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep_ids, id_col, "left_semi")
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1360,6 +1360,21 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query("x_dedup_clusters")  # no SQL oracle: iterative algorithm (rows-only)
+def x_dedup_clusters(spark, sf_dir):
+    # The dedup pipeline's final step: exact-Jaccard near-dup pairs
+    # collapse into duplicate clusters via iterative min-label
+    # propagation with pointer jumping (the distributed union-find) —
+    # the 'genuinely non-SQL-expressible iterative algorithm' category.
+    # Semantics verified in tests/test_components.py against known graph
+    # topologies and transitivity cases.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_token_docs=2000
+    )
+    return D.connected_components(pairs).orderBy("node")
+
+
 @query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
 def x_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
