@@ -1,0 +1,31 @@
+"""The public API surface imports cleanly and exposes what __all__
+promises — catches broken exports before a consumer does."""
+
+import importlib
+
+MODULES = [
+    "sportstv_streaming_data_warehouse_spark",
+    "sportstv_streaming_data_warehouse_spark.session",
+    "sportstv_streaming_data_warehouse_spark.model",
+    "sportstv_streaming_data_warehouse_spark.sources",
+    "sportstv_streaming_data_warehouse_spark.functions",
+    "sportstv_streaming_data_warehouse_spark.functions.text",
+    "sportstv_streaming_data_warehouse_spark.operators",
+    "sportstv_streaming_data_warehouse_spark.operators.multimodal",
+    "sportstv_streaming_data_warehouse_spark.plans",
+    "sportstv_streaming_data_warehouse_spark.streaming.ingest",
+    "sportstv_streaming_data_warehouse_spark.streaming.sessionize",
+]
+
+
+def test_all_modules_import_and_export():
+    for name in MODULES:
+        mod = importlib.import_module(name)
+        for sym in getattr(mod, "__all__", []):
+            assert hasattr(mod, sym), f"{name}.{sym} missing"
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    assert callable(e.entry) and callable(e.queries) and callable(e.oracle_sql)
