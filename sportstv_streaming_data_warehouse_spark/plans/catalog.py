@@ -1372,7 +1372,7 @@ def x_dedup_clusters(spark, sf_dir):
     pairs = D.token_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.9, max_token_docs=2000
     )
-    return D.connected_components(pairs).orderBy("node")
+    return D.connected_components(pairs)
 
 
 @query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
