@@ -28,8 +28,13 @@ FINGERPRINT_MOD = 1_000_000_007
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens with empties removed (deterministic)."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
+    """Whitespace tokens with empties removed (deterministic).
+
+    Splits on ``\\s+`` — the same regex as operators/dedup._tokens and as
+    the DuckDB oracles' ``regexp_split_to_array(text, '\\s+')`` — so every
+    tokenizing operator in the engine agrees on tabs/newlines/multi-space.
+    """
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:

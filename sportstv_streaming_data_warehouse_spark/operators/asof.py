@@ -39,15 +39,18 @@ def asof_join(
     l_tagged = left.withColumn("__src", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
-    r_tagged = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("__ts"),
-            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        )
-        .withColumn("__src", F.lit(0))
-        .withColumn("__r_ts", F.col("__ts"))
-    )
+    # ONE struct carries the whole right row (ts + all value columns), so
+    # the filled values always come from the same, truly-latest right row
+    # — including its NULLs. Per-column last(ignorenulls) would instead
+    # stitch values from different right rows (deviating from DuckDB ASOF).
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__r"),
+    ).withColumn("__src", F.lit(0))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows (__src=0) sort BEFORE left rows at equal __ts, so a
@@ -57,20 +60,16 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
-    carry = [f"__r_{c}" for c in value_cols] + ["__r_ts"]
-    for c in carry:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
 
     out = filled.filter(F.col("__src") == 1)
     if tolerance_seconds is not None:
         horizon = (
-            F.col("__ts").cast("long") - F.col("__r_ts").cast("long")
+            F.col("__ts").cast("long") - F.col("__r.ts").cast("long")
         ) <= tolerance_seconds
-        for c in carry:
-            out = out.withColumn(c, F.when(horizon, F.col(c)))
+        out = out.withColumn("__r", F.when(horizon, F.col("__r")))
 
-    out = out.withColumnRenamed("__r_ts", "asof_ts")
+    out = out.withColumn("asof_ts", F.col("__r.ts"))
     for c in value_cols:
-        out = out.withColumnRenamed(f"__r_{c}", f"asof_{c}")
-    return out.drop("__src", "__ts")
+        out = out.withColumn(f"asof_{c}", F.col(f"__r.{c}"))
+    return out.drop("__src", "__ts", "__r")

@@ -1181,10 +1181,10 @@ def x_dedup_exact(spark, sf_dir):
 
 @query(
     "x_dedup_token_jaccard",
-    oracle="""
+    oracle=r"""
     WITH toks AS (
       SELECT DISTINCT doc_id AS doc, tok
-      FROM documents, UNNEST(list_filter(string_split(text, ' '), t -> t != '')) AS u(tok)
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
     ),
     sizes AS (SELECT doc, COUNT(*) AS n_tok FROM toks GROUP BY doc),
     inter AS (
@@ -1432,16 +1432,16 @@ def x_knn_lsh_ann(spark, sf_dir):
 
 @query(
     "x_text_stats",
-    oracle="""
+    oracle=r"""
     WITH t AS (
       SELECT doc_id, n_chars, text,
-             list_filter(string_split(text, ' '), x -> x != '') AS toks
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x != '') AS toks
       FROM documents
     )
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
-           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INTEGER) AS punct_chars,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS INTEGER) AS punct_chars,
            CASE WHEN len(toks) > 0
                 THEN list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE)
                 ELSE 0.0 END AS avg_token_len,
@@ -1465,10 +1465,10 @@ def x_text_stats(spark, sf_dir):
 
 @query(
     "x_top_bigrams",
-    oracle="""
+    oracle=r"""
     WITH d AS (
       SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t != '') AS toks
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
       FROM documents
     ),
     grams AS (
@@ -1866,7 +1866,7 @@ _SW = {
 }
 _HITS = {
     lang: (
-        "len(list_filter(string_split(lower(text), ' '), "
+        r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), "
         f"t -> list_contains([{_SW[lang]}], t)))"
     )
     for lang in T.STOPWORDS
@@ -1925,9 +1925,9 @@ _FP = (
     "ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))), "
     "(a, b) -> (a * 31 + b) % 1000000007)"
 )
-_Q_NTOK_FWD = "len(list_filter(string_split(text, ' '), t -> t != ''))"
+_Q_NTOK_FWD = r"len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != ''))"
 _HITS_EN_FWD = (
-    "len(list_filter(string_split(lower(text), ' '), "
+    r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), "
     "t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], t)))"
 )
 
@@ -2007,7 +2007,7 @@ def x_quality_deciles(spark, sf_dir):
     )
 
 
-_Q_NTOK = "len(list_filter(string_split(text, ' '), t -> t != ''))"
+_Q_NTOK = r"len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != ''))"
 _Q_PUNCT = "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))"
 
 

@@ -98,7 +98,13 @@ def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int
 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compacting"
+    retired = path.rstrip("/") + "__old"
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    # Rename-aside swap: the dataset dir is never the only copy being
+    # deleted, so a crash leaves either the original (roll back by hand:
+    # retired dir intact) or the complete compacted staging.
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
     os.rename(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return len(glob.glob(f"{path}/*.parquet"))

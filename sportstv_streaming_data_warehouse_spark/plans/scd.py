@@ -47,11 +47,18 @@ def apply_scd2(
 
     Keys whose attributes actually changed get their open version closed
     at change_ts and a new current version appended; no-op updates leave
-    history untouched.
+    history untouched. Keys not yet in the dimension enter as first
+    versions effective at change_ts. The batch is reduced to one row per
+    key first (exact duplicates collapse; conflicting same-batch updates
+    reduce deterministically by max over the attribute struct).
     """
     ts = F.lit(change_ts).cast("timestamp")
     cur = history.filter(F.col("is_current"))
-    upd = updates.select(key, *[F.col(a).alias(f"__new_{a}") for a in attrs])
+    upd = (
+        updates.groupBy(key)
+        .agg(F.max(F.struct(*attrs)).alias("__u"))
+        .select(key, *[F.col(f"__u.{a}").alias(f"__new_{a}") for a in attrs])
+    )
 
     changed_keys = (
         cur.join(upd, key)
@@ -60,6 +67,10 @@ def apply_scd2(
         )
         .select(key, *[F.col(f"__new_{a}").alias(a) for a in attrs])
     )
+    brand_new_keys = upd.join(cur.select(key), key, "left_anti").select(
+        key, *[F.col(f"__new_{a}").alias(a) for a in attrs]
+    )
+    inserts = changed_keys.unionByName(brand_new_keys)
 
     closed = (
         history.join(changed_keys.select(key), key, "left_semi")
@@ -71,7 +82,7 @@ def apply_scd2(
         changed_keys.select(key), key, "left_anti"
     )
     already_closed = history.filter(~F.col("is_current"))
-    new_versions = changed_keys.select(
+    new_versions = inserts.select(
         key,
         *attrs,
         ts.alias("effective_from"),

@@ -96,24 +96,43 @@ def _merge_batch(batch: DataFrame, out_path: str) -> None:
     import shutil
 
     spark = batch.sparkSession
+    base = out_path.rstrip("/")
+    staging = base + "__staging"
+    retired = base + "__old"
+
+    # Crash recovery: the swap below is (write staging → rename base aside
+    # → rename staging in → drop retired), so the sink dir is never the
+    # only copy being deleted. A crash leaves either a complete staging
+    # (finish the swap — _SUCCESS marks a complete parquet job) or an
+    # intact retired copy (roll back); the replayed micro-batch then
+    # re-merges idempotently.
+    if not os.path.isdir(base):
+        if os.path.isdir(staging) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ):
+            os.rename(staging, base)
+        elif os.path.isdir(retired):
+            os.rename(retired, base)
+    shutil.rmtree(retired, ignore_errors=True)
+
     try:
-        existing = spark.read.parquet(out_path)
+        existing = spark.read.parquet(base)
         has_existing = True
     except Exception:
         has_existing = False
 
-    if not has_existing:
-        batch.write.mode("overwrite").parquet(out_path)
-        return
+    if has_existing:
+        keys = batch.select("day", "sport").distinct()
+        kept = existing.join(F.broadcast(keys), ["day", "sport"], "left_anti")
+        merged = kept.unionByName(batch)
+    else:
+        merged = batch
 
-    keys = batch.select("day", "sport").distinct()
-    kept = existing.join(F.broadcast(keys), ["day", "sport"], "left_anti")
-    merged = kept.unionByName(batch)
-
-    staging = out_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)  # reads old, writes new
-    shutil.rmtree(out_path)
-    os.rename(staging, out_path)
+    if os.path.isdir(base):
+        os.rename(base, retired)
+    os.rename(staging, base)
+    shutil.rmtree(retired, ignore_errors=True)
 
 
 def start_ingestion(

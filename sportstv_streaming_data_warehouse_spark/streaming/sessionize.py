@@ -78,26 +78,30 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, watermark: str =
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend(int(t.value // 1000) for t in pdf["ts"])
-        ts_us.sort()
 
+        # Interval merge: the stored open session is an interval
+        # [start_us, last_us] and every batch event is a 1-event interval.
+        # Folding the start-sorted intervals with the gap rule reproduces
+        # batch sessionization even for cross-batch OUT-OF-ORDER events
+        # (newer than the watermark, older than the stored last_us):
+        # a contained event only bumps the count, a within-gap earlier
+        # event extends the session backwards, and last_us never regresses.
+        intervals = [(t, t, 1) for t in ts_us]
         if state.exists:
-            start_us, last_us, count = state.get
-        else:
-            start_us = last_us = ts_us[0]
-            count = 0
-            # the first event seeds the open session below
+            intervals.append(tuple(state.get))
+        intervals.sort()
 
         out_start, out_end, out_n = [], [], []
-        for t in ts_us:
-            if count > 0 and t - last_us > gap_us:
+        start_us, last_us, count = intervals[0]
+        for s, e, n in intervals[1:]:
+            if s - last_us <= gap_us:
+                last_us = max(last_us, e)
+                count += n
+            else:
                 out_start.append(_pd.Timestamp(start_us, unit="us"))
                 out_end.append(_pd.Timestamp(last_us, unit="us"))
                 out_n.append(count)
-                start_us, count = t, 0
-            if count == 0:
-                start_us = min(start_us, t) if count else t
-            last_us = t
-            count += 1
+                start_us, last_us, count = s, e, n
 
         state.update((start_us, last_us, count))
         # event-time timeout: close the open session once the watermark

@@ -110,3 +110,26 @@ def test_range_join_matches_theta_join(spark):
     # the point: banding turns the theta join into a hash equi-join
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_values_come_from_single_latest_row(spark):
+    """If the truly-latest right row holds a NULL in one value column, that
+    NULL is carried — values are never stitched from different rows
+    (matches DuckDB ASOF row semantics)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"))], ["id", "ts"]
+    ).withColumn("user", F.lit(1))
+    right = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T10:00:00"), 100.0, "a"),
+            (_ts("2024-01-01T11:00:00"), None, "b"),  # latest row: NULL price
+        ],
+        ["ts", "price", "tag"],
+    ).withColumn("user", F.lit(1))
+    row = asof_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        value_cols=["price", "tag"],
+    ).collect()[0]
+    assert row["asof_tag"] == "b"
+    assert row["asof_price"] is None  # NOT 100.0 from the older row
+    assert row["asof_ts"] == _ts("2024-01-01T11:00:00")

@@ -73,3 +73,23 @@ def test_second_update_round(spark):
     # exactly one current version per key, intervals contiguous
     cur = h2.filter(F.col("is_current")).groupBy("user_id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_new_keys_enter_history_and_batch_dupes_collapse(spark):
+    """Keys absent from the dimension become first versions at change_ts;
+    exact-duplicate update rows collapse to one version."""
+    dim = spark.createDataFrame([(1, "Deutschland")], ["user_id", "country"])
+    h = scd.init_scd2(dim, "user_id", ["country"], "2021-01-01 00:00:00")
+    updates = spark.createDataFrame(
+        [(3, "Italia"), (3, "Italia"), (1, "Deutschland")],
+        ["user_id", "country"],
+    )
+    out = scd.apply_scd2(
+        h, updates, "user_id", ["country"], "2021-06-01 00:00:00"
+    ).orderBy("user_id", "effective_from").collect()
+    assert [(r["user_id"], r["country"], r["is_current"]) for r in out] == [
+        (1, "Deutschland", True),   # no-op update: untouched
+        (3, "Italia", True),        # brand-new key: one first version
+    ]
+    u3 = [r for r in out if r["user_id"] == 3][0]
+    assert u3["effective_from"] == _ts("2021-06-01T00:00:00")

@@ -89,3 +89,40 @@ def test_open_session_survives_restart_then_closes(spark, tmp_path):
     _drop(in_dir, "f2.json", [("2024-05-01T12:00:00", 7)])
     out2 = _run(spark, in_dir, out_dir, ckpt)
     assert out2 == [(7, "2024-05-01T10:00:00", "2024-05-01T10:05:00", 2)]
+
+
+def test_out_of_order_event_across_batches(spark, tmp_path):
+    """A within-watermark event OLDER than the stored session end must not
+    regress the open session: the closed session keeps its true end and
+    counts the late event (interval-merge semantics == batch semantics)."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _drop(in_dir, "f1.json", [("2024-05-01T10:00:00", 9), ("2024-05-01T10:20:00", 9)])
+    assert _run(spark, in_dir, out_dir, ckpt) == []  # session open in state
+
+    # batch 2: a late 10:10 event (watermark is 09:20 — still accepted)
+    # plus a 12:30 event that proves the gap and closes the session
+    _drop(
+        in_dir,
+        "f2.json",
+        [("2024-05-01T10:10:00", 9), ("2024-05-01T12:30:00", 9)],
+    )
+    out = _run(spark, in_dir, out_dir, ckpt)
+    assert out == [(9, "2024-05-01T10:00:00", "2024-05-01T10:20:00", 3)]
+
+
+def test_late_event_extends_session_backwards(spark, tmp_path):
+    """A late event within the gap BEFORE the stored start extends the
+    session backwards instead of corrupting it."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _drop(in_dir, "f1.json", [("2024-05-01T10:00:00", 3), ("2024-05-01T10:20:00", 3)])
+    assert _run(spark, in_dir, out_dir, ckpt) == []
+
+    _drop(
+        in_dir,
+        "f2.json",
+        [("2024-05-01T09:45:00", 3), ("2024-05-01T13:00:00", 3)],
+    )
+    out = _run(spark, in_dir, out_dir, ckpt)
+    assert out == [(3, "2024-05-01T09:45:00", "2024-05-01T10:20:00", 3)]

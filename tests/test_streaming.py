@@ -195,3 +195,36 @@ def test_restart_without_new_data_is_idempotent(spark, paths):
     ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
     after = _fact(spark, paths["out"])
     assert before == after
+
+
+def test_sink_swap_crash_recovery(spark, paths):
+    """A crash between the swap renames must never lose the sink: a
+    complete staging dir is rolled forward, an intact retired dir is
+    rolled back, and the replayed micro-batch re-merges idempotently."""
+    import shutil
+
+    _write_drop(paths["in"], "f1.json", _rows_day(DAY1, 10, "Biathlon"))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    before = _fact(spark, paths["out"])
+
+    # crash window A: sink renamed aside, staging (complete) not yet in
+    base = paths["out"].rstrip("/")
+    os.rename(base, base + "__old")
+    shutil.copytree(base + "__old", base + "__staging")
+    _write_drop(paths["in"], "f2.json", _rows_day(DAY2, 4, "Biathlon"))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    fact = _fact(spark, paths["out"])
+    assert fact[(DAY1, "Biathlon")]["transaction_count"] == 10  # not lost
+    assert fact[(DAY2, "Biathlon")]["transaction_count"] == 4
+    assert not os.path.isdir(base + "__old")
+    assert not os.path.isdir(base + "__staging")
+
+    # crash window B: sink renamed aside, staging incomplete (no _SUCCESS)
+    os.rename(base, base + "__old")
+    os.makedirs(base + "__staging")  # torn write: empty, no _SUCCESS
+    _write_drop(paths["in"], "f3.json", _rows_day(DAY2, 3, "Curling", start_uid=100))
+    ingest.run_available_data(spark, paths["in"], paths["out"], paths["ckpt"])
+    fact = _fact(spark, paths["out"])
+    assert fact[(DAY1, "Biathlon")]["transaction_count"] == 10  # rolled back
+    assert fact[(DAY2, "Curling")]["transaction_count"] == 3
+    assert before.keys() <= fact.keys()
