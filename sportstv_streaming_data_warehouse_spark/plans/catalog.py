@@ -2025,14 +2025,17 @@ def x_quality_deciles(spark, sf_dir):
     # Curriculum binning: decile buckets over the quality score (unique
     # tiebreak doc_id makes NTILE deterministic), with per-bucket bounds —
     # the 'keep top-k% quality' selection a data pipeline runs before
-    # training.
+    # training. Exact NTILE via two-phase distributed ranking
+    # (operators/ranking.py) — NO unpartitioned window, so no single task
+    # ever holds the whole corpus; the oracle stays plain SQL NTILE.
+    from ..operators.ranking import distributed_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.orderBy("quality", "doc_id")
     return (
-        scored.withColumn("decile", F.ntile(10).over(w))
+        distributed_ntile(scored, 10, ["quality", "doc_id"], out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("docs"),

@@ -1,0 +1,62 @@
+"""Distributed ranking: exact equivalence with the single-partition
+window functions it replaces, and plan shape (no unpartitioned window —
+no single task ever holds the whole dataset)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+    distributed_ntile,
+    with_global_row_number,
+)
+from sportstv_streaming_data_warehouse_spark.plans.catalog import all_queries
+
+from .conftest import SF01
+
+
+def _df(spark, n=997):
+    # heavy value ties (5 distinct scores) force the id tiebreaker and
+    # make several rank buckets share one score value
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 5).cast("double").alias("score")
+    )
+
+
+def test_row_number_matches_global_window(spark):
+    df = _df(spark)
+    got = {
+        r["id"]: r["row_num"]
+        for r in with_global_row_number(df, ["score", "id"]).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(997, 10), (7, 10), (1000, 7), (0, 4)])
+def test_ntile_matches_global_window(spark, n, k):
+    df = _df(spark, n)
+    got = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(df, k, ["score", "id"]).collect()
+    }
+    w = Window.orderBy("score", "id")
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_quality_deciles_plan_has_no_global_sort(spark):
+    """The catalog query must not plan a single-partition sort of the
+    corpus: no unpartitioned ntile window, no Exchange SinglePartition in
+    the returned plan (the stats passes are separate tiny jobs)."""
+    df = all_queries()["x_quality_deciles"](spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "Exchange SinglePartition" not in plan
