@@ -1360,14 +1360,47 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("x_dedup_clusters")  # no SQL oracle: iterative algorithm (rows-only)
+@query(
+    "x_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_tok FROM toks GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = id_a
+      JOIN sizes sb ON sb.doc = id_b
+      WHERE inter / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+    )
+    SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+    """,
+)
 def x_dedup_clusters(spark, sf_dir):
     # The dedup pipeline's final step: exact-Jaccard near-dup pairs
     # collapse into duplicate clusters via iterative min-label
-    # propagation with pointer jumping (the distributed union-find) —
-    # the 'genuinely non-SQL-expressible iterative algorithm' category.
-    # Semantics verified in tests/test_components.py against known graph
-    # topologies and transitivity cases.
+    # propagation with pointer jumping (the distributed union-find).
+    # The oracle replays it declaratively: a recursive min-label
+    # transitive closure in DuckDB — an independent fixpoint computation
+    # that must land on the identical (node, min-id) labeling. Topology
+    # edge cases additionally covered in tests/test_components.py.
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.token_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.9, max_token_docs=2000
