@@ -66,3 +66,24 @@ def date_spine(spark: SparkSession, start, end) -> DataFrame:
         ).alias("full_date")
     )
     return spine.withColumns(calendar_keys(F.col("full_date")))
+
+
+def date_spine_from_bounds(
+    bounds: DataFrame, lo: str = "lo", hi: str = "hi"
+) -> DataFrame:
+    """Daily spine from a 1-row bounds AGGREGATE, fully lazy.
+
+    Unlike ``date_spine(spark, lo, hi)`` with driver-side literals, this
+    keeps the bounds computation inside the query plan — no eager
+    ``.first()`` pass over the source before the main query runs, so a
+    spine over a 100 TB fact costs one job, not two."""
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col(lo).cast("date"),
+                F.col(hi).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("full_date")
+    )
+    return spine.withColumns(calendar_keys(F.col("full_date")))

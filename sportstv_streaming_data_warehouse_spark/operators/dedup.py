@@ -37,9 +37,18 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as ONE parquet file = one partition,
     serializing all per-row signature work onto a single core. Fan out to
     the session's parallelism when under-partitioned; at real scale the
-    source already has many partitions and this is a no-op."""
+    source already has many files and this is a no-op.
+
+    Uses ``inputFiles()`` (catalog metadata) rather than
+    ``df.rdd.getNumPartitions()`` — touching .rdd forces the
+    DataFrame→RDD conversion on every call. Non-file inputs (in-memory
+    test frames) count as under-partitioned."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

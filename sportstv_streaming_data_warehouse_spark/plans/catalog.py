@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..functions.calendar import with_calendar_keys, date_spine
+from ..functions.calendar import (
+    date_spine,
+    date_spine_from_bounds,
+    with_calendar_keys,
+)
 from ..functions.inference import infer_with_precedence
 from ..functions import text as T
 from ..operators import dedup as D
@@ -398,8 +402,8 @@ def j6_fact_by_dow_via_date_dim(spark, sf_dir):
     # dow directly — semantically identical, join-free — which is exactly
     # the check that our dim join loses no rows.
     li = load_table(spark, sf_dir, "lineitem").withColumn("d", F.to_date("l_shipdate"))
-    bounds = li.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
-    dim = date_spine(spark, bounds["lo"], bounds["hi"])
+    bounds = li.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dim = date_spine_from_bounds(bounds)  # lazy: one job, no eager pass
     return (
         li.join(F.broadcast(dim), li.d == dim.full_date)
         .groupBy("day_of_week")
@@ -1022,13 +1026,14 @@ def f_calendar_keys(spark, sf_dir):
     """,
 )
 def f6_date_spine(spark, sf_dir):
-    # F6 (etl.R:204): the dim_date daily spine between source bounds.
+    # F6 (etl.R:204): the dim_date daily spine between source bounds —
+    # bounds stay a lazy 1-row aggregate inside the plan (single job).
     od = load_table(spark, sf_dir, "orders")
-    b = od.agg(
+    bounds = od.agg(
         F.min(F.to_date("o_orderdate")).alias("lo"),
         F.max(F.to_date("o_orderdate")).alias("hi"),
-    ).first()
-    return date_spine(spark, b["lo"], b["hi"]).withColumn(
+    )
+    return date_spine_from_bounds(bounds).withColumn(
         "full_date", F.date_format("full_date", "yyyy-MM-dd")
     )
 

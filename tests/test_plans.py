@@ -132,3 +132,25 @@ def test_a12_distinct_agg_bounded_shuffles(spark):
     plan = plan_of(spark, "a12_yearly_validation")
     assert plan.count("Exchange") == 2, plan
     assert "Expand" in plan
+
+
+def test_spine_bounds_stay_lazy(spark):
+    """The date spine derives from a 1-row bounds AGGREGATE inside the
+    plan — building it must trigger no Spark job (the old implementation
+    ran an eager .first() scan of the source at plan-build time).
+    Measured on an in-memory source so parquet schema listing (which does
+    cost one job, in load_table) doesn't mask the check."""
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.functions.calendar import (
+        date_spine_from_bounds,
+    )
+
+    src = spark.createDataFrame([("2024-01-01",), ("2024-01-10",)], ["d"])
+    bounds = src.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    spine = date_spine_from_bounds(bounds)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "spine construction must not run jobs"
+    assert spine.count() == 10
