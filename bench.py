@@ -6,12 +6,19 @@ Reference baseline (BASELINE.md): ~51 s end-to-end ETL over 1.18M rows
 (~23K rows/s) + sub-second analytics. sf0.1 (~600K lineitem rows) is the
 closest fixture; `flagship_daily_rollup` and `star_fact_events` are the
 ETL analogs, the rest are the analytics catalog.
+
+Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3) and reports
+the MEDIAN — shared-box noise is ±30%, bigger than most regressions —
+and every run appends its full record to BENCH_history.jsonl so
+rounds can be diffed median-to-median.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import time
 
 from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
@@ -34,11 +41,14 @@ HEADLINE = [
     "x_dedup_minhash_lsh",     # extended: MinHash LSH near-dup
     "x_knn_bruteforce",        # extended: cosine top-k
     "x_text_stats",            # extended: text analysis
+    "x_dedup_embedding_cosine",# extended: banded semantic dedup (r2 rewrite)
+    "x_quality_deciles",       # extended: distributed NTILE (r2 rewrite)
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="sportstv-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,36 +62,47 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damps shared-machine noise
+        times = []
+        for _ in range(iters):
             t0 = time.perf_counter()
             # count() fully executes the plan w/o driver-side row transfer
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
 
     total = round(sum(per_query.values()), 3)
-    rollup_rows = QUERIES["flagship_daily_rollup"](spark, sf_dir)
     # records/s of the ETL-analog rollup, comparable to BASELINE.md's
     # ~23K rows/s reference throughput
     from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
 
     n_rows = load_table(spark, sf_dir, "lineitem").count()
     throughput = round(n_rows / per_query["flagship_daily_rollup"])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "rollup_rows_per_sec": throughput,
-                "rollup_input_rows": n_rows,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rollup_rows_per_sec": throughput,
+        "rollup_input_rows": n_rows,
+        "iters": iters,
+        "stat": "median",
+    }
+    print(json.dumps(record))
     spark.stop()
+
+    # bench history: append out-of-band metadata for round-over-round diffs
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        hist = dict(record, git=rev, wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_history.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(hist) + "\n")
+    except Exception:
+        pass  # history is best-effort; the stdout contract must not break
 
 
 if __name__ == "__main__":

@@ -43,6 +43,14 @@ def _ranked(
     accuracy: int,
 ) -> tuple[DataFrame, int]:
     """df + __rn (exact 1-based global rank over order_cols), total count."""
+    # the input is scanned by the boundary pass, the count pass, AND the
+    # returned plan — persist it (callers pass a narrow projection; e.g.
+    # x_quality_deciles' (doc_id, quality) avoids re-running the quality
+    # regexes three times over the raw text). MEMORY_AND_DISK: spills,
+    # never recomputes; Spark evicts LRU under pressure.
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     key = F.col(order_cols[0]).cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()

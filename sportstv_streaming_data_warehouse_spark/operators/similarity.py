@@ -149,6 +149,67 @@ def lcg_plane(dim: int, k0: int) -> list[float]:
     ]
 
 
+def banded_signatures_expr(
+    vec: Column, dim: int, planes_per_band: int, n_bands: int, seed: int
+) -> Column:
+    """Reference band-signature computation: per-plane sequential
+    ``aggregate`` folds (bit-exact with the SQL oracle, but interpreted —
+    higher-order functions don't enter whole-stage codegen, so this is
+    ~100x slower than the Arrow path below). Kept as the semantics
+    reference the pandas twin is pinned against in tests."""
+    return F.array(
+        *[
+            lsh_signature(
+                vec,
+                [
+                    lcg_plane(dim, seed + (b * planes_per_band + i) * dim)
+                    for i in range(planes_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def banded_signatures_pandas(
+    vec_col: str, dim: int, planes_per_band: int, n_bands: int, seed: int
+) -> Column:
+    """Band signatures via one Arrow-batched numpy matmul — the
+    vectorized-Python escape hatch (SURVEY §2.11) for math Spark's
+    interpreted HOFs make 100x slower than necessary.
+
+    float64 matmul may round a projection differently from the sequential
+    fold by ~1e-13 relative, which could only flip a SIGN (and thus a
+    signature bit) for a projection within that distance of zero.
+    tests/test_similarity_recall.py pins this path bit-equal to
+    ``banded_signatures_expr`` on the fixtures and asserts every
+    |projection| clears the margin by orders of magnitude."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(s):
+        # self-contained closure: executors import nothing from the repo
+        import numpy as _np
+
+        A, C, M = 1103515245, 12345, 2**31
+        n_planes = planes_per_band * n_bands
+        k = seed + _np.arange(n_planes * dim, dtype=_np.int64)
+        H = ((A * k + C) % M) / M - 0.5  # (n_planes*dim,) exact dyadics
+        H = H.reshape(n_planes, dim).T  # (dim, n_planes)
+        weights = (1 << _np.arange(planes_per_band, dtype=_np.int64))
+
+        def one(v):
+            if v is None:
+                return None
+            proj = _np.asarray(v, dtype=_np.float64) @ H  # (n_planes,)
+            bits = (proj >= 0).reshape(n_bands, planes_per_band)
+            return (bits * weights).sum(axis=1)
+
+        return s.map(one)
+
+    return _sigs(vec_col)
+
+
 def banded_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -174,33 +235,40 @@ def banded_cosine_pairs(
     with probability ~0.996. tests/test_similarity_recall.py pins the
     banded result against the all-pairs expression at test scale.
     """
-    sigs = [
-        lsh_signature(
-            F.col("__vec"),
-            [
-                lcg_plane(dim, seed + (b * planes_per_band + i) * dim)
-                for i in range(planes_per_band)
-            ],
-        )
-        for b in range(n_bands)
-    ]
+    df = _ensure_parallelism(df)  # signature math is per-row heavy
+    # candidate generation carries IDS ONLY — shuffling the vectors
+    # through the band join + dropDuplicates would move |candidates|·dim
+    # doubles; ids shrink that shuffle by ~50× (vectors re-join below)
     s = df.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__vec"),
-    ).select("vec_id", "__vec", F.posexplode(F.array(*sigs)).alias("band", "sig"))
-    a = s.select(
-        F.col("vec_id").alias("id_a"), F.col("__vec").alias("__ea"), "band", "sig"
-    )
-    b = s.select(
-        F.col("vec_id").alias("id_b"), F.col("__vec").alias("__eb"), "band", "sig"
-    )
+        banded_signatures_pandas(
+            vec_col, dim, planes_per_band, n_bands, seed
+        ).alias("__sigs"),
+    ).select("vec_id", F.posexplode("__sigs").alias("band", "sig"))
     cand = (
-        a.join(b, ["band", "sig"])
+        s.select(F.col("vec_id").alias("id_a"), "band", "sig")
+        .join(s.select(F.col("vec_id").alias("id_b"), "band", "sig"), ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # refine: re-attach vectors (+ precomputed norms — one per vector
+    # instead of one per pair) and keep exact-cosine >= threshold
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+    ).withColumn("__na", norm(F.col("__ea")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+    ).withColumn("__nb", norm(F.col("__eb")))
     return (
-        cand.withColumn("cosine_sim", cosine(F.col("__ea"), F.col("__eb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -51,6 +51,27 @@ def _normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
+def compare_frames(left_df, right_df, name: str = "?"):
+    """Full value-hash comparison of two Spark DataFrames (same
+    normalization as the driver gate): columns sorted by name, rows
+    order-insensitive, values exact."""
+    actual = left_df.toPandas()
+    expected = right_df.toPandas()
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"{name}: column mismatch\n left ={sorted(actual.columns)}\n right={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"{name}: row count mismatch left={len(actual)} right={len(expected)}"
+    )
+    a_rows = _normalize(actual)
+    e_rows = _normalize(expected)
+    mismatches = [(a, e) for a, e in zip(a_rows, e_rows) if a != e]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 5:\n"
+        + "\n".join(f"  left ={a}\n  right={e}" for a, e in mismatches[:5])
+    )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     actual = spark_df.toPandas()
     expected = con.execute(sql).df()

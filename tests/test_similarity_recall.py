@@ -134,3 +134,40 @@ def test_banded_cosine_pairs_vs_all_pairs(spark):
     assert set(got) <= set(want)
     assert got == want, "pinned seed must reach full recall at sf0.01"
     assert want, "fixture should contain at least one qualifying pair"
+
+
+def test_pandas_signatures_match_jvm_fold(spark):
+    """The Arrow-batched signature matmul must be bit-equal to the
+    sequential-fold reference on the fixture corpus, and every projection
+    must clear zero by orders of magnitude more than matmul-vs-fold
+    rounding (~1e-13 relative) — the precondition that makes the fast
+    path safe for the sign decision."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        banded_signatures_expr,
+        banded_signatures_pandas,
+        dot,
+    )
+
+    P, B, seed, dim = 8, 16, 40000, 64
+    emb = load_table(spark, SF01, "embeddings")
+    fast = emb.select(
+        "vec_id", banded_signatures_pandas("embedding", dim, P, B, seed).alias("s")
+    )
+    ref = emb.select(
+        "vec_id", banded_signatures_expr(F.col("embedding"), dim, P, B, seed).alias("s")
+    )
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import lcg_plane
+
+    planes = [lcg_plane(dim, seed + j * dim) for j in range(P * B)]
+    min_abs = emb.select(
+        F.least(
+            *[
+                F.abs(dot(F.col("embedding"), F.array(*[F.lit(x) for x in p])))
+                for p in planes
+            ]
+        ).alias("m")
+    ).agg(F.min("m")).first()[0]
+    assert min_abs > 1e-9, f"projection too close to zero: {min_abs}"

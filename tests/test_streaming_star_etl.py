@@ -84,12 +84,34 @@ def test_streaming_etl_matches_batch_fact(spark, setup):
         (r["day"].isoformat(), r["country_id"], r["sport"]): r
         for r in spark.sql("SELECT * FROM stream_fact").collect()
     }
-    spark.catalog.dropTempView("stream_fact")
 
     batch_txns = spark.read.schema(schema).json(setup["drop_dir"])
     batch_fact = star.build_fact(
         star.enrich_transactions(batch_txns, setup["uc"], setup["asp"])
     )
+
+    # Full value-hash parity (same comparator semantics as the DuckDB
+    # driver gate) on the deterministic columns: since build_fact is
+    # itself oracle-verified (star_fact_events), this chains the
+    # streaming sink to the DuckDB gate. The HLL estimate is excluded —
+    # exact distinct is unsupported in a streaming aggregation.
+    from .parity import compare_frames
+
+    det_cols = ["transaction_count", "total_minutes_streamed", "completed_streams"]
+    stream_det = spark.table("stream_fact").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "country_id",
+        "sport",
+        *[F.col(c).cast("long").alias(c) for c in det_cols],
+    )
+    batch_det = batch_fact.select(
+        F.to_date(F.col("date_id").cast("string"), "yyyyMMdd").cast("string").alias("day"),
+        "country_id",
+        F.col("sport_name").alias("sport"),
+        *[F.col(c).cast("long").alias(c) for c in det_cols],
+    )
+    compare_frames(stream_det, batch_det, "streaming_star_etl")
+    spark.catalog.dropTempView("stream_fact")
     expected = {}
     for r in batch_fact.collect():
         d = str(r["date_id"])
