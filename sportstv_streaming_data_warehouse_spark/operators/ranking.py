@@ -43,11 +43,12 @@ def _ranked(
     accuracy: int,
 ) -> tuple[DataFrame, int]:
     """df + __rn (exact 1-based global rank over order_cols), total count."""
-    # the input is scanned by the boundary pass, the count pass, AND the
-    # returned plan — persist it (callers pass a narrow projection; e.g.
-    # x_quality_deciles' (doc_id, quality) avoids re-running the quality
-    # regexes three times over the raw text). MEMORY_AND_DISK: spills,
-    # never recomputes; Spark evicts LRU under pressure.
+    # the input feeds the boundary pass, the count pass, and the returned
+    # plan — persist it for the two eager stats passes (callers pass a
+    # narrow projection; e.g. x_quality_deciles' (doc_id, quality) avoids
+    # re-running the quality regexes per pass), then unpersist so repeated
+    # operator calls don't accumulate cache entries. The returned plan
+    # recomputes one scan from source.
     from pyspark.storagelevel import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -61,6 +62,7 @@ def _ranked(
         r["__bkt"]: r["cnt"]
         for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
     }
+    df.unpersist()
     total = sum(counts.values())
     offsets: dict[int, int] = {}
     acc = 0

@@ -45,6 +45,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or _default_master())
+        # local mode runs driver+executors in ONE JVM whose default heap
+        # is 1g — far under what 32 concurrent tasks need; on a cluster
+        # this maps to ordinary per-executor memory sizing
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
