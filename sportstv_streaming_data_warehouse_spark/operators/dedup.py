@@ -354,16 +354,25 @@ def token_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_token_docs: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard via inverted-index self-join.
 
     ``max_token_docs`` drops tokens appearing in more than that many docs
     (stopword explosion guard — at 100 TB an unfiltered self-join on 'the'
-    is quadratic; the cap bounds each token's join output).
+    is quadratic; the cap bounds each token's join output). ``ngram > 1``
+    switches the unit from single tokens to word n-gram shingles
+    (word_shingles) — sharper near-dup signal on stop-word-heavy text,
+    since shared phrases are rarer than shared words.
     """
+    unit = (
+        F.array_distinct(_tokens(F.col(text_col)))
+        if ngram == 1
+        else word_shingles(F.col(text_col), n=ngram, distinct=True)
+    )
     toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+        F.explode(unit).alias("tok"),
     )
     if max_token_docs is not None:
         w = Window.partitionBy("tok")

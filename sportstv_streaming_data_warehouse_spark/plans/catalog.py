@@ -2113,6 +2113,135 @@ def x_quality_score(spark, sf_dir):
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
+# Bigram-shingle CTE shared by the n-gram Jaccard / decontamination
+# oracles: word bigrams per doc (short-doc fallback = whole text as one
+# shingle, matching word_shingles(distinct=True)), then set semantics.
+_BIGRAMS_SQL = r"""
+    d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    g0 AS (
+      SELECT d.doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS gram
+      FROM d, (SELECT CAST(generate_series AS INT) AS i
+               FROM generate_series(1, 10000)) g
+      WHERE g.i <= len(toks) - 1
+      UNION ALL
+      SELECT doc_id, array_to_string(toks, ' ') FROM d WHERE len(toks) < 2
+    ),
+    gd AS (SELECT DISTINCT doc_id AS doc, gram AS tok FROM g0)
+"""
+
+
+@query(
+    "x_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    sizes AS (SELECT doc, COUNT(*) AS n_tok FROM gd GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+      FROM gd a JOIN gd b ON a.tok = b.tok AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE inter / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) >= 0.5
+    """,
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    # Exact word-BIGRAM Jaccard near-dup pairs — the n-gram variant of
+    # x_dedup_token_jaccard. Shared phrases are much rarer than shared
+    # words, so the same inverted-index join produces a far sharper
+    # candidate set on stop-word-heavy corpora.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, ngram=2
+    )
+
+
+@query(
+    "x_stratified_sample",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, lang, {_FP} % 1000 AS b FROM documents),
+    tot AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY 1),
+    sampled AS (
+      SELECT lang, COUNT(*) AS sampled FROM fp
+      WHERE b < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300
+                          WHEN 'es' THEN 250 WHEN 'de' THEN 250
+                          WHEN 'fr' THEN 100 ELSE 1000 END
+      GROUP BY 1
+    )
+    SELECT t.lang, total, sampled,
+           sampled / CAST(total AS DOUBLE) AS achieved_rate
+    FROM tot t JOIN sampled s ON t.lang = s.lang
+    """,
+)
+def x_stratified_sample(spark, sf_dir):
+    # Training-mix construction: per-language sampling at target rates,
+    # keyed on the CONTENT fingerprint — deterministic and reproducible
+    # (re-runs and engines agree on the exact sample), unlike rand()-based
+    # sampleBy. The classic data-mixing op before pre-training.
+    docs = load_table(spark, sf_dir, "documents")
+    permille = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 300)
+        .when(F.col("lang") == "es", 250)
+        .when(F.col("lang") == "de", 250)
+        .when(F.col("lang") == "fr", 100)
+        .otherwise(1000)
+    )
+    sampled = (
+        docs.withColumn("__b", T.fingerprint(F.col("text")) % 1000)
+        .filter(F.col("__b") < permille)
+        .groupBy("lang")
+        .agg(F.count("*").alias("sampled"))
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("total"))
+    return totals.join(sampled, "lang").select(
+        "lang",
+        "total",
+        "sampled",
+        (F.col("sampled") / F.col("total")).alias("achieved_rate"),
+    )
+
+
+@query(
+    "x_decontamination",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    fp AS (SELECT doc_id, {_FP} % 10 AS b FROM documents),
+    train AS (SELECT gd.doc, gd.tok FROM gd JOIN fp ON gd.doc = fp.doc_id WHERE fp.b != 9),
+    ev AS (SELECT DISTINCT gd.tok FROM gd JOIN fp ON gd.doc = fp.doc_id WHERE fp.b = 9)
+    SELECT doc AS doc_id, COUNT(*) AS shared_bigrams
+    FROM train JOIN ev USING (tok)
+    GROUP BY 1
+    """,
+)
+def x_decontamination(spark, sf_dir):
+    # Benchmark decontamination: for every training document, count the
+    # distinct word bigrams it shares with the held-out (eval) split —
+    # the n-gram-overlap check run before training to catch test-set
+    # leakage. Inverted-index equi-join on the gram; the eval gram set is
+    # the small side and broadcasts.
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn("__b", T.fingerprint(F.col("text")) % 10)
+    grams = lambda side: side.select(  # noqa: E731 — tiny local helper
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), n=2, distinct=True)).alias("gram"),
+    )
+    train_g = grams(tagged.filter(F.col("__b") != 9))
+    eval_g = grams(tagged.filter(F.col("__b") == 9)).select("gram").distinct()
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_bigrams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consolidated correctness-window queries. The driver records correctness
 # for a fixed-size prefix of the registry (50 entries in round 1), so
