@@ -126,3 +126,67 @@ def test_late_event_extends_session_backwards(spark, tmp_path):
     )
     out = _run(spark, in_dir, out_dir, ckpt)
     assert out == [(3, "2024-05-01T09:45:00", "2024-05-01T10:20:00", 3)]
+
+
+def test_streaming_sessions_match_batch_extents(spark, tmp_path):
+    """Chain the stateful streaming operator to the oracle gate: stream
+    the events FIXTURE through sessionize_stream, force every real
+    session closed with per-user sentinel events in a second run, and
+    full-hash-compare the emitted sessions against batch gap
+    sessionization (the same lag+cumsum construction as the
+    oracle-verified w_sessionize) over the identical drops."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+    from .parity import compare_frames
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select("ts", "user_id")
+    in_dir = str(tmp_path / "in")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.select(F.date_format("ts", fmt).alias("ts"), "user_id").coalesce(
+        2
+    ).write.mode("overwrite").json(in_dir)
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, in_dir, out_dir, ckpt)  # real events; tails stay open
+
+    # sentinel run: one far-future event per user exceeds every gap, so
+    # the interval merge closes all real sessions; sentinel sessions
+    # stay open in state and are never emitted
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = (mx + dt.timedelta(hours=2)).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    ev.select("user_id").distinct().withColumn(
+        "ts", F.lit(sentinel_ts)
+    ).coalesce(1).write.mode("append").json(in_dir)
+    _run(spark, in_dir, out_dir, ckpt)
+
+    stream_sessions = spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+    # batch twin over the SAME drops (minus sentinels): lag + running sum
+    drops = (
+        spark.read.schema(EVENT_SCHEMA).json(in_dir)
+        .filter(F.col("ts") < F.lit(sentinel_ts).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | ((F.col("ts").cast("long") - prev.cast("long")) > 1800)
+    ).cast("int")
+    batch_sessions = (
+        drops.withColumn("s", F.sum(new_s).over(run))
+        .groupBy("user_id", "s")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("s")
+    )
+    compare_frames(stream_sessions, batch_sessions, "sessionize_stream_vs_batch")
