@@ -236,20 +236,38 @@ def banded_cosine_pairs(
     banded result against the all-pairs expression at test scale.
     """
     df = _ensure_parallelism(df)  # signature math is per-row heavy
-    # candidate generation carries IDS ONLY — shuffling the vectors
-    # through the band join + dropDuplicates would move |candidates|·dim
-    # doubles; ids shrink that shuffle by ~50× (vectors re-join below)
+    # Candidate generation: group ids per (band, signature) bucket and
+    # emit in-bucket pairs by exploding the sorted id list. One pass over
+    # the signatures (a self-JOIN would evaluate the signature subtree —
+    # and its pandas UDF — once per side), one shuffle of bare
+    # (band, sig, id) rows, and candidates carry IDS ONLY — the vectors
+    # re-join below, shrinking the wide shuffle ~50×. In-bucket pair
+    # blowup is quadratic in bucket occupancy by construction (same as
+    # any LSH join); oversized buckets mean the banding parameters are
+    # too coarse for the corpus — raise planes_per_band (SCALE.md).
     s = df.select(
         F.col(id_col).alias("vec_id"),
         banded_signatures_pandas(
             vec_col, dim, planes_per_band, n_bands, seed
         ).alias("__sigs"),
     ).select("vec_id", F.posexplode("__sigs").alias("band", "sig"))
+    buckets = (
+        s.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        s.select(F.col("vec_id").alias("id_a"), "band", "sig")
-        .join(s.select(F.col("vec_id").alias("id_b"), "band", "sig"), ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # refine: re-attach vectors (+ precomputed norms — one per vector

@@ -38,6 +38,13 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults."""
+    # Arrow/pandas workers do many SMALL numpy ops; letting each of 32
+    # python workers spin up a multi-threaded BLAS pool oversubscribes
+    # the box ~32x and turns microsecond matmuls into lock convoys.
+    # Workers inherit the driver env in local mode — pin BLAS to 1
+    # thread per worker (parallelism comes from Spark tasks, not BLAS).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
