@@ -80,7 +80,40 @@ def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3, seed: int = 42) -> DataFrame:
+def minhash_coefficients(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The affine minhash family (a, b) pairs — shared with the DuckDB
+    oracle generator in plans/catalog.py so both engines use the exact
+    same hash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _HASH_PRIME), rng.randrange(0, _HASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def _poly_hash(s: Column) -> Column:
+    """Character-level polynomial rolling hash mod 2^31-1 — the PORTABLE
+    shingle hash: the same integer recurrence runs in plain SQL
+    (list_reduce in the DuckDB oracle), unlike xxhash64."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)))
+        % _HASH_PRIME,
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
     """(id, minhash array) via k affine hash functions over shingle hashes.
 
     ZERO-shuffle formulation: the shingle hashes live in a per-row array
@@ -89,19 +122,19 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int
     than the explode + groupBy(id) + k min() aggregates alternative,
     which shuffles |shingles| rows). Signature length k bounds output at
     k*8 bytes/doc regardless of document size — 100 TB-safe.
+
+    ``portable=True`` swaps the xxhash64 shingle hash for the polynomial
+    rolling hash, making the whole signature reproducible in plain SQL
+    (the oracle path); xxhash64 stays the fast default.
     """
-    import random
+    coefs = minhash_coefficients(num_hashes, seed)
 
-    rng = random.Random(seed)
-    coefs = [
-        (rng.randrange(1, _HASH_PRIME), rng.randrange(0, _HASH_PRIME))
-        for _ in range(num_hashes)
-    ]
-
-    hashes = F.transform(
-        word_shingles(F.col(text_col), n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_PRIME)),
+    shingle_hash = (
+        _poly_hash
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_PRIME)))
     )
+    hashes = F.transform(word_shingles(F.col(text_col), n), shingle_hash)
     with_hashes = _ensure_parallelism(df).select(
         F.col(id_col), hashes.alias("__hs")
     )
@@ -125,6 +158,7 @@ def minhash_near_duplicates(
     n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature overlap.
 
@@ -132,9 +166,29 @@ def minhash_near_duplicates(
     candidate (P ≈ 1-(1-s^r)^b). Candidates are found by an equi-join on
     (band_id, band_hash) — hash-partitioned, never all-pairs. Estimated
     Jaccard = fraction of matching minhashes, filtered at ``threshold``.
+
+    ``portable=True`` uses the SQL-reproducible polynomial hashes for
+    both the shingles and the band keys (oracle path); band-key false
+    collisions only add candidates, which the signature-overlap filter
+    then rejects identically in both engines.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, n, seed).cache()
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, n, seed, portable=portable
+    ).cache()
+
+    if portable:
+        def band_key(b):
+            return F.aggregate(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * 1000003 + v) % _HASH_PRIME,
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+            )
 
     banded = sig.select(
         F.col(id_col),
@@ -144,9 +198,7 @@ def minhash_near_duplicates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("band_hash"),
+                    band_key(b).alias("band_hash"),
                 ),
             )
         ).alias("band"),
@@ -184,41 +236,60 @@ def minhash_near_duplicates(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side.
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """n_bits-wide SimHash per document, fully JVM-side.
 
     Token hash bits vote ±1 per position; the signature packs the sign
-    bits. One explode + one groupBy(id) with 64 conditional sums.
+    bits. One explode + one groupBy(id) with n_bits conditional sums.
+    ``portable=True`` votes with the polynomial rolling hash (31 usable
+    bits — pair with n_bits<=31) so plain SQL reproduces the signature.
     """
     toks = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", _poly_hash(F.col("tok")) if portable else F.xxhash64("tok")
+    )
 
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 chunks of 16; hamming ≤ 3
+    Pigeonhole banding: split the signature into 4 chunks; hamming ≤ 3
     guarantees ≥1 identical chunk, so candidates come from 4 equi-joins
     (unioned), never a crossJoin.
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    width = n_bits // 4
+    mask = (1 << width) - 1
+    sig = simhash_signatures(df, id_col, text_col, n_bits, portable)
     chunks = sig.select(
         id_col,
         "simhash",
@@ -227,8 +298,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

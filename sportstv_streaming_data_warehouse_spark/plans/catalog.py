@@ -2242,6 +2242,150 @@ def x_decontamination(spark, sf_dir):
     )
 
 
+# Portable-MinHash oracle generator: the same affine family, polynomial
+# shingle hash, and band keys as minhash_near_duplicates(portable=True),
+# regenerated as plain SQL so the full MinHash+LSH pipeline — signature,
+# banding, candidate join, overlap estimate — is verified end-to-end by
+# DuckDB (the xxhash64 production path stays rows-only + recall-tested;
+# the two paths share every line except the shingle hash).
+_MH_P = 2147483647
+_MH_K, _MH_BANDS, _MH_SEED, _MH_TAU = 32, 8, 42, 0.6
+_MH_RPB = _MH_K // _MH_BANDS
+
+
+def _minhash_poly_oracle() -> str:
+    coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
+    slots = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+
+    def band_key(k: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(k * _MH_RPB, (k + 1) * _MH_RPB):
+            acc = f"(({acc}) * 1000003 + m{i}) % {_MH_P}"
+        return f"{acc} AS bh{k}"
+
+    bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
+    est = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+    )
+    any_band = " OR ".join(f"a.bh{k} = b.bh{k}" for k in range(_MH_BANDS))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_MH_P}) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc,
+             {slots}
+      FROM th GROUP BY doc
+    ),
+    banded AS (
+      SELECT *,
+             {bands}
+      FROM sig
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           ({est}) / 32.0 AS est_jaccard
+    FROM banded a JOIN banded b
+      ON a.doc < b.doc AND ({any_band})
+    WHERE ({est}) / 32.0 >= {_MH_TAU}
+    """
+
+
+@query("x_dedup_minhash_poly", oracle=_minhash_poly_oracle())
+def x_dedup_minhash_poly(spark, sf_dir):
+    # The MinHash+LSH pipeline on the PORTABLE hash family: DuckDB
+    # regenerates signatures, band keys, candidates, and the overlap
+    # estimate from the same integer recurrences, so the whole
+    # shingle→minhash→band→bucket-join→estimate pipeline hash-matches —
+    # upgrading the family from rows-only to oracle-verified. Unigram
+    # shingles keep the oracle readable; the xxhash64 production twin
+    # (x_dedup_minhash_lsh) differs only in the shingle hash.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+        threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+    )
+
+
+# Portable-SimHash oracle: 28-bit signature from polynomial token-hash
+# bit votes, 4×7-bit pigeonhole chunks, hamming via bit_count(xor) —
+# the whole pipeline as plain SQL (the 64-bit xxhash64 production twin
+# stays rows-only + topology-tested).
+_SH_BITS, _SH_MAXHAM = 28, 3
+_SH_W = _SH_BITS // 4
+
+
+def _simhash_poly_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    chunks = ",\n             ".join(
+        f"(s >> {_SH_W * j}) & {(1 << _SH_W) - 1} AS c{j}" for j in range(4)
+    )
+    any_chunk = " OR ".join(f"a.c{j} = b.c{j}" for j in range(4))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc,
+             {votes}
+      FROM th GROUP BY doc
+    ),
+    sig AS (SELECT doc, {sig} AS s FROM votes),
+    chunked AS (
+      SELECT doc, s,
+             {chunks}
+      FROM sig
+    )
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.doc < b.doc AND ({any_chunk})
+    WHERE bit_count(xor(a.s, b.s)) <= {_SH_MAXHAM}
+    """
+
+
+@query("x_dedup_simhash_poly", oracle=_simhash_poly_oracle())
+def x_dedup_simhash_poly(spark, sf_dir):
+    # SimHash near-dup on the portable hash family: DuckDB regenerates
+    # bit votes, packed signature, pigeonhole chunks, and the hamming
+    # refine from the same integer recurrences — upgrading the SimHash
+    # family from rows-only to oracle-verified end-to-end.
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.simhash_near_duplicates(
+        docs, "doc_id", "text",
+        max_hamming=_SH_MAXHAM, n_bits=_SH_BITS, portable=True,
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Consolidated correctness-window queries. The driver records correctness
 # for a fixed-size prefix of the registry (50 entries in round 1), so
@@ -2454,7 +2598,6 @@ CORRECTNESS_WINDOW = [
     "j5_fact_by_country",
     "j7_enrich_with_fallback",
     "ja_orphan_anti_join",
-    "js_semi_active_customers",
     "a45_global_summary",
     "a6_growth_by_year_priority",
     "a8_ratio_of_sums_by_type",
@@ -2468,7 +2611,6 @@ CORRECTNESS_WINDOW = [
     "w_sessionize",
     "w_moving_avg_7d",
     "o1_top10_customers",
-    "o5_distinct_years_sorted",
     "u1_union_two_sources",
     "u34_set_ops",
     "r2_unpivot_year_matrix",
@@ -2481,6 +2623,8 @@ CORRECTNESS_WINDOW = [
     "sql_surface_weekly_top",
     "x_dedup_exact",
     "x_dedup_token_jaccard",
+    "x_dedup_minhash_poly",
+    "x_dedup_simhash_poly",
     "x_dedup_clusters",
     "x_dedup_embedding_cosine",
     "x_asof_join_last_signup",
