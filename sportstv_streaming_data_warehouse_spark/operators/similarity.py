@@ -380,17 +380,29 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    portable: bool = False,
 ) -> DataFrame:
     """ANN top-k: L hash tables of random-hyperplane buckets.
 
     Candidates = union over tables of equi-join on (table, bucket);
     each candidate scored exactly, then per-query top-k. At 100 TB the
     corpus side is hash-partitioned by bucket — no crossJoin anywhere.
+
+    ``portable=True`` draws the hyperplanes from the LCG family
+    (``lcg_plane``) and emits the RAW cosine (no display rounding), so a
+    SQL oracle regenerates the identical result (plans/catalog.py
+    x_knn_lsh_poly); the gaussian-plane variant stays the default.
     """
     corpus = _ensure_parallelism(corpus)
     tables = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
+        if portable:
+            planes = [
+                lcg_plane(dim, seed + (t * n_planes + i) * dim)
+                for i in range(n_planes)
+            ]
+        else:
+            planes = _hyperplanes(dim, n_planes, seed + t)
         c = corpus.select(
             F.lit(t).alias("tbl"),
             F.col(id_col).alias("neighbor_id"),
@@ -417,13 +429,13 @@ def lsh_bucketed_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    # raw doubles in portable mode — display rounding would break the
+    # oracle hash (Spark and DuckDB round .xx5 boundaries differently)
+    sim_out = (
+        F.col("cosine_sim") if portable else F.round("cosine_sim", 4)
+    ).alias("cosine_sim")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            "neighbor_id",
-            "rank",
-            F.round("cosine_sim", 4).alias("cosine_sim"),
-        )
+        .select(query_id_col, "neighbor_id", "rank", sim_out)
     )

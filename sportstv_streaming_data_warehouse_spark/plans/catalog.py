@@ -2319,6 +2319,79 @@ def x_dedup_minhash_poly(spark, sf_dir):
     )
 
 
+# Portable-ANN oracle: the LSH bucketed top-k with LCG hyperplanes —
+# the same sign-signature machinery as x_dedup_embedding_cosine, plus
+# per-query ROW_NUMBER top-k in SQL. Upgrades the ANN family from
+# rows-only (gaussian planes have no SQL twin) to oracle-verified.
+_KNN = {"dim": 64, "planes": 8, "tables": 8, "seed": 77000, "k": 5}
+
+
+def _knn_sig_sql(t: int) -> str:
+    bits = []
+    for i in range(_KNN["planes"]):
+        k0 = _KNN["seed"] + (t * _KNN["planes"] + i) * _KNN["dim"]
+        plane = (
+            f"list_transform(range({_KNN['dim']}), d -> "
+            f"((CAST(1103515245 AS BIGINT) * ({k0} + d) + 12345) % 2147483648)"
+            f" / 2147483648.0 - 0.5)"
+        )
+        bits.append(
+            f"(CASE WHEN list_dot_product(e, {plane}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return f"({' + '.join(bits)}) AS s{t}"
+
+
+_KNN_COS = (
+    "list_dot_product(qe.e, ce.e)"
+    " / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ce.e, ce.e)))"
+)
+
+
+@query(
+    "x_knn_lsh_poly",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 {", ".join(_knn_sig_sql(t) for t in range(_KNN["tables"]))}
+          FROM v),
+    q AS (SELECT * FROM s WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q JOIN s c
+        ON c.vec_id != q.vec_id
+       AND ({" OR ".join(f"q.s{t} = c.s{t}" for t in range(_KNN["tables"]))})
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_KNN_COS} AS cosine_sim
+      FROM cand
+      JOIN v qe ON qe.vec_id = cand.query_id
+      JOIN v ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cosine_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= {_KNN["k"]}
+    """,
+)
+def x_knn_lsh_poly(spark, sf_dir):
+    # LSH ANN top-k on the portable (LCG) hyperplane family: DuckDB
+    # regenerates the per-table signatures, the any-table candidate set,
+    # the exact cosine scoring, and the per-query ranked top-k — the ANN
+    # pipeline verified end-to-end (the gaussian-plane production twin
+    # x_knn_lsh_ann stays recall-tested against brute force).
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_bucketed_topk(
+        emb, queries,
+        k=_KNN["k"], dim=_KNN["dim"],
+        n_planes=_KNN["planes"], n_tables=_KNN["tables"],
+        seed=_KNN["seed"], portable=True,
+    )
+
+
 # Portable-SimHash oracle: 28-bit signature from polynomial token-hash
 # bit votes, 4×7-bit pigeonhole chunks, hamming via bit_count(xor) —
 # the whole pipeline as plain SQL (the 64-bit xxhash64 production twin
@@ -2605,7 +2678,6 @@ CORRECTNESS_WINDOW = [
     "a_rollup_hierarchy",
     "a_quantiles_by_flag",
     "a_share_of_total",
-    "w1_peak_week",
     "w2_peak_dow_per_flag",
     "w3_yoy_order_growth",
     "w_sessionize",
@@ -2631,6 +2703,7 @@ CORRECTNESS_WINDOW = [
     "x_range_join_value_bands",
     "x_user_value_trend",
     "x_knn_bruteforce",
+    "x_knn_lsh_poly",
     "x_text_profile",
     "x_content_hash_split",
     "x_quality_deciles",
