@@ -311,9 +311,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    portable: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into centroid cells, probe
     only the n_probe nearest cells per query.
+
+    Deterministic end-to-end (stride-sampled centroids, tie-broken
+    argmax) — ``portable=True`` merely emits the RAW cosine instead of
+    the display-rounded one so the DuckDB oracle can hash-match.
 
     Centroids are a deterministic sample of corpus vectors (every n-th by
     id — kmeans would tighten cells but sampling keeps the operator
@@ -359,13 +364,13 @@ def ivf_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    sim_out = (
+        F.col("cosine_sim") if portable else F.round("cosine_sim", 4)
+    ).alias("cosine_sim")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            query_id_col, "neighbor_id", "rank",
-            F.round("cosine_sim", 4).alias("cosine_sim"),
-        )
+        .select(query_id_col, "neighbor_id", "rank", sim_out)
     )
 
 

@@ -1450,13 +1450,54 @@ def x_knn_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5)
 
 
-@query("x_knn_ivf_ann")  # no SQL oracle: IVF recall measured in tests
+_IVF_ASSIGN = """
+      SELECT v.vec_id, v.e, cent.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.e, cent.ce) DESC,
+                                         cent.centroid_id) AS rn
+      FROM v, cent {flt}
+"""
+
+
+@query(
+    "x_knn_ivf_ann",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    st AS (SELECT GREATEST(COUNT(*) // 32, 1) AS step FROM v),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce
+             FROM v, st WHERE vec_id % step = 0
+             ORDER BY vec_id LIMIT 32),
+    ca AS (SELECT vec_id AS neighbor_id, e, centroid_id
+           FROM ({_IVF_ASSIGN.format(flt="")}) WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, e, centroid_id
+           FROM ({_IVF_ASSIGN.format(flt="WHERE v.vec_id < 10")}) WHERE rn <= 8),
+    scored AS (
+      SELECT qa.query_id, ca.neighbor_id,
+             list_dot_product(qa.e, ca.e)
+               / (sqrt(list_dot_product(qa.e, qa.e)) * sqrt(list_dot_product(ca.e, ca.e)))
+               AS cosine_sim
+      FROM qa JOIN ca USING (centroid_id)
+      WHERE ca.neighbor_id != qa.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank,
+           cosine_sim
+    FROM scored QUALIFY rank <= 5
+    """,
+)
 def x_knn_ivf_ann(spark, sf_dir):
-    # IVF cell-probe ANN — the second scale path besides LSH; recall
-    # bounded against brute force in tests/test_similarity_recall.py.
+    # IVF cell-probe ANN — the second scale path besides LSH. The whole
+    # pipeline is deterministic (stride-sampled centroids, tie-broken
+    # argmax assignment), so the oracle replays it in SQL end-to-end;
+    # recall additionally bounded against brute force in
+    # tests/test_similarity_recall.py.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+    return S.ivf_topk(
+        emb, queries, k=5, n_centroids=32, n_probe=8, portable=True
+    )
 
 
 @query("x_knn_lsh_ann")  # no SQL oracle: LSH recall measured in tests
