@@ -98,6 +98,62 @@ def with_global_row_number(
     return ranked.withColumnRenamed("__rn", out_col).drop("__bkt")
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact distributed prefix sum: SUM(value) OVER (ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING) with no single-partition window.
+
+    Same two-phase shape as the ranking: range-bucket on the leading
+    order column, per-bucket value sums fold into literal offsets, and a
+    distributed within-bucket running sum adds the bucket offset. The
+    primitive behind deterministic shard packing (catalog
+    x_pack_shards), running quotas, and cumulative-distribution cuts.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    key = F.col(order_cols[0]).cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
+    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
+
+    bucketed = df.withColumn("__bkt", _bucket(key, bounds))
+    sums = {
+        r["__bkt"]: r["s"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    df.unpersist()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__bkt"),
+        )
+    else:
+        off = F.lit(0)
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.withColumn(
+        out_col, (F.sum(value_col).over(w) + off).cast("long")
+    ).drop("__bkt")
+
+
 def distributed_ntile(
     df: DataFrame,
     n_tiles: int,

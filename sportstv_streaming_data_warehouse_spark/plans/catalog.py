@@ -2500,6 +2500,96 @@ def x_dedup_simhash_poly(spark, sf_dir):
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+@query(
+    "x_pack_shards",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_Q_NTOK} AS n_tokens FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM t
+    )
+    SELECT CAST(prefix // 1000 AS BIGINT) AS shard,
+           COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM p GROUP BY 1
+    """,
+)
+def x_pack_shards(spark, sf_dir):
+    # Deterministic shard packing for training-data layout: docs in
+    # doc_id order fill ~1000-token shards; a doc lands in the shard
+    # where its EXCLUSIVE token prefix-sum falls. The prefix sum runs on
+    # the distributed two-phase operator (operators/ranking.py) — no
+    # single-partition window — while the oracle is the plain SQL
+    # running sum.
+    from ..operators.ranking import with_running_total
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    p = with_running_total(t, ["doc_id"], "n_tokens", out_col="__run")
+    return (
+        p.withColumn(
+            "shard", F.floor((F.col("__run") - F.col("n_tokens")) / 1000).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "x_repetition_filter",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS gram
+      FROM d, (SELECT CAST(generate_series AS INT) AS i
+               FROM generate_series(1, 10000)) g
+      WHERE g.i <= len(toks) - 1
+    ),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, MAX(c) AS max_gram_n, CAST(SUM(c) AS BIGINT) AS total_grams
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, max_gram_n, total_grams,
+           max_gram_n / CAST(total_grams AS DOUBLE) AS rep_ratio
+    FROM per_doc
+    WHERE max_gram_n / CAST(total_grams AS DOUBLE) >= 0.1
+    """,
+)
+def x_repetition_filter(spark, sf_dir):
+    # Gopher-style repetition screen: documents whose single most
+    # frequent word bigram accounts for >= 10% of all bigrams — the
+    # boilerplate/spam signal pre-training filters drop. One explode +
+    # two hash-aggs, scan-speed.
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), n=2, distinct=False)).alias("gram"),
+    )
+    per_doc = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_gram_n"),
+            F.sum("c").cast("long").alias("total_grams"),
+        )
+    )
+    return per_doc.withColumn(
+        "rep_ratio", F.col("max_gram_n") / F.col("total_grams")
+    ).filter(F.col("rep_ratio") >= 0.1)
+
+
 # ---------------------------------------------------------------------------
 # Consolidated correctness-window queries. The driver records correctness
 # for a fixed-size prefix of the registry (50 entries in round 1), so

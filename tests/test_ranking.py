@@ -60,3 +60,23 @@ def test_quality_deciles_plan_has_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_running_total_matches_global_window(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        with_running_total,
+    )
+
+    df = _df(spark).withColumn("v", (F.col("id") % 13) + 1)
+    got = {
+        r["id"]: r["rt"]
+        for r in with_running_total(df, ["score", "id"], "v", out_col="rt").collect()
+    }
+    w = (
+        Window.orderBy("score", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want
