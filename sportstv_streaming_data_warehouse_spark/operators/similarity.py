@@ -219,8 +219,17 @@ def banded_cosine_pairs(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via sign-LSH banding + exact refine.
+
+    ``max_bucket_size`` skips (band, signature) buckets larger than the
+    cap — the quadratic-blowup guard for dup-heavy corpora, analogous to
+    token-Jaccard's ``max_token_docs``: an oversized bucket is a
+    low-information hash collision whose pair explosion costs n² while
+    its members almost always still co-occur in another, smaller bucket.
+    None (the default, used by the oracle-matched catalog query) keeps
+    every bucket.
 
     Candidate pairs are rows agreeing on at least one band signature
     (equi-join on (band, signature) — work scales with bucket occupancy,
@@ -256,6 +265,8 @@ def banded_cosine_pairs(
         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
