@@ -71,6 +71,10 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 3)
 
     total = round(sum(per_query.values()), 3)
+    # round-1 ran these 16; keep a directly comparable subtotal now that
+    # the headline set has grown
+    r1_set = HEADLINE[:16]
+    r1_total = round(sum(per_query[n] for n in r1_set), 3)
     # records/s of the ETL-analog rollup, comparable to BASELINE.md's
     # ~23K rows/s reference throughput
     from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
@@ -87,6 +91,7 @@ def main() -> None:
         "rollup_input_rows": n_rows,
         "iters": iters,
         "stat": "median",
+        "round1_comparable_total": r1_total,
     }
     print(json.dumps(record))
     spark.stop()

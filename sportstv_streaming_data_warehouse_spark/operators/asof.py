@@ -16,7 +16,7 @@ DuckDB's native ASOF JOIN is the oracle (plans/catalog.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -23,11 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..functions.calendar import (
-    date_spine,
-    date_spine_from_bounds,
-    with_calendar_keys,
-)
+from ..functions.calendar import date_spine_from_bounds, with_calendar_keys
 from ..functions.inference import infer_with_precedence
 from ..functions import text as T
 from ..operators import dedup as D
