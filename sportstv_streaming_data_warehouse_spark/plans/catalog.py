@@ -2682,6 +2682,36 @@ def h_monthly_from_daily(spark, sf_dir):
     )
 
 
+@query(
+    "x_salted_skew_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x_salted_skew_rollup(spark, sf_dir):
+    # Skew-mitigated aggregation through the driver gate: the two-phase
+    # salted rollup (operators/skew.py — hot keys spread across n_salts
+    # tasks, then n_salts partials reduce per key) must be value-identical
+    # to the plain GROUP BY the oracle runs. The summed column is decimal
+    # so the two-phase re-sum is exact and associative.
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast(DecimalType(18, 2))
+    )
+    out = salted_aggregate(
+        li, ["l_returnflag"], ["qty_dec"], salt_from="l_orderkey", n_salts=16
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consolidated correctness-window queries. The driver records correctness
 # for a fixed-size prefix of the registry (50 entries in round 1), so
