@@ -101,3 +101,92 @@ def test_token_jaccard_matches_python_sets(spark, texts):
             else:
                 expected = inter / len(a | b)
                 assert abs(got[(i, j)] - expected) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)),
+        min_size=0, max_size=120,
+    ),
+    k=st.integers(2, 12),
+)
+def test_distributed_ranking_properties(spark, vals, k):
+    """NTILE closed form + prefix sum vs the single-partition window, on
+    arbitrary duplicate-heavy data (hypothesis drives sizes, tie
+    patterns, and tile counts — incl. n < k and empty input)."""
+    from pyspark.sql import Window
+
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        distributed_ntile,
+        with_running_total,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(s), v) for i, (s, v) in enumerate(vals)],
+        "id long, score double, v long",
+    )
+    got_t = {
+        r["id"]: r["tile"]
+        for r in distributed_ntile(df, k, ["score", "id"]).collect()
+    }
+    got_rt = {
+        r["id"]: r["rt"]
+        for r in with_running_total(df, ["score", "id"], "v", out_col="rt").collect()
+    }
+    w = Window.orderBy("score", "id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["id"]: (r["t"], r["rt"])
+        for r in df.withColumn("t", F.ntile(k).over(w))
+        .withColumn("rt", F.sum("v").over(run))
+        .collect()
+    }
+    assert got_t == {i: t for i, (t, _) in want.items()}
+    assert got_rt == {i: rt for i, (_, rt) in want.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    rights=st.lists(
+        st.tuples(st.integers(0, 1000), st.one_of(st.none(), st.integers(0, 99))),
+        min_size=0, max_size=40,
+        unique_by=lambda t: t[0],  # equal right ts would make the
+        # tie winner unspecified in BOTH the operator and this reference
+    ),
+)
+def test_asof_join_matches_reference_scan(spark, lefts, rights):
+    """As-of join vs a brute-force Python reference: for every left ts,
+    the latest right row at-or-before it — whole row, NULLs included."""
+    import datetime as _dt
+
+    from sportstv_streaming_data_warehouse_spark.operators.asof import asof_join
+
+    base = _dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, base + _dt.timedelta(seconds=s)) for i, s in enumerate(lefts)],
+        "id long, ts timestamp",
+    ).withColumn("k", F.lit(1))
+    rdf = spark.createDataFrame(
+        [(base + _dt.timedelta(seconds=s), v) for s, v in rights],
+        "ts timestamp, val long",
+    ).withColumn("k", F.lit(1))
+
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", value_cols=["val"]
+        ).collect()
+    }
+    rs = sorted(
+        ((base + _dt.timedelta(seconds=s), v) for s, v in rights),
+        key=lambda t: t[0],
+    )
+    for i, s in enumerate(lefts):
+        lt = base + _dt.timedelta(seconds=s)
+        match = None
+        for ts, v in rs:
+            if ts <= lt:
+                match = (ts, v)
+        assert got[i] == (match if match else (None, None)), (i, s)
