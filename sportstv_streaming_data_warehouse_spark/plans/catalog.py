@@ -2712,6 +2712,60 @@ def x_salted_skew_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "x_cdc_fact_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 2000 GROUP BY 1
+    ),
+    n AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS order_count,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM orders WHERE YEAR(CAST(o_orderdate AS DATE)) = 2001 GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+             o.order_count AS old_order_count, o.total_value AS old_total_value,
+             n.order_count AS new_order_count, n.total_value AS new_total_value,
+             CASE WHEN o.custkey IS NULL THEN 'inserted'
+                  WHEN n.custkey IS NULL THEN 'deleted'
+                  WHEN (o.order_count IS DISTINCT FROM n.order_count)
+                    OR (o.total_value IS DISTINCT FROM n.total_value)
+                  THEN 'updated' END AS change_type
+      FROM o FULL OUTER JOIN n ON o.custkey = n.custkey
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def x_cdc_fact_diff(spark, sf_dir):
+    # CDC between two fact versions (plans/cdc.py): per-customer 2000 vs
+    # 2001 rollups classified inserted / deleted / updated via one
+    # full-outer join with null-safe comparison — the publish-the-delta
+    # primitive after incremental maintenance. Oracle replays the diff
+    # with IS DISTINCT FROM semantics.
+    from .cdc import diff_facts
+
+    od = load_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year(F.to_date("o_orderdate"))
+    )
+
+    def version(y):
+        return (
+            od.filter(F.col("year") == y)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count("*").alias("order_count"),
+                _dsum("o_totalprice").alias("total_value"),
+            )
+        )
+
+    return diff_facts(
+        version(2000), version(2001),
+        keys=["custkey"], compare_cols=["order_count", "total_value"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consolidated correctness-window queries. The driver records correctness
 # for a fixed-size prefix of the registry (50 entries in round 1), so
