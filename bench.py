@@ -7,10 +7,16 @@ Reference baseline (BASELINE.md): ~51 s end-to-end ETL over 1.18M rows
 closest fixture; `flagship_daily_rollup` and `star_fact_events` are the
 ETL analogs, the rest are the analytics catalog.
 
-Each query runs $SPARK_GRAFT_BENCH_ITERS times (default 3) and reports
-the MEDIAN — shared-box noise is ±30%, bigger than most regressions —
-and every run appends its full record to BENCH_history.jsonl so
-rounds can be diffed median-to-median.
+Each query runs a DISCARDED warm-up iteration followed by
+$SPARK_GRAFT_BENCH_ITERS timed iterations (default 3; heavier queries
+get more, see EXTRA_ITERS) and reports the MEDIAN — shared-box noise is
+±30%, bigger than most regressions. Per-query MIN is also reported, and
+any query whose max/min spread exceeds OUTLIER_SPREAD (3x) is listed in
+`outliers` so a contaminated sample window is visible instead of
+silently recorded (round-2 verdict: a 20.7 s decile sample that
+re-measured at 1.8 s steady-state dominated the headline total). Every
+run appends its full record to BENCH_history.jsonl so rounds can be
+diffed median-to-median.
 """
 
 from __future__ import annotations
@@ -45,6 +51,12 @@ HEADLINE = [
     "x_quality_deciles",       # extended: distributed NTILE (r2 rewrite)
 ]
 
+# Queries whose history shows multi-second shared-box variance get more
+# timed iterations so one slow process window cannot set the median.
+EXTRA_ITERS = {"x_quality_deciles": 5, "x_dedup_embedding_cosine": 5}
+# max/min spread beyond which a query's sample is flagged as contaminated
+OUTLIER_SPREAD = 3.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,14 +73,24 @@ def main() -> None:
     QUERIES["x_dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
 
     per_query: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
+    outliers: dict[str, float] = {}
     for name in HEADLINE:
+        # discarded warm-up: absorbs plan compilation + page-cache faults
+        QUERIES[name](spark, sf_dir).count()
         times = []
-        for _ in range(iters):
+        for _ in range(max(iters, EXTRA_ITERS.get(name, 0))):
             t0 = time.perf_counter()
             # count() fully executes the plan w/o driver-side row transfer
             QUERIES[name](spark, sf_dir).count()
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 3)
+        per_query_min[name] = round(min(times), 3)
+        spread = max(times) / min(times)
+        if spread > OUTLIER_SPREAD:
+            # fail-loud: record the spread so a contaminated window is
+            # visible in the JSON rather than silently folded into total
+            outliers[name] = round(spread, 2)
 
     total = round(sum(per_query.values()), 3)
     # round-1 ran these 16; keep a directly comparable subtotal now that
@@ -91,6 +113,10 @@ def main() -> None:
         "rollup_input_rows": n_rows,
         "iters": iters,
         "stat": "median",
+        "queries_min": per_query_min,
+        "min_total": round(sum(per_query_min.values()), 3),
+        "outlier_spread_threshold": OUTLIER_SPREAD,
+        "outliers": outliers,
         "round1_comparable_total": r1_total,
     }
     print(json.dumps(record))

@@ -39,18 +39,25 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the session's parallelism when under-partitioned; at real scale the
     source already has many files and this is a no-op.
 
-    Uses ``inputFiles()`` (catalog metadata) rather than
-    ``df.rdd.getNumPartitions()`` — touching .rdd forces the
-    DataFrame→RDD conversion on every call. Non-file inputs (in-memory
-    test frames) count as under-partitioned."""
+    Fast path: ``inputFiles()`` (catalog metadata, no plan execution) —
+    enough files means enough splits. Only when that is inconclusive
+    (non-file-backed input, e.g. an in-memory frame or a mid-pipeline
+    shuffle, or fewer files than cores — large files may still split)
+    does it consult ``df.rdd.getNumPartitions()``, so a DataFrame that is
+    already well-partitioned is never hit with a redundant extra
+    Exchange (round-2 ADVICE finding)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+    if n_files >= target:
+        return df
+    # inconclusive: ask the physical plan (small inputs only, so the
+    # DataFrame→RDD conversion cost is bounded)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:

@@ -20,20 +20,143 @@ The result is identical to ``ROW_NUMBER() / NTILE(k) OVER (ORDER BY ...)``
 (the DuckDB oracle for x_quality_deciles runs exactly that) while every
 task holds one bucket's rows instead of everything. Ties must be broken
 by the caller's order_cols (include a unique key).
+
+Bucket-key constraint: bucket assignment must be MONOTONE with the
+window's native ordering of the leading sort column, so the leading
+column must be numeric, date, or timestamp (dates/timestamps are mapped
+to epoch seconds, which preserves their ordering). A string leading
+column is rejected — '10' < '9' lexically but 10.0 > 9.0 numerically,
+so a numeric bucket key would silently corrupt global ranks.
+
+Caching: the input feeds one boundary pass, one count pass, and the
+returned plan. It is persisted once and KEPT persisted so the caller's
+final action reads the cache instead of recomputing the (possibly
+expensive — e.g. quality-score regexes) projection from source; the
+next ranking call unpersists the previous call's cache (LRU-1), and
+``unpersist_ranking_cache()`` releases it eagerly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+# The one live persisted stats-projection from the most recent ranking
+# call. Kept warm so the caller's final action over the returned plan hits
+# the cache (the round-2 cold-start: bounds pass computed the projection,
+# then the final job recomputed it from source after an eager unpersist).
+_LIVE_CACHE: list[DataFrame] = []
 
 
-def _bucket(key: Column, bounds: list[float]) -> Column:
-    """Index of the range bucket = number of boundaries <= key."""
-    if not bounds:
-        return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.size(F.filter(arr, lambda b: b <= key))
+def unpersist_ranking_cache() -> None:
+    """Release the persisted projection kept warm for the last ranking
+    call's final action. Safe to call any time; the returned plans
+    recompute from source afterwards."""
+    while _LIVE_CACHE:
+        _LIVE_CACHE.pop().unpersist()
+
+
+def _retain(df: DataFrame) -> None:
+    unpersist_ranking_cache()
+    _LIVE_CACHE.append(df)
+
+
+_NUMERIC = (
+    ST.ByteType,
+    ST.ShortType,
+    ST.IntegerType,
+    ST.LongType,
+    ST.FloatType,
+    ST.DoubleType,
+    ST.DecimalType,
+)
+
+
+def _bucket_key(df: DataFrame, col_name: str) -> Column:
+    """A double-valued key whose order matches the column's NATIVE sort
+    order (bucket assignment must be monotone with the window ordering).
+
+    Numeric columns cast directly; date/timestamp map to epoch seconds
+    (order-preserving). Anything else (strings, binary, complex) raises:
+    lexicographic order has no monotone numeric surrogate, and a silent
+    double-cast would corrupt ranks (round-2 ADVICE finding).
+    """
+    dtype = df.schema[col_name].dataType
+    col = F.col(col_name)
+    if isinstance(dtype, _NUMERIC):
+        return col.cast("double")
+    if isinstance(dtype, ST.DateType):
+        return col.cast("timestamp").cast("double")
+    if isinstance(dtype, ST.TimestampType):
+        return col.cast("double")
+    raise ValueError(
+        f"ranking bucket key '{col_name}' has type {dtype.simpleString()}; "
+        "the leading order column must be numeric, date, or timestamp so "
+        "range-bucket assignment is monotone with the sort order. Sort by "
+        "a numeric surrogate first, or move the non-numeric column out of "
+        "the leading position."
+    )
+
+
+def _stats(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    accuracy: int,
+    agg: Column,
+) -> tuple[DataFrame, dict[int, object]]:
+    """Shared two-phase stats: persist the (narrow) input, fetch approx
+    boundaries for the leading column, and per-bucket values of ``agg``.
+
+    Returns (bucketed_df, {bucket: agg_value}). Driver traffic is
+    ~n_buckets scalars. The persist stays live (see module docstring) so
+    the plan built on bucketed_df reads the cache in the final action.
+
+    The throwaway ``__cache_tag`` literal makes each call's logical plan
+    unique: Spark's CacheManager matches cache entries BY PLAN, so
+    re-persisting the identical plan while the previous call's entry is
+    being dropped degrades pathologically (measured 19 s vs 0.5 s for
+    the deciles stats pass at sf0.1). A distinct literal per call keeps
+    every persist/unpersist pair independent.
+    """
+    import uuid
+
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.withColumn("__cache_tag", F.lit(uuid.uuid4().hex)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _retain(df)
+    key = _bucket_key(df, order_cols[0])
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
+    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
+
+    arr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else None
+    # bucket index = number of boundaries <= key
+    bkt = F.size(F.filter(arr, lambda b: b <= key)) if bounds else F.lit(0)
+    bucketed = df.withColumn("__bkt", bkt)
+    per_bucket = {
+        r["__bkt"]: r["v"]
+        for r in bucketed.groupBy("__bkt").agg(agg.alias("v")).collect()
+    }
+    return bucketed.drop("__cache_tag"), per_bucket
+
+
+def _offsets_col(per_bucket: dict[int, object], zero) -> Column:
+    """Exclusive prefix over per-bucket values as a literal lookup column."""
+    offsets = {}
+    acc = zero
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b] or zero
+    if not offsets:
+        return F.lit(zero)
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__bkt"),
+    )
 
 
 def _ranked(
@@ -43,42 +166,9 @@ def _ranked(
     accuracy: int,
 ) -> tuple[DataFrame, int]:
     """df + __rn (exact 1-based global rank over order_cols), total count."""
-    # the input feeds the boundary pass, the count pass, and the returned
-    # plan — persist it for the two eager stats passes (callers pass a
-    # narrow projection; e.g. x_quality_deciles' (doc_id, quality) avoids
-    # re-running the quality regexes per pass), then unpersist so repeated
-    # operator calls don't accumulate cache entries. The returned plan
-    # recomputes one scan from source.
-    from pyspark.storagelevel import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    key = F.col(order_cols[0]).cast("double")
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
-    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
-
-    bucketed = df.withColumn("__bkt", _bucket(key, bounds))
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect()
-    }
-    df.unpersist()
+    bucketed, counts = _stats(df, order_cols, n_buckets, accuracy, F.count("*"))
     total = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    if offsets:
-        off = F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv]
-            ),
-            F.col("__bkt"),
-        )
-    else:
-        off = F.lit(0)
-
+    off = _offsets_col(counts, 0)
     w = Window.partitionBy("__bkt").orderBy(*order_cols)
     ranked = bucketed.withColumn(
         "__rn", (F.row_number().over(w) + off).cast("long")
@@ -114,43 +204,33 @@ def with_running_total(
     distributed within-bucket running sum adds the bucket offset. The
     primitive behind deterministic shard packing (catalog
     x_pack_shards), running quotas, and cumulative-distribution cuts.
+
+    The output column keeps SUM(value_col)'s type (long for integral
+    inputs, double for floating, decimal for decimal) — fractional
+    running totals are not truncated (round-2 ADVICE finding).
     """
-    from pyspark.storagelevel import StorageLevel
+    bucketed, sums = _stats(
+        df, order_cols, n_buckets, accuracy, F.sum(value_col)
+    )
+    sum_type = (
+        bucketed.groupBy("__bkt").agg(F.sum(value_col).alias("v")).schema["v"].dataType
+    )
+    if isinstance(sum_type, (ST.DoubleType, ST.FloatType)):
+        zero: object = 0.0
+    elif isinstance(sum_type, ST.DecimalType):
+        from decimal import Decimal
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    key = F.col(order_cols[0]).cast("double")
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
-    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
-
-    bucketed = df.withColumn("__bkt", _bucket(key, bounds))
-    sums = {
-        r["__bkt"]: r["s"]
-        for r in bucketed.groupBy("__bkt")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    df.unpersist()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(sums):
-        offsets[b] = acc
-        acc += sums[b] or 0
-    if offsets:
-        off = F.element_at(
-            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("__bkt"),
-        )
+        zero = Decimal(0)
     else:
-        off = F.lit(0)
-
+        zero = 0
+    off = _offsets_col(sums, zero).cast(sum_type)
     w = (
         Window.partitionBy("__bkt")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return bucketed.withColumn(
-        out_col, (F.sum(value_col).over(w) + off).cast("long")
+        out_col, (F.sum(value_col).over(w) + off).cast(sum_type)
     ).drop("__bkt")
 
 

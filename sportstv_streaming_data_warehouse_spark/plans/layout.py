@@ -84,27 +84,49 @@ def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int
     Returns the new file count. Reads once, coalesces (no shuffle),
     writes to a staging dir, swaps. The streaming-sink counterpart of
     Delta's OPTIMIZE.
+
+    Crash-safe: starts with the same recovery preamble as
+    streaming.ingest._merge_batch — if a prior run died mid-swap, the
+    dataset dir is restored from the complete staging copy (_SUCCESS
+    present) or the retired copy before compacting. The rename-aside swap
+    itself never deletes the only copy.
+
+    Local-filesystem paths only (os.rename / shutil semantics). On an
+    object store, compaction belongs to the table format (Delta OPTIMIZE,
+    Iceberg rewrite_data_files) — this is the sandbox stand-in.
     """
     import glob
     import math
     import os
     import shutil
 
-    files = glob.glob(f"{path}/*.parquet")
+    base = path.rstrip("/")
+    staging = base + "__compacting"
+    retired = base + "__old"
+    # Recovery preamble: a crash between the two renames below leaves the
+    # dataset dir absent — restore from whichever complete copy exists.
+    if not os.path.isdir(base):
+        if os.path.isdir(staging) and os.path.exists(
+            os.path.join(staging, "_SUCCESS")
+        ):
+            os.rename(staging, base)
+        elif os.path.isdir(retired):
+            os.rename(retired, base)
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    files = glob.glob(f"{base}/*.parquet")
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     if n_out >= len(files):
         return len(files)  # nothing to gain
 
-    df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "__compacting"
-    retired = path.rstrip("/") + "__old"
+    df = spark.read.parquet(base)
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)
     # Rename-aside swap: the dataset dir is never the only copy being
-    # deleted, so a crash leaves either the original (roll back by hand:
-    # retired dir intact) or the complete compacted staging.
+    # deleted; a crash at any point leaves a complete staging or retired
+    # copy that the preamble above restores on the next call.
+    os.rename(base, retired)
+    os.rename(staging, base)
     shutil.rmtree(retired, ignore_errors=True)
-    os.rename(path, retired)
-    os.rename(staging, path)
-    shutil.rmtree(retired, ignore_errors=True)
-    return len(glob.glob(f"{path}/*.parquet"))
+    return len(glob.glob(f"{base}/*.parquet"))

@@ -91,6 +91,9 @@ def _merge_batch(batch: DataFrame, out_path: str) -> None:
     The merged result is written distributed to a staging dir and swapped
     in atomically — never collected to the driver. In production this
     whole function is one Delta ``MERGE INTO``.
+
+    Local-filesystem paths only (os.rename / shutil swap semantics); on
+    an object store, use the table-format MERGE this stands in for.
     """
     import os
     import shutil

@@ -8,7 +8,10 @@ import duckdb
 from sportstv_streaming_data_warehouse_spark.operators.similarity import (
     banded_cosine_pairs,
 )
-from sportstv_streaming_data_warehouse_spark.plans.catalog import _EC, _ec_sig_sql
+from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+    _EC,
+    _ec_capped_oracle,
+)
 from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
 
 from .conftest import SF01
@@ -17,38 +20,9 @@ CAP = 15
 
 
 def _capped_oracle() -> str:
-    n_bands = _EC["n_bands"]
-    sigs = ", ".join(_ec_sig_sql(b) for b in range(n_bands))
-    unions = "\n      UNION ALL ".join(
-        f"SELECT vec_id, e, {b} AS band, s{b} AS sig FROM s"
-        for b in range(n_bands)
-    )
-    cos = (
-        "list_dot_product(a.e, b.e)"
-        " / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"
-    )
-    return f"""
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings),
-    s AS (SELECT vec_id, e, {sigs} FROM v),
-    u AS ({unions}),
-    cnt AS (SELECT band, sig, COUNT(*) AS c FROM u GROUP BY 1, 2),
-    ok AS (SELECT u.* FROM u JOIN cnt USING (band, sig)
-           WHERE cnt.c > 1 AND cnt.c <= {CAP}),
-    pairs AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ae, b.e AS be
-      FROM ok a JOIN ok b
-        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b,
-           list_dot_product(ae, be)
-             / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))
-             AS cosine_sim
-    FROM pairs
-    WHERE list_dot_product(ae, be)
-            / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))
-          >= {_EC["tau"]}
-    """
+    # same builder the catalog's driver-verified query uses (cap=_EC["cap"],
+    # inactive on the fixtures) — here with a cap that actually bites
+    return _ec_capped_oracle(CAP)
 
 
 def test_capped_banded_pairs_match_capped_oracle(spark):

@@ -2,11 +2,17 @@
 fixed-size prefix of queries(), so that prefix must be exactly the
 curated window — every entry oracle-backed — with rows-only checks last."""
 
+import json
+import pathlib
+
 from sportstv_streaming_data_warehouse_spark.plans.catalog import (
     CORRECTNESS_WINDOW,
+    DRIVER_GREEN_ROUNDS,
     all_oracles,
     all_queries,
 )
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def test_window_is_the_registry_prefix():
@@ -33,3 +39,49 @@ def test_rows_only_queries_come_last():
 
 def test_window_size_matches_driver_budget():
     assert len(CORRECTNESS_WINDOW) == 50
+
+
+def test_driver_ledger_matches_correctness_files():
+    """DRIVER_GREEN_ROUNDS must exactly reflect the recorded
+    CORRECTNESS_r{N}.json files present in the repo root (full pass =
+    rows + schema + hash, no error)."""
+    truth: dict[str, list[int]] = {}
+    for rnd in range(1, 21):
+        path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        data = json.loads(path.read_text())
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                truth.setdefault(name, []).append(rnd)
+    # The ledger is written BEFORE the round-3 driver run, so ignore rounds
+    # recorded after the rounds the ledger knows about.
+    known = {r for rounds in DRIVER_GREEN_ROUNDS.values() for r in rounds}
+    for name, rounds in truth.items():
+        rounds = [r for r in rounds if r in known]
+        if rounds:
+            assert DRIVER_GREEN_ROUNDS.get(name) == rounds, (
+                f"{name}: ledger {DRIVER_GREEN_ROUNDS.get(name)} != recorded {rounds}"
+            )
+    for name, rounds in DRIVER_GREEN_ROUNDS.items():
+        recorded = [r for r in truth.get(name, []) if r in known]
+        assert recorded == rounds, (
+            f"{name}: ledger {rounds} has no matching recorded rows {recorded}"
+        )
+
+
+def test_cumulative_driver_coverage_complete():
+    """Every oracle-backed query has either already earned a driver-green
+    row (ledger) or sits in the current window (pending this round's run):
+    cumulative coverage after this round is all oracle-backed queries."""
+    oracles = set(all_oracles())
+    covered = set(DRIVER_GREEN_ROUNDS) | set(CORRECTNESS_WINDOW)
+    uncovered = oracles - covered
+    assert not uncovered, f"oracle-backed queries never driver-scheduled: {uncovered}"
+    unknown = set(DRIVER_GREEN_ROUNDS) - set(all_queries())
+    assert not unknown, f"ledger names not in registry: {unknown}"

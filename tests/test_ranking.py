@@ -80,3 +80,53 @@ def test_running_total_matches_global_window(spark):
         r["id"]: r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_running_total_preserves_fractional_sums(spark):
+    """Double value column: running totals must not be truncated to long
+    (round-2 ADVICE finding — the old cast('long') dropped fractions)."""
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        with_running_total,
+    )
+
+    df = _df(spark, 101).withColumn(
+        "v", (F.col("id") % 7).cast("double") / F.lit(4.0)
+    )
+    out = with_running_total(df, ["score", "id"], "v", out_col="rt")
+    assert dict(out.dtypes)["rt"] == "double"
+    got = {r["id"]: r["rt"] for r in out.collect()}
+    w = (
+        Window.orderBy("score", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == pytest.approx(want)
+
+
+def test_string_leading_order_column_rejected(spark):
+    """Lexicographic order has no monotone numeric surrogate: '10' < '9'
+    lexically but 10.0 > 9.0 — bucketing on a double cast would silently
+    corrupt ranks, so the operator must refuse (round-2 ADVICE finding)."""
+    df = _df(spark, 50).withColumn("s", F.col("id").cast("string"))
+    with pytest.raises(ValueError, match="numeric, date, or timestamp"):
+        with_global_row_number(df, ["s", "id"]).collect()
+
+
+def test_date_leading_order_column_buckets_natively(spark):
+    """Date keys map to epoch seconds (order-preserving) instead of the
+    old cast('double') which nulled every date into one bucket."""
+    df = spark.range(400).select(
+        "id", F.date_add(F.lit("2020-01-01"), (F.col("id") % 97).cast("int")).alias("d")
+    )
+    got = {
+        r["id"]: r["row_num"]
+        for r in with_global_row_number(df, ["d", "id"]).collect()
+    }
+    w = Window.orderBy("d", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
