@@ -175,11 +175,11 @@ def incremental_update(
     refreshed = build_fact(
         all_txns_enriched.filter(F.year("streaming_date").isin(years))
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        refreshed.write.mode("overwrite").partitionBy("year").parquet(fact_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    # partition-grain MERGE through the shared seam (Delta replaceWhere
+    # shape): only the touched year partitions are rewritten
+    from .merge import replace_partitions
+
+    replace_partitions(refreshed, fact_path, ["year"])
 
 
 def validate_fact(fact: DataFrame, source_row_count: int, tolerance: int = 100) -> dict:

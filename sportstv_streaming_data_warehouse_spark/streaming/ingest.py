@@ -84,58 +84,22 @@ def daily_rollup_stream(stream: DataFrame, watermark: str = "2 days") -> DataFra
 
 
 def _merge_batch(batch: DataFrame, out_path: str) -> None:
-    """Idempotent key-merge into a parquet fact (Delta MERGE stand-in):
-    rows for grain keys present in the batch are replaced wholesale, so
-    replays converge to the same state.
+    """Idempotent key-merge into a parquet fact: rows for grain keys
+    present in the batch are replaced wholesale, so replays converge to
+    the same state — exactly ``MERGE INTO fact USING batch ON (day,
+    sport) WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+    *``, routed through the plans.merge seam (crash-safe rename-aside
+    swap today; a Delta/Iceberg backend is a drop-in there)."""
+    from ..plans.merge import merge_into
 
-    The merged result is written distributed to a staging dir and swapped
-    in atomically — never collected to the driver. In production this
-    whole function is one Delta ``MERGE INTO``.
-
-    Local-filesystem paths only (os.rename / shutil swap semantics); on
-    an object store, use the table-format MERGE this stands in for.
-    """
-    import os
-    import shutil
-
-    spark = batch.sparkSession
-    base = out_path.rstrip("/")
-    staging = base + "__staging"
-    retired = base + "__old"
-
-    # Crash recovery: the swap below is (write staging → rename base aside
-    # → rename staging in → drop retired), so the sink dir is never the
-    # only copy being deleted. A crash leaves either a complete staging
-    # (finish the swap — _SUCCESS marks a complete parquet job) or an
-    # intact retired copy (roll back); the replayed micro-batch then
-    # re-merges idempotently.
-    if not os.path.isdir(base):
-        if os.path.isdir(staging) and os.path.exists(
-            os.path.join(staging, "_SUCCESS")
-        ):
-            os.rename(staging, base)
-        elif os.path.isdir(retired):
-            os.rename(retired, base)
-    shutil.rmtree(retired, ignore_errors=True)
-
-    try:
-        existing = spark.read.parquet(base)
-        has_existing = True
-    except Exception:
-        has_existing = False
-
-    if has_existing:
-        keys = batch.select("day", "sport").distinct()
-        kept = existing.join(F.broadcast(keys), ["day", "sport"], "left_anti")
-        merged = kept.unionByName(batch)
-    else:
-        merged = batch
-
-    merged.write.mode("overwrite").parquet(staging)  # reads old, writes new
-    if os.path.isdir(base):
-        os.rename(base, retired)
-    os.rename(staging, base)
-    shutil.rmtree(retired, ignore_errors=True)
+    merge_into(
+        batch.sparkSession,
+        out_path,
+        batch,
+        on=["day", "sport"],
+        when_matched="update_all",
+        when_not_matched="insert_all",
+    )
 
 
 def start_ingestion(
