@@ -40,13 +40,14 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = "/tmp/spark_graft_scale10"
 REPLICAS = 10
 
-# Fuzzy-TEXT dedup (minhash / token-Jaccard) is deliberately absent: the
-# synthetic corpus draws from a ~31-token vocabulary, so at 10x nearly
-# every document pair is a legitimate near-dup candidate and the
-# measurement reflects the fixture's degeneracy, not the operator (the
-# documented pipeline also runs exact_dedup FIRST, which collapses the
-# replicas straight back to 1x). Their scale guards are exercised by
-# tests/test_token_cap.py instead.
+# Fuzzy-TEXT dedup (minhash / token-Jaccard) runs on a separate
+# ZIPFIAN-vocabulary corpus (zipf_documents below) rather than the
+# replicated fixtures: the fixture corpus draws from a ~31-token
+# vocabulary, so a 10x replica makes nearly every pair a legitimate
+# near-dup and the measurement would reflect the fixture's degeneracy,
+# not the operator. The zipfian corpus has a realistic frequency curve,
+# planted near-dup families, and runs with the frequent-token cap ACTIVE
+# at both scales.
 QUERY_SET = [
     "flagship_daily_rollup",
     "star_fact_events",
@@ -106,6 +107,87 @@ def build(spark) -> None:
         out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
 
 
+def zipf_documents(spark, n_docs: int, vocab: int = 20000):
+    """Deterministic (doc_id, text) corpus with Zipf(s=1) token
+    frequencies and planted near-duplicate pairs.
+
+    - token at (seed, pos): u = hash(seed, pos) uniform in [0,1);
+      rank = floor(vocab^u) gives P(rank) ∝ 1/rank — a realistic
+      frequency curve with genuine stopword-like head tokens;
+    - ~12.5% of docs (doc_id % 8 == 1) share their family seed with
+      doc_id-1 but mutate every 10th position — planted near-dups at
+      token-Jaccard ≈ 0.8;
+    - doc length 40-160 tokens, derived from the family seed.
+
+    All JVM-side expressions — the corpus builds at scan speed.
+    """
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_twin = F.col("doc_id") % 8 == 1
+    fam = F.when(is_twin, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    length = (F.pmod(fam * 2654435761, F.lit(121)) + 40).cast("int")
+
+    def tok(seed, p):
+        # xxhash64 for real mixing — an LCG here yields shifted copies of
+        # one arithmetic progression, making consecutive docs near-dups
+        u = (
+            F.pmod(F.xxhash64(seed, p), F.lit(1_000_000)).cast("double")
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+        return F.concat(F.lit("w"), rank.cast("string"))
+
+    body = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda p: F.when(
+            is_twin & (F.pmod(p, F.lit(10)) == 0),
+            tok(F.col("doc_id"), p),  # mutated position: doc-unique seed
+        ).otherwise(tok(fam, p)),
+    )
+    return docs.select("doc_id", F.concat_ws(" ", body).alias("text"))
+
+
+def fuzzy_dedup_experiment(spark) -> None:
+    """Measure MinHash-LSH and capped token-Jaccard at 1x vs 10x rows on
+    the zipfian corpus — the two SCALE.md rows the round-2 verdict asked
+    for, with the scale guards active at both scales."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_near_duplicates,
+        token_jaccard_pairs,
+    )
+
+    n1 = 5000  # sf0.1 documents row count
+    sizes = {"1x": n1, "10x": n1 * 10}
+    corpora = {}
+    for label, n in sizes.items():
+        path = f"{DST}/zipf_docs_{label}.parquet"
+        zipf_documents(spark, n).write.mode("overwrite").parquet(path)
+        corpora[label] = spark.read.parquet(path)
+
+    def run(op, docs, n_docs):
+        # ABSOLUTE doc-frequency cap (not a corpus fraction): per-token
+        # join output is then <= cap² and total intermediate volume is
+        # O(n·cap) — linear in corpus size. A fractional cap would keep
+        # the blowup quadratic (sum over tokens of (f·n)² terms).
+        if op == "token_jaccard_capped":
+            return token_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5, max_token_docs=400
+            )
+        return minhash_near_duplicates(docs, "doc_id", "text")
+
+    print(f"\n{'fuzzy dedup (zipf corpus)':36} {'1x wall':>8} {'10x wall':>9} {'ratio':>6}  rows(1x->10x)")
+    for op in ("x_dedup_minhash_lsh", "token_jaccard_capped"):
+        walls, rows = {}, {}
+        for label, n in sizes.items():
+            run(op, corpora[label], n).count()  # warm
+            t0 = time.perf_counter()
+            rows[label] = run(op, corpora[label], n).count()
+            walls[label] = time.perf_counter() - t0
+        print(
+            f"{op:36} {walls['1x']:7.2f}s {walls['10x']:8.2f}s "
+            f"{walls['10x'] / walls['1x']:5.1f}x  {rows['1x']}->{rows['10x']}"
+        )
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         return QUERIES[name](spark, sf_dir)
@@ -129,6 +211,7 @@ def main() -> None:
         w1, _ = time_query(spark, name, SRC)
         w10, n10 = time_query(spark, name, DST)
         print(f"{name:36} {w1:7.2f}s {w10:8.2f}s {w10 / w1:5.1f}x  {n10}")
+    fuzzy_dedup_experiment(spark)
     spark.stop()
 
 
