@@ -140,3 +140,40 @@ def fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % FINGERPRINT_MOD,
     )
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 500,
+    stride: int = 400,
+):
+    """Split documents into overlapping character windows — the standard
+    LLM-preprocessing chunking step (stride < chunk_size gives
+    chunk_size - stride characters of overlap between neighbors).
+
+    One row per chunk: (id, chunk_id, chunk_start, chunk_text,
+    chunk_len). Chunks start at 0, stride, 2·stride, … while the start
+    is inside the document; empty documents yield no chunks. Pure
+    JVM-side expressions (sequence + explode + substring): narrow — no
+    shuffle, no UDF — so it runs at scan speed and scales linearly with
+    corpus bytes; output partitioning follows the input.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / stride))
+    exploded = (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.col(text_col), F.explode(idx).alias("__idx"))
+    )
+    start = F.col("__idx") * stride
+    chunk = F.substring(F.col(text_col), (start + 1).cast("int"), chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("__idx").cast("int").alias("chunk_id"),
+        start.cast("long").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )

@@ -2108,6 +2108,29 @@ def x_content_hash_split(spark, sf_dir):
 
 
 @query(
+    "x_doc_chunking",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(i*400 AS BIGINT) AS chunk_start,
+           substr(text, CAST(i*400+1 AS INTEGER), 500) AS chunk_text,
+           CAST(length(substr(text, CAST(i*400+1 AS INTEGER), 500)) AS INTEGER)
+             AS chunk_len
+    FROM documents,
+         UNNEST(range(0, CAST(floor((length(text)-1)/400) AS BIGINT) + 1)) AS t(i)
+    WHERE length(text) > 0
+    """,
+)
+def x_doc_chunking(spark, sf_dir):
+    # Overlapping character-window chunking (500-char chunks, 400-char
+    # stride → 100-char overlap) — the LLM-preprocessing step between
+    # cleaning and tokenization. Pure sequence+explode+substring
+    # expressions: narrow (no shuffle, no UDF), scan-speed, linear in
+    # corpus bytes; functions/text.chunk_documents.
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text", chunk_size=500, stride=400)
+
+
+@query(
     "x_quality_deciles",
     oracle=f"""
     WITH scored AS (
@@ -3032,7 +3055,8 @@ CORRECTNESS_WINDOW = [
     "p67_year_pruning",
     "p8_guarded_ratio",
     "j2_broadcast_user_enrichment",
-    "j5_fact_by_country",
+    # new this round (debut queries verify in their first window)
+    "x_doc_chunking",
     "a45_global_summary",
     "a_cube_matrix",
     "a_rollup_hierarchy",

@@ -1,3 +1,4 @@
+from .dedup import dedup_stream
 from .ingest import (
     daily_rollup_stream,
     read_transaction_stream,
@@ -9,6 +10,7 @@ from .sessionize import sessionize_stream
 
 __all__ = [
     "daily_rollup_stream",
+    "dedup_stream",
     "split_valid",
     "start_gated_ingestion",
     "with_violations",

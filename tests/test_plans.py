@@ -154,3 +154,17 @@ def test_spine_bounds_stay_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "spine construction must not run jobs"
     assert spine.count() == 10
+
+
+def test_doc_chunking_is_narrow(spark):
+    """Chunking must stay a narrow pipeline: scan → generate → project,
+    no Exchange and no UDF — the property that lets it run at scan speed
+    over 100 TB of documents."""
+    plan = plan_of(spark, "x_doc_chunking")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    # only doc_id + text read; lang/source/n_chars pruned from the scan
+    assert "lang" not in scans[0] and "n_chars" not in scans[0]
