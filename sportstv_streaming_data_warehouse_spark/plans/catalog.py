@@ -1596,6 +1596,151 @@ def x_doc_stats_by_lang(spark, sf_dir):
 
 
 @query(
+    "x_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC
+             ) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def x_tfidf_top_terms(spark, sf_dir):
+    # TF-IDF keyword extraction: top-3 most distinctive terms per
+    # document (the classifier-feature / topic-tagging step of a
+    # training-data pipeline). Uses the LINEAR idf variant tf * N/df —
+    # monotone in term rarity like ln-idf, but its arithmetic (exact
+    # integer multiply + one IEEE-754 division) is bit-identical across
+    # engines, where ln's last-ulp behavior is libm-specific and would
+    # break the hash gate on near-tie ranks (e.g. 2*ln(10) vs ln(100)).
+    # Plan: two hash-aggs (term frequency, document frequency) + a
+    # broadcast scalar count + per-doc top-k window — at 100 TB the df
+    # table is vocabulary-sized, the window partitions by doc_id (no
+    # global sort), and WindowGroupLimit prunes to k rows per doc before
+    # the final project.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+@query(
+    "x_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS dim,
+           CASE WHEN maxabs > 0
+                THEN CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                * (127.0 / CAST(maxabs AS DOUBLE))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS q
+    FROM e, (SELECT CAST(generate_series AS INT) AS i
+             FROM generate_series(1, 100000)) g
+    WHERE g.i <= len(embedding)
+    """,
+)
+def x_embedding_quantize(spark, sf_dir):
+    # Symmetric int8 scalar quantization of the embedding column (the
+    # 4x storage/bandwidth shrink step before ANN index build): per
+    # vector, scale = 127/max|v|, q_i = floor(v_i * scale) in [-128,127].
+    # floor (not round) so the quantizer is pure IEEE-754 multiply +
+    # truncation — bit-identical across engines; half-even/half-up round
+    # conventions differ between them. Zero vectors quantize to zeros.
+    # Plan: fully NARROW (scan -> project -> posexplode) — no shuffle, no
+    # UDF; at 100 TB this runs at scan speed with output partitioning
+    # following the input splits, exactly like chunking.
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.withColumn(
+        "maxabs", F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    )
+    out = e.select(
+        "vec_id", "maxabs", F.posexplode("embedding").alias("dim", "val")
+    )
+    scale = F.lit(127.0) / F.col("maxabs").cast("double")
+    q = F.when(
+        F.col("maxabs") > 0, F.floor(F.col("val").cast("double") * scale)
+    ).otherwise(F.lit(0).cast("long"))
+    return out.select("vec_id", "dim", q.alias("q"))
+
+
+@query(
+    "x_dupgraph_degree",
+    oracle=None,  # composed below from the token-Jaccard pair oracle
+)
+def x_dupgraph_degree(spark, sf_dir):
+    # Degree histogram of the near-duplicate graph (nodes = documents,
+    # edges = token-Jaccard >= 0.8 pairs): how many documents have 0, 1,
+    # 2, ... near-dup neighbors — the corpus-health statistic that tells
+    # you whether dedup will delete 1% or 40% of the data BEFORE running
+    # the deletion. Composes the capped inverted-index pair operator;
+    # the two extra aggregations shuffle only edge endpoints and ~max
+    # degree rows, so the pair-join cap still bounds the whole plan.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_token_docs=2000
+    )
+    ends = pairs.select(F.col("id_a").alias("doc")).unionAll(
+        pairs.select(F.col("id_b").alias("doc"))
+    )
+    deg = ends.groupBy("doc").agg(F.count("*").alias("degree"))
+    per_doc = (
+        docs.select(F.col("doc_id").alias("doc"))
+        .join(deg, "doc", "left")
+        .select(F.coalesce("degree", F.lit(0).cast("long")).alias("degree"))
+    )
+    return per_doc.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+ORACLE["x_dupgraph_degree"] = f"""
+    WITH pairs AS ({ORACLE["x_dedup_token_jaccard"]}),
+    ends AS (
+      SELECT id_a AS doc FROM pairs
+      UNION ALL SELECT id_b AS doc FROM pairs
+    ),
+    deg AS (SELECT doc, COUNT(*) AS degree FROM ends GROUP BY 1),
+    per_doc AS (
+      SELECT COALESCE(deg.degree, 0) AS degree
+      FROM documents LEFT JOIN deg ON deg.doc = documents.doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs
+    FROM per_doc GROUP BY 1
+"""
+
+
+@query(
     "sql_surface_weekly_top",
     oracle="""
     WITH weekly AS (
@@ -3026,9 +3171,11 @@ def x_text_profile(spark, sf_dir):
 # tests/test_oracle_parity.py. tests/test_catalog_registry.py asserts these
 # invariants.
 #
-# Round-3 rotation: 14 twice-green (r1+r2) entries were swapped out for the
-# 14 oracle-backed queries never driver-verified in rounds 1-2, bringing
-# cumulative driver-green coverage to all 86 oracle-backed queries.
+# Round-3 rotation: 17 twice-green (r1+r2) entries were swapped out for the
+# 14 oracle-backed queries never driver-verified in rounds 1-2 plus the 4
+# round-3 debuts (x_doc_chunking, x_tfidf_top_terms, x_embedding_quantize,
+# x_dupgraph_degree), bringing cumulative driver-green coverage to all 90
+# oracle-backed queries.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3053,10 +3200,11 @@ CORRECTNESS_WINDOW = [
     # family anchors / once-green entries retained
     "s45_source_stats",
     "p67_year_pruning",
-    "p8_guarded_ratio",
-    "j2_broadcast_user_enrichment",
     # new this round (debut queries verify in their first window)
     "x_doc_chunking",
+    "x_tfidf_top_terms",
+    "x_embedding_quantize",
+    "x_dupgraph_degree",
     "a45_global_summary",
     "a_cube_matrix",
     "a_rollup_hierarchy",
@@ -3074,7 +3222,6 @@ CORRECTNESS_WINDOW = [
     "f_from_json_struct",
     "sql_surface_weekly_top",
     "q_quality_audit",
-    "x_dedup_exact",
     "x_dedup_minhash_poly",
     "x_dedup_simhash_poly",
     "x_dedup_clusters",

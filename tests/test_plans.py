@@ -156,6 +156,19 @@ def test_spine_bounds_stay_lazy(spark):
     assert spine.count() == 10
 
 
+def test_embedding_quantize_is_narrow(spark):
+    """int8 quantization must stay a narrow pipeline: scan → project →
+    posexplode, no Exchange and no UDF — it runs at scan speed over any
+    corpus size."""
+    plan = plan_of(spark, "x_embedding_quantize")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    # label never leaves the parquet reader
+    assert "label" not in scans[0]
+
+
 def test_doc_chunking_is_narrow(spark):
     """Chunking must stay a narrow pipeline: scan → generate → project,
     no Exchange and no UDF — the property that lets it run at scan speed
