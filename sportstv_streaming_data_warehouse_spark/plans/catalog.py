@@ -1409,6 +1409,69 @@ def x_dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+@query(
+    "x_dedup_survivors",
+    oracle=None,  # composed below from the cluster oracle's CTE chain
+)
+def x_dedup_survivors(spark, sf_dir):
+    # The deletion step of the dedup pipeline: within each near-dup
+    # cluster keep ONE representative (longest doc, doc_id tiebreak);
+    # singleton documents survive as their own cluster. Output is the
+    # survivor manifest (cluster_id, survivor_id, survivor_chars,
+    # cluster_size) a downstream job would semi-join against to drop
+    # duplicates. Plan: components + one left join + a window
+    # partitioned by cluster_id — clusters are near-dup-sized (small),
+    # so no partition ever approaches executor memory at 100 TB.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_token_docs=2000
+    )
+    comp = D.connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    part = Window.partitionBy("cluster_id")
+    ranked = labeled.withColumn(
+        "rn",
+        F.row_number().over(part.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    ).withColumn("cluster_size", F.count("*").over(part))
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").alias("survivor_chars"),
+        "cluster_size",
+    )
+
+
+_CLUSTERS_FINAL = "SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node"
+assert ORACLE["x_dedup_clusters"].count(_CLUSTERS_FINAL) == 1
+ORACLE["x_dedup_survivors"] = ORACLE["x_dedup_clusters"].replace(
+    _CLUSTERS_FINAL,
+    """, comp AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
+           cluster_size
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM labeled
+    ) WHERE rn = 1""",
+)
+
+
 @query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
 def x_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -3171,11 +3234,11 @@ def x_text_profile(spark, sf_dir):
 # tests/test_oracle_parity.py. tests/test_catalog_registry.py asserts these
 # invariants.
 #
-# Round-3 rotation: 17 twice-green (r1+r2) entries were swapped out for the
-# 14 oracle-backed queries never driver-verified in rounds 1-2 plus the 4
+# Round-3 rotation: 18 twice-green (r1+r2) entries were swapped out for the
+# 14 oracle-backed queries never driver-verified in rounds 1-2 plus the 5
 # round-3 debuts (x_doc_chunking, x_tfidf_top_terms, x_embedding_quantize,
-# x_dupgraph_degree), bringing cumulative driver-green coverage to all 90
-# oracle-backed queries.
+# x_dupgraph_degree, x_dedup_survivors), bringing cumulative driver-green
+# coverage to all 91 oracle-backed queries.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3205,6 +3268,7 @@ CORRECTNESS_WINDOW = [
     "x_tfidf_top_terms",
     "x_embedding_quantize",
     "x_dupgraph_degree",
+    "x_dedup_survivors",
     "a45_global_summary",
     "a_cube_matrix",
     "a_rollup_hierarchy",
@@ -3217,7 +3281,6 @@ CORRECTNESS_WINDOW = [
     "o1_top10_customers",
     "u34_set_ops",
     "r2_unpivot_year_matrix",
-    "f7_regex_inference_precedence",
     "f_json_extract",
     "f_from_json_struct",
     "sql_surface_weekly_top",
