@@ -190,3 +190,91 @@ def test_asof_join_matches_reference_scan(spark, lefts, rights):
             if ts <= lt:
                 match = (ts, v)
         assert got[i] == (match if match else (None, None)), (i, s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_chunking_covers_and_reconstructs(spark, texts, chunk_size, stride):
+    """Every chunk is the exact substring at its offset, chunk starts
+    walk 0, stride, 2·stride, ... across the whole document (full
+    coverage when stride <= chunk_size), and empty docs yield nothing."""
+    from sportstv_streaming_data_warehouse_spark.functions.text import chunk_documents
+
+    if stride > chunk_size:
+        stride = chunk_size
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = chunk_documents(df, "doc_id", "text", chunk_size, stride).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if not t:
+            assert chunks == []
+            continue
+        import math
+
+        assert len(chunks) == math.floor((len(t) - 1) / stride) + 1
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_id"] * stride
+            expect = t[c["chunk_start"]: c["chunk_start"] + chunk_size]
+            assert c["chunk_text"] == expect
+            assert c["chunk_len"] == len(expect)
+        # concatenating each chunk's non-overlapping prefix rebuilds the doc
+        rebuilt = "".join(c["chunk_text"][:stride] for c in chunks)
+        assert rebuilt == t
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_quantize_bounds_and_sign(spark, vecs):
+    """Quantized values stay in [-128, 127] and equal floor(v · 127/max|v|)
+    exactly. The max-|v| dimension lands on 126 or 127 — not always 127,
+    because fl(127/v)·v can round just below 127; that one-step downward
+    bias is the price of the floor quantizer's engine-portable
+    determinism (round's half-tie conventions differ across engines)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # drive the same expressions the catalog query uses, on local data
+    from pyspark.sql import functions as F2
+
+    e = df.withColumn(
+        "maxabs", F2.array_max(F2.transform("embedding", lambda x: F2.abs(x)))
+    )
+    out = e.select("vec_id", "maxabs", F2.posexplode("embedding").alias("dim", "val"))
+    scale = F2.lit(127.0) / F2.col("maxabs").cast("double")
+    q = F2.when(
+        F2.col("maxabs") > 0, F2.floor(F2.col("val").cast("double") * scale)
+    ).otherwise(F2.lit(0).cast("long"))
+    rows = out.select("vec_id", "dim", q.alias("q"), "val", "maxabs").collect()
+    for r in rows:
+        assert -128 <= r["q"] <= 127
+        if r["maxabs"] > 0:
+            expected = math.floor(
+                float(r["val"]) * (127.0 / float(r["maxabs"]))
+            )
+            assert r["q"] == expected
+            if float(r["val"]) == float(r["maxabs"]):
+                assert r["q"] in (126, 127)
+        else:
+            assert r["q"] == 0
