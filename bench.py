@@ -49,6 +49,10 @@ HEADLINE = [
     "x_text_stats",            # extended: text analysis
     "x_dedup_embedding_cosine",# extended: banded semantic dedup (r2 rewrite)
     "x_quality_deciles",       # extended: distributed NTILE (r2 rewrite)
+    "x_doc_chunking",          # extended: narrow scan-speed chunking (r3)
+    "x_embedding_quantize",    # extended: narrow int8 quantization (r3)
+    "x_tfidf_top_terms",       # extended: TF-IDF keyword extraction (r3)
+    "x_dedup_survivors",       # extended: cluster survivor manifest (r3)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

@@ -142,6 +142,42 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k most distinctive terms per document by tf · (N/df).
+
+    Linear-idf variant: monotone in term rarity like ln-idf, but its
+    arithmetic (exact integer multiply + one IEEE-754 division) is
+    bit-identical across engines, where ln's last-ulp behavior is
+    libm-specific (e.g. 2·ln(10) vs ln(100) can rank-flip). Plan: two
+    hash-aggs (tf, df), a vocabulary-sized broadcast for df, a 1-row
+    broadcast for N, and a WindowGroupLimit-pruned per-doc top-k — no
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
 def chunk_documents(
     df,
     id_col: str,

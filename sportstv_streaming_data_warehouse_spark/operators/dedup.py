@@ -478,3 +478,53 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def survivor_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size_col: str,
+    threshold: float = 0.9,
+    max_token_docs: int | None = None,
+) -> DataFrame:
+    """The deletion step of the dedup pipeline: token-Jaccard pairs →
+    connected components → ONE representative per cluster (largest
+    ``size_col``, ``id_col`` tiebreak); singleton documents survive as
+    their own cluster.
+
+    Returns (cluster_id, survivor_id, survivor_chars, cluster_size) —
+    the manifest a downstream job semi-joins against to drop duplicates.
+    The per-cluster window partitions by cluster_id; clusters are
+    near-dup-family-sized, so no partition approaches executor memory at
+    any corpus scale, and the pair-join cap (``max_token_docs``) bounds
+    the quadratic stage upstream.
+    """
+    from pyspark.sql import Window
+
+    pairs = token_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold, max_token_docs=max_token_docs
+    )
+    comp = connected_components(pairs)
+    labeled = (
+        df.select(F.col(id_col), F.col(size_col))
+        .join(comp, df[id_col] == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.col(size_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    part = Window.partitionBy("cluster_id")
+    ranked = labeled.withColumn(
+        "rn",
+        F.row_number().over(
+            part.orderBy(F.desc(size_col), F.asc(id_col))
+        ),
+    ).withColumn("cluster_size", F.count("*").over(part))
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col(id_col).alias("survivor_id"),
+        F.col(size_col).alias("survivor_chars"),
+        "cluster_size",
+    )

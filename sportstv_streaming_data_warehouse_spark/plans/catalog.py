@@ -1423,29 +1423,8 @@ def x_dedup_survivors(spark, sf_dir):
     # partitioned by cluster_id — clusters are near-dup-sized (small),
     # so no partition ever approaches executor memory at 100 TB.
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.token_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.9, max_token_docs=2000
-    )
-    comp = D.connected_components(pairs)
-    labeled = (
-        docs.select("doc_id", "n_chars")
-        .join(comp, docs["doc_id"] == comp["node"], "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        )
-    )
-    part = Window.partitionBy("cluster_id")
-    ranked = labeled.withColumn(
-        "rn",
-        F.row_number().over(part.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
-    ).withColumn("cluster_size", F.count("*").over(part))
-    return ranked.filter(F.col("rn") == 1).select(
-        "cluster_id",
-        F.col("doc_id").alias("survivor_id"),
-        F.col("n_chars").alias("survivor_chars"),
-        "cluster_size",
+    return D.survivor_manifest(
+        docs, "doc_id", "text", "n_chars", threshold=0.9, max_token_docs=2000
     )
 
 
@@ -1696,25 +1675,7 @@ def x_tfidf_top_terms(spark, sf_dir):
     # global sort), and WindowGroupLimit prunes to k rows per doc before
     # the final project.
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    total = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(df_, "term")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "score",
-            (F.col("tf") * F.col("n_docs")).cast("double")
-            / F.col("df").cast("double"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tf", "df", "score", "rank")
-    )
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=3)
 
 
 @query(

@@ -57,6 +57,9 @@ QUERY_SET = [
     "x_dedup_embedding_cosine",
     "x_quality_deciles",
     "x_text_profile",
+    # narrow (no-shuffle) ops — expect ~linear wall in input bytes
+    "x_doc_chunking",
+    "x_embedding_quantize",
 ]
 
 
@@ -172,16 +175,48 @@ def fuzzy_dedup_experiment(spark) -> None:
             return token_jaccard_pairs(
                 docs, "doc_id", "text", threshold=0.5, max_token_docs=400
             )
+        if op == "tfidf_top_terms":
+            from sportstv_streaming_data_warehouse_spark.functions.text import (
+                tfidf_top_terms,
+            )
+
+            return tfidf_top_terms(docs, "doc_id", "text", k=3)
+        if op == "dedup_survivors_capped":
+            from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+                survivor_manifest,
+            )
+
+            return survivor_manifest(
+                docs.withColumn("n_chars", F.length("text")),
+                "doc_id",
+                "text",
+                "n_chars",
+                threshold=0.8,
+                max_token_docs=400,
+            )
         return minhash_near_duplicates(docs, "doc_id", "text")
 
     print(f"\n{'fuzzy dedup (zipf corpus)':36} {'1x wall':>8} {'10x wall':>9} {'ratio':>6}  rows(1x->10x)")
-    for op in ("x_dedup_minhash_lsh", "token_jaccard_capped"):
+    for op in (
+        "x_dedup_minhash_lsh",
+        "token_jaccard_capped",
+        "tfidf_top_terms",
+        "dedup_survivors_capped",
+    ):
         walls, rows = {}, {}
         for label, n in sizes.items():
             run(op, corpora[label], n).count()  # warm
-            t0 = time.perf_counter()
-            rows[label] = run(op, corpora[label], n).count()
-            walls[label] = time.perf_counter() - t0
+            # min-of-3: the scaling RATIO claim needs the algorithmic
+            # cost, not the environment — heavy shuffle joins take 2-4
+            # runs for the JVM to C2-compile their codegen paths
+            # (measured 79s -> 15s on identical input), and min is the
+            # statistic least contaminated by JIT and box load.
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows[label] = run(op, corpora[label], n).count()
+                ts.append(time.perf_counter() - t0)
+            walls[label] = min(ts)
         print(
             f"{op:36} {walls['1x']:7.2f}s {walls['10x']:8.2f}s "
             f"{walls['10x'] / walls['1x']:5.1f}x  {rows['1x']}->{rows['10x']}"
