@@ -3261,21 +3261,21 @@ CORRECTNESS_WINDOW = [
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
 # the driver's CORRECTNESS_r{N}.json recorded a full pass (rows + schema +
-# hash). Built from CORRECTNESS_r01.json / CORRECTNESS_r02.json; round 3
-# entries are the current window (pending the round-3 driver run).
+# hash). Built from CORRECTNESS_r01/r02/r03.json — the round-3 driver run
+# recorded 50/50 full passes, completing cumulative driver-green coverage of
+# all 91 oracle-backed queries registered through round 3.
 # tests/test_catalog_registry.py asserts that every oracle-backed query
-# appears here or in the current window, i.e. cumulative driver coverage
-# after round 3 is 86/86.
+# appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2],
-    "star_fact_events": [1, 2],
+    "flagship_daily_rollup": [1, 2, 3],
+    "star_fact_events": [1, 2, 3],
     "s1_scan_pruned_projection": [1, 2],
-    "s45_source_stats": [2],
+    "s45_source_stats": [2, 3],
     "s4_source_date_bounds": [1],
     "s5_row_counts": [1],
     "p2_filter_notnull_nonempty": [1, 2],
     "p3_p4_p5_quality_clean": [1, 2],
-    "p67_year_pruning": [2],
+    "p67_year_pruning": [2, 3],
     "p6_year_equality_prune": [1],
     "p7_year_range_prune": [1],
     "p8_guarded_ratio": [1, 2],
@@ -3287,7 +3287,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "j7_enrich_with_fallback": [1, 2],
     "ja_orphan_anti_join": [1, 2],
     "js_semi_active_customers": [1],
-    "a45_global_summary": [2],
+    "a45_global_summary": [2, 3],
     "a4_global_summary": [1],
     "a5_year_bounds": [1],
     "a6_growth_by_year_priority": [1, 2],
@@ -3296,49 +3296,68 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a11_type_dow_matrix": [1],
     "a12_yearly_validation": [1],
     "a13_avg_of_precomputed": [1],
-    "a_cube_matrix": [2],
-    "a_rollup_hierarchy": [2],
-    "h_monthly_from_daily": [2],
-    "a_quantiles_by_flag": [2],
-    "a_share_of_total": [2],
+    "a_cube_matrix": [2, 3],
+    "a_rollup_hierarchy": [2, 3],
+    "h_monthly_from_daily": [2, 3],
+    "a_quantiles_by_flag": [2, 3],
+    "a_share_of_total": [2, 3],
     "w1_peak_week": [1],
-    "w2_peak_dow_per_flag": [1, 2],
+    "w2_peak_dow_per_flag": [1, 2, 3],
     "w3_yoy_order_growth": [1, 2],
-    "w_sessionize": [2],
-    "w_moving_avg_7d": [2],
-    "o1_top10_customers": [1, 2],
+    "w_sessionize": [2, 3],
+    "w_moving_avg_7d": [2, 3],
+    "o1_top10_customers": [1, 2, 3],
     "o2_top_events_full_sort": [1],
     "o5_distinct_years_sorted": [1],
     "u1_union_two_sources": [1, 2],
     "u2_distinct_pairs": [1],
-    "u34_set_ops": [2],
+    "u34_set_ops": [2, 3],
     "u3_except_churned": [1],
     "u4_intersect_retained": [1],
     "r1_pivot_year_matrix": [1],
-    "r2_unpivot_year_matrix": [1, 2],
+    "r2_unpivot_year_matrix": [1, 2, 3],
     "f_calendar_keys": [1, 2],
     "f6_date_spine": [1, 2],
     "f7_regex_inference_precedence": [1, 2],
     "f10_hours_arithmetic": [1],
-    "f_json_extract": [2],
-    "f_from_json_struct": [2],
-    "sql_surface_weekly_top": [2],
-    "q_quality_audit": [2],
+    "f_json_extract": [2, 3],
+    "f_from_json_struct": [2, 3],
+    "sql_surface_weekly_top": [2, 3],
+    "q_quality_audit": [2, 3],
     "x_dedup_exact": [1, 2],
     "x_dedup_canonical": [1],
     "x_dedup_token_jaccard": [1, 2],
-    "x_dedup_minhash_poly": [2],
-    "x_dedup_simhash_poly": [2],
-    "x_dedup_clusters": [2],
-    "x_dedup_embedding_cosine": [2],
+    "x_dedup_minhash_poly": [2, 3],
+    "x_dedup_simhash_poly": [2, 3],
+    "x_dedup_clusters": [2, 3],
+    "x_dedup_embedding_cosine": [2, 3],
     "x_asof_join_last_signup": [1, 2],
-    "x_range_join_value_bands": [1, 2],
-    "x_user_value_trend": [1, 2],
-    "x_knn_bruteforce": [2],
-    "x_knn_lsh_poly": [2],
-    "x_text_profile": [2],
-    "x_content_hash_split": [2],
-    "x_quality_deciles": [2],
+    "x_range_join_value_bands": [1, 2, 3],
+    "x_user_value_trend": [1, 2, 3],
+    "x_knn_bruteforce": [2, 3],
+    "x_knn_lsh_poly": [2, 3],
+    "x_text_profile": [2, 3],
+    "x_content_hash_split": [2, 3],
+    "x_quality_deciles": [2, 3],
+    "x_cdc_fact_diff": [3],
+    "x_salted_skew_rollup": [3],
+    "x_knn_ivf_ann": [3],
+    "x_dedup_ngram_jaccard": [3],
+    "x_decontamination": [3],
+    "x_stratified_sample": [3],
+    "x_pack_shards": [3],
+    "x_repetition_filter": [3],
+    "x_fingerprint": [3],
+    "x_top_bigrams": [3],
+    "x_doc_stats_by_lang": [3],
+    "x_text_stats": [3],
+    "x_lang_id": [3],
+    "x_quality_score": [3],
+    "x_doc_chunking": [3],
+    "x_tfidf_top_terms": [3],
+    "x_embedding_quantize": [3],
+    "x_dupgraph_degree": [3],
+    "x_dedup_survivors": [3],
 }
 
 
