@@ -39,15 +39,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ branch below interprets wall-clock in the SESSION zone;
+        # pin it so absolute-instant ops (unix_timestamp arithmetic) are
+        # deterministic under a driver-owned session too. The repo's own
+        # factory (session.py) already pins UTC — this makes the catalog
+        # tz-independent when loaded into a vanilla session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # the nanos shim only applies to the original TIMESTAMP(NANOS)
-        # fixtures (read as long); re-written copies (scale replicas,
-        # compacted sinks) already carry a real TIMESTAMP column
-        if isinstance(df.schema["ts"].dataType, LongType):
+        # Normalize ts to session-zoned TIMESTAMP whatever the reader
+        # produced: long nanos under the legacy shim (rebuild with exact
+        # integer division), TIMESTAMP_NTZ where newer readers map
+        # TIMESTAMP(NANOS) natively (cast is value-preserving — the
+        # session timezone is pinned to UTC), or already TIMESTAMP for
+        # re-written copies (scale replicas, compacted sinks).
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -82,34 +82,32 @@ def test_streaming_batch_parity_on_events_fixture(spark):
     """The streaming rollup over the real events table must equal the
     batch groupBy — same engine, two execution modes (SURVEY §2.10)."""
     from pyspark.sql.types import (
-        DoubleType, LongType, StringType, StructField, StructType,
+        DoubleType, LongType, StringType, StructField, StructType, TimestampType,
     )
 
     from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
 
     from .conftest import SF001
 
-    import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source requires a directory
+    # Round-trip the fixture through load_table's ts normalization so the
+    # stream source sees a plain TIMESTAMP column regardless of how the
+    # installed Spark maps the original TIMESTAMP(NANOS) fixture (long
+    # under the legacy shim on older readers, TIMESTAMP_NTZ natively on
+    # newer ones). The file stream source requires a directory.
     events_dir = tempfile.mkdtemp(prefix="events-stream-")
-    shutil.copy(f"{SF001}/events.parquet", events_dir)
+    load_table(spark, SF001, "events").write.mode("overwrite").parquet(events_dir)
 
     raw_schema = StructType([
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
     ])
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(events_dir)
     rollup = (
         stream.withWatermark("ts", "2 days")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
