@@ -53,6 +53,9 @@ HEADLINE = [
     "x_embedding_quantize",    # extended: narrow int8 quantization (r3)
     "x_tfidf_top_terms",       # extended: TF-IDF keyword extraction (r3)
     "x_dedup_survivors",       # extended: cluster survivor manifest (r3)
+    "x_bm25_topk",             # extended: BM25 lexical retrieval (r4)
+    "x_global_shuffle",        # extended: deterministic training order (r4)
+    "x_quality_filter_by_lang",# extended: per-lang top-20% selection (r4)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

@@ -178,6 +178,82 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+def bm25_top_docs(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+):
+    """BM25 retrieval: top-k documents for a fixed bag of query terms.
+
+    Rational idf variant — idf(t) = (N - df_t + 0.5) / (df_t + 0.5)
+    WITHOUT the usual ln(): monotone in term rarity exactly like
+    ln-idf, but pure +,-,*,/ on doubles, so any engine reproduces it
+    bit-for-bit (ln's last-ulp behavior is libm-specific — same
+    determinism contract as tfidf_top_terms). Per-term partial scores
+    are summed in the FIXED order of ``query_terms`` via one conditional
+    aggregation per term, so the float addition order is part of the
+    operator's definition, not the shuffle's.
+
+    Plan shape at 100 TB: the term filter prunes the exploded token
+    stream BEFORE the tf hash-agg (len(query_terms) rows per doc max);
+    df and the (N, avgdl) scalars are vocabulary-of-the-query sized and
+    broadcast; the final top-k is TakeOrderedAndProject — no global sort.
+
+    Returns (id, n_matched, bm25) for the top_k docs by score DESC,
+    id ASC.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_dl").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    score = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    scored = scored.withColumn("score", score)
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"__s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_matched"), *per_term
+    )
+    total = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (
+        agg.withColumn("bm25", total)
+        .select(id_col, "n_matched", "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
 def chunk_documents(
     df,
     id_col: str,

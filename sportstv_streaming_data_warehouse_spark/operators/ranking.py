@@ -234,6 +234,109 @@ def with_running_total(
     ).drop("__bkt")
 
 
+def grouped_top_fraction(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    keep_permille: int,
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact per-group top-fraction selection without a per-group sort.
+
+    Keeps the top ``ceil(n_g * keep_permille / 1000)`` rows of each group
+    by ``order_col`` DESC (ties broken by ``id_col`` ASC) — identical to
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, id) <= k_g``. The
+    quota is integer arithmetic (``(n*p + 999) // 1000``) so engines
+    can't disagree on a float-times-count ulp at the ceil boundary.
+
+    ``Window.partitionBy(group)`` would sort each whole group in ONE task
+    — the grouped analog of the unpartitioned-window scale-killer (a
+    language split of a 100 TB corpus easily puts 30 TB in 'en'). Instead,
+    histogram + boundary refinement:
+
+    1. bucket rows by approximate range boundaries of ``order_col``
+       (global bounds; per-(group, bucket) COUNTS are exact, so boundary
+       quality affects only the refinement size, never correctness);
+    2. per-group, walk bucket counts top-down (driver side,
+       groups x buckets scalars): buckets wholly above the cut are kept
+       outright — values in a higher bucket are STRICTLY greater than any
+       value in a lower bucket, so whole-bucket keeps can't split a tie;
+    3. only the one boundary bucket per group is ranked, via a window over
+       (group, bucket) — each partition holds ~n_g / n_buckets rows.
+
+    Degenerate case: if every value collapses into one bucket (constant
+    column), step 3 ranks the whole group — correct, just no longer
+    sub-linear. All-tie corpora should dedup first.
+    """
+    if not 0 < keep_permille <= 1000:
+        raise ValueError("keep_permille must be in (0, 1000]")
+    import uuid
+
+    from pyspark.storagelevel import StorageLevel
+
+    # persist once: feeds the bounds pass, the histogram pass, and the
+    # returned plan (same LRU-1 discipline as _stats; see module doc)
+    df = df.withColumn("__cache_tag", F.lit(uuid.uuid4().hex)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _retain(df)
+    key = _bucket_key(df, order_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
+    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
+    arr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else None
+    bkt = F.size(F.filter(arr, lambda b: b <= key)) if bounds else F.lit(0)
+    bucketed = df.withColumn("__bkt", bkt).drop("__cache_tag")
+
+    # exact histogram: groups x buckets scalars to the driver
+    hist: dict[object, dict[int, int]] = {}
+    for r in bucketed.groupBy(group_col, "__bkt").count().collect():
+        hist.setdefault(r[group_col], {})[r["__bkt"]] = r["count"]
+
+    # per group: full-keep buckets strictly above the cut + a remainder
+    # quota inside the single boundary bucket
+    min_full: dict[object, int] = {}  # keep ALL rows with __bkt >= this
+    boundary: dict[object, int] = {}  # the one bucket needing ranking
+    remainder: dict[object, int] = {}  # rows still owed from boundary
+    for g, per_bkt in hist.items():
+        n_g = sum(per_bkt.values())
+        k = (n_g * keep_permille + 999) // 1000
+        taken = 0
+        for b in sorted(per_bkt, reverse=True):
+            if taken + per_bkt[b] <= k:
+                taken += per_bkt[b]
+                min_full[g] = b
+                if taken == k:
+                    break
+            else:
+                boundary[g] = b
+                remainder[g] = k - taken
+                break
+        min_full.setdefault(g, n_buckets + 1)  # no full bucket fits
+
+    def _lookup(mapping: dict[object, int], default: int) -> Column:
+        if not mapping:
+            return F.lit(default)
+        m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        return F.coalesce(
+            F.element_at(m, F.col(group_col)), F.lit(default)
+        )
+
+    full_keep = bucketed.filter(F.col("__bkt") >= _lookup(min_full, n_buckets + 1))
+    edge = bucketed.filter(F.col("__bkt") == _lookup(boundary, -1))
+    w = Window.partitionBy(group_col, "__bkt").orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    edge_keep = (
+        edge.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= _lookup(remainder, 0))
+        .drop("__r")
+    )
+    return full_keep.unionByName(edge_keep).drop("__bkt")
+
+
 def distributed_ntile(
     df: DataFrame,
     n_tiles: int,

@@ -3180,6 +3180,254 @@ def x_text_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 suite: retrieval scoring, boilerplate detection, training-mix
+# planning, deterministic global shuffle, per-group quality thresholding —
+# the remaining training-data-pipeline surface after dedup/ANN/splits.
+# ---------------------------------------------------------------------------
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ["spark", "vector", "merge", "stream"]
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # float literals via repr() so DuckDB parses the exact doubles the
+    # Spark plan uses (repr round-trips IEEE-754)
+    k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
+    slots = ",\n           ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_BM25_TERMS)))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, tok AS term
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+      WHERE tok IN ({terms})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dls AS (SELECT doc_id, {_Q_NTOK} AS dl FROM documents),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * (CAST(tf AS DOUBLE) * {k1p1})
+             / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} *
+                  (CAST(dl AS DOUBLE)
+                   / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
+      FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id), st
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_matched,
+           {slots}
+      FROM sc GROUP BY 1
+    )
+    SELECT doc_id, n_matched, {total} AS bm25
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10
+    """
+
+
+@query("x_bm25_topk", oracle=_bm25_oracle())
+def x_bm25_topk(spark, sf_dir):
+    # BM25 retrieval over the corpus for a fixed query-term bag — the
+    # lexical-retrieval half of a RAG / hard-negative-mining pipeline.
+    # Rational idf ((N-df+0.5)/(df+0.5), no ln) and fixed-order partial-
+    # score summation make the doubles bit-identical across engines; the
+    # term filter prunes the token stream BEFORE the tf hash-agg, so the
+    # shuffled volume is len(terms) rows per doc, not the corpus
+    # vocabulary (functions/text.bm25_top_docs).
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_top_docs(
+        docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=10
+    )
+
+
+@query(
+    "x_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_BIGRAMS_SQL},
+    dfs AS (SELECT tok, COUNT(*) AS df FROM gd GROUP BY 1)
+    SELECT gd.doc AS doc_id,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN dfs.df >= 30 THEN 1 ELSE 0 END) AS boilerplate_grams,
+           CAST(SUM(CASE WHEN dfs.df >= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS boilerplate_ratio
+    FROM gd JOIN dfs USING (tok)
+    GROUP BY 1
+    """,
+)
+def x_boilerplate_ngrams(spark, sf_dir):
+    # CCNet-style boilerplate detection: a word-bigram occurring in >= 30
+    # documents is corpus boilerplate (headers, nav text, license
+    # blurbs); per document, the fraction of its distinct bigrams that
+    # are boilerplate is the repetitiveness signal used to drop template
+    # pages before training. Plan: one explode -> vocabulary-sized df
+    # hash-agg -> equi-join back on the gram -> per-doc hash-agg. The
+    # gram df table is vocabulary-scale (zipf-bounded), far smaller than
+    # the corpus, and the join carries (doc, gram) ids only.
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), n=2, distinct=True)).alias("gram"),
+    )
+    dfs = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    flag = F.when(F.col("df") >= 30, 1).otherwise(0)
+    return (
+        grams.join(dfs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(flag).alias("boilerplate_grams"),
+        )
+        .withColumn(
+            "boilerplate_ratio",
+            F.col("boilerplate_grams").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+@query(
+    "x_domain_mix_plan",
+    oracle=f"""
+    WITH d AS (SELECT source, {_Q_NTOK} AS ntok FROM documents),
+    per AS (SELECT source, COUNT(*) AS docs, SUM(ntok) AS tokens FROM d GROUP BY 1),
+    wt AS (
+      SELECT *, CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3.0
+                     WHEN source IN ('src5','src6','src7','src8','src9') THEN 2.0
+                     ELSE 1.0 END AS weight
+      FROM per
+    ),
+    tot AS (SELECT SUM(weight) AS sum_w FROM wt)
+    SELECT source, docs, tokens, weight,
+           50000.0 * weight / sum_w AS target_tokens,
+           least(1.0, (50000.0 * weight / sum_w) / CAST(tokens AS DOUBLE)) AS sample_rate
+    FROM wt, tot
+    """,
+)
+def x_domain_mix_plan(spark, sf_dir):
+    # Training-mix planning (the domain-weighting step of corpus
+    # assembly): per-source token counts, literal mixture weights, and a
+    # token budget turn into per-source sampling rates
+    # (rate = min(1, budget * w_s / sum_w / tokens_s)). Determinism note:
+    # the weights are small integers-as-doubles, so SUM(weight) is exact
+    # in any accumulation order; everything downstream is a fixed tree of
+    # IEEE ops. Plan: one hash-agg to source grain (20 rows), a 1-row
+    # broadcast for the weight total — scan-bound at any corpus size.
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", T.token_count(F.col("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("ntok").alias("tokens"))
+    )
+    tier3 = [f"src{i}" for i in range(5)]
+    tier2 = [f"src{i}" for i in range(5, 10)]
+    wt = per.withColumn(
+        "weight",
+        F.when(F.col("source").isin(tier3), 3.0)
+        .when(F.col("source").isin(tier2), 2.0)
+        .otherwise(1.0),
+    )
+    tot = wt.agg(F.sum("weight").alias("sum_w"))
+    target = F.lit(50000.0) * F.col("weight") / F.col("sum_w")
+    return (
+        wt.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "sample_rate",
+            F.least(
+                F.lit(1.0), F.col("target_tokens") / F.col("tokens").cast("double")
+            ),
+        )
+        .select("source", "docs", "tokens", "weight", "target_tokens", "sample_rate")
+    )
+
+
+@query(
+    "x_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             ({_FP} * 1103515245 + 12345) % 2147483648 AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS position
+    FROM keyed
+    """,
+)
+def x_global_shuffle(spark, sf_dir):
+    # Deterministic global training-order shuffle: an LCG mix of the
+    # content fingerprint gives every document a pseudo-random but
+    # reproducible position (re-runs and engines agree bit-for-bit,
+    # unlike rand()-based orderBy). The exact global position comes from
+    # two-phase distributed ranking (operators/ranking.py) — NO
+    # unpartitioned window, so no task ever holds the full corpus; the
+    # oracle is plain ROW_NUMBER.
+    from ..operators.ranking import with_global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        ((T.fingerprint(F.col("text")) * 1103515245 + 12345) % 2147483648).alias(
+            "shuffle_key"
+        ),
+    )
+    return with_global_row_number(
+        keyed, ["shuffle_key", "doc_id"], out_col="position"
+    )
+
+
+@query(
+    "x_quality_filter_by_lang",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (least({_Q_NTOK} / 100.0, 1.0)
+              + (1.0 - least((CASE WHEN length(text) > 0
+                   THEN ({_Q_PUNCT}) / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END) * 5.0, 1.0))
+              + least((CASE WHEN {_Q_NTOK} > 0
+                   THEN {_HITS['en']} / CAST({_Q_NTOK} AS DOUBLE)
+                   ELSE 0.0 END) * 5.0, 1.0)
+             ) / 3.0 AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_g
+      FROM scored
+    )
+    SELECT doc_id, lang, quality
+    FROM ranked WHERE rn <= (n_g * 200 + 999) // 1000
+    """,
+)
+def x_quality_filter_by_lang(spark, sf_dir):
+    # Language-stratified quality filtering: keep the top 20% of each
+    # language by quality score — the per-group selection pipelines run
+    # so low-resource languages aren't starved by a single global
+    # threshold. Quota is integer arithmetic (ceil via (n*200+999)//1000)
+    # so engines can't disagree at the boundary. Exact per-group top-k
+    # WITHOUT Window.partitionBy(lang) (one task per language = the
+    # grouped scale-killer): histogram + boundary-bucket refinement in
+    # operators/ranking.grouped_top_fraction — only ~n_g/64 rows per
+    # group are ever sorted.
+    from ..operators.ranking import grouped_top_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    return grouped_top_fraction(
+        scored, "lang", "quality", "doc_id", keep_permille=200
+    ).select("doc_id", "lang", "quality")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
 # oracle-backed queries chosen to cover every operator family of SURVEY §2
@@ -3199,64 +3447,74 @@ def x_text_profile(spark, sf_dir):
 # 14 oracle-backed queries never driver-verified in rounds 1-2 plus the 5
 # round-3 debuts (x_doc_chunking, x_tfidf_top_terms, x_embedding_quantize,
 # x_dupgraph_degree, x_dedup_survivors), bringing cumulative driver-green
-# coverage to all 91 oracle-backed queries.
+# coverage to all 91 oracle-backed queries registered through round 3.
+#
+# Round-4 rotation: with cumulative coverage complete, the window now
+# RE-verifies the staleness tail — the 22 entries whose only driver-green
+# row is round 1 plus the 19 entries last green in round 2 (two rounds of
+# code evolution since, including the events-ts normalization for newer
+# parquet readers) — plus the 5 round-4 debuts (x_bm25_topk,
+# x_boilerplate_ngrams, x_domain_mix_plan, x_global_shuffle,
+# x_quality_filter_by_lang) and two timestamp-path anchors (w_sessionize,
+# x_user_value_trend) most exposed to the reader change.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # rotated IN for round 3: never driver-verified before
-    "x_cdc_fact_diff",
-    "x_salted_skew_rollup",
-    "x_knn_ivf_ann",
-    "x_dedup_ngram_jaccard",
-    "x_decontamination",
-    "x_stratified_sample",
-    "x_pack_shards",
-    "x_repetition_filter",
-    "x_fingerprint",
-    "x_top_bigrams",
-    "x_doc_stats_by_lang",
-    "x_text_stats",
-    "x_lang_id",
-    "x_quality_score",
-    # family anchors / once-green entries retained
-    "s45_source_stats",
-    "p67_year_pruning",
-    # new this round (debut queries verify in their first window)
-    "x_doc_chunking",
-    "x_tfidf_top_terms",
-    "x_embedding_quantize",
-    "x_dupgraph_degree",
-    "x_dedup_survivors",
-    "a45_global_summary",
-    "a_cube_matrix",
-    "a_rollup_hierarchy",
-    "h_monthly_from_daily",
-    "a_quantiles_by_flag",
-    "a_share_of_total",
-    "w2_peak_dow_per_flag",
+    # round-4 debuts (verify in their first window)
+    "x_bm25_topk",
+    "x_boilerplate_ngrams",
+    "x_domain_mix_plan",
+    "x_global_shuffle",
+    "x_quality_filter_by_lang",
+    # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
-    "w_moving_avg_7d",
-    "o1_top10_customers",
-    "u34_set_ops",
-    "r2_unpivot_year_matrix",
-    "f_json_extract",
-    "f_from_json_struct",
-    "sql_surface_weekly_top",
-    "q_quality_audit",
-    "x_dedup_minhash_poly",
-    "x_dedup_simhash_poly",
-    "x_dedup_clusters",
-    "x_dedup_embedding_cosine",
-    "x_range_join_value_bands",
     "x_user_value_trend",
-    "x_knn_bruteforce",
-    "x_knn_lsh_poly",
-    "x_text_profile",
-    "x_content_hash_split",
-    "x_quality_deciles",
+    # stale since round 1 (only driver-green row is r1)
+    "s4_source_date_bounds",
+    "s5_row_counts",
+    "p6_year_equality_prune",
+    "p7_year_range_prune",
+    "j6_fact_by_dow_via_date_dim",
+    "js_semi_active_customers",
+    "a4_global_summary",
+    "a5_year_bounds",
+    "a7_weekly_latest_year",
+    "a8_ratio_of_sums_by_type",
+    "a11_type_dow_matrix",
+    "a12_yearly_validation",
+    "a13_avg_of_precomputed",
+    "w1_peak_week",
+    "o2_top_events_full_sort",
+    "o5_distinct_years_sorted",
+    "u2_distinct_pairs",
+    "u3_except_churned",
+    "u4_intersect_retained",
+    "r1_pivot_year_matrix",
+    "f10_hours_arithmetic",
+    "x_dedup_canonical",
+    # stale since round 2 (last driver-green row is r2)
+    "s1_scan_pruned_projection",
+    "p2_filter_notnull_nonempty",
+    "p3_p4_p5_quality_clean",
+    "p8_guarded_ratio",
+    "p9_null_audit",
+    "j1_snowflake_flatten_distinct",
+    "j2_broadcast_user_enrichment",
+    "j5_fact_by_country",
+    "j7_enrich_with_fallback",
+    "ja_orphan_anti_join",
+    "a6_growth_by_year_priority",
+    "w3_yoy_order_growth",
+    "u1_union_two_sources",
+    "f_calendar_keys",
+    "f6_date_spine",
+    "f7_regex_inference_precedence",
+    "x_dedup_exact",
+    "x_dedup_token_jaccard",
+    "x_asof_join_last_signup",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
