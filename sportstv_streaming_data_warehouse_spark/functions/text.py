@@ -198,57 +198,74 @@ def bm25_top_docs(
     aggregation per term, so the float addition order is part of the
     operator's definition, not the shuffle's.
 
-    Plan shape at 100 TB: the term filter prunes the exploded token
-    stream BEFORE the tf hash-agg (len(query_terms) rows per doc max);
-    df and the (N, avgdl) scalars are vocabulary-of-the-query sized and
-    broadcast; the final top-k is TakeOrderedAndProject — no global sort.
+    Plan shape at 100 TB: the query terms are LITERALS, so each per-term
+    tf is a column expression over the token array — the whole base
+    relation (id, dl, tf per term) comes from ONE corpus scan with no
+    explode and no (doc, term) shuffle. All corpus statistics (N, total
+    length, per-term document frequencies) fold into a single 1-row
+    aggregate that broadcasts back, and the final top-k is
+    TakeOrderedAndProject — one scan, one tiny broadcast, no global sort.
 
     Returns (id, n_matched, bm25) for the top_k docs by score DESC,
     id ASC.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    toks = tokens(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # NB: F.filter treats a 2-arg callable as (element, index) — a
+        # default-arg capture would silently bind the index, so close
+        # over the term via a factory instead
+        return F.size(F.filter(toks, lambda t: t == term))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
     )
-    tf = (
-        toks.filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+    idx = range(len(query_terms))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in idx
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "avgdl",
-            F.col("total_dl").cast("double") / F.col("n_docs").cast("double"),
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        dfq = F.col(f"df{i}")
+        idf = ((F.col("n_docs") - dfq).cast("double") + F.lit(0.5)) / (
+            dfq.cast("double") + F.lit(0.5)
         )
-    )
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
-        F.col("df").cast("double") + F.lit(0.5)
-    )
-    denom = F.col("tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
-    )
-    score = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
-    scored = scored.withColumn("score", score)
-    per_term = [
-        F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"__s{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_matched"), *per_term
-    )
-    total = F.coalesce(F.col("__s0"), F.lit(0.0))
-    for i in range(1, len(query_terms)):
-        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        return F.when(
+            F.col(f"tf{i}") > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+
+    total = term_score(0)
+    for i in idx:
+        if i > 0:
+            total = total + term_score(i)
+    matched = F.when(F.col("tf0") > 0, 1).otherwise(0)
+    for i in idx:
+        if i > 0:
+            matched = matched + F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+    any_tf = F.col("tf0")
+    for i in idx:
+        if i > 0:
+            any_tf = any_tf + F.col(f"tf{i}")
     return (
-        agg.withColumn("bm25", total)
-        .select(id_col, "n_matched", "bm25")
+        joined.filter(any_tf > 0)
+        .select(
+            F.col(id_col),
+            matched.cast("long").alias("n_matched"),
+            total.alias("bm25"),
+        )
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(top_k)
     )

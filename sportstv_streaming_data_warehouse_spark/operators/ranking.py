@@ -269,6 +269,11 @@ def grouped_top_fraction(
     Degenerate case: if every value collapses into one bucket (constant
     column), step 3 ranks the whole group — correct, just no longer
     sub-linear. All-tie corpora should dedup first.
+
+    Group cardinality must be driver-small (languages, sources, shards —
+    the quota/boundary tables become literal lookup maps in the plan);
+    null group values are not supported. For unbounded group keys use
+    with_global_row_number over a composite surrogate instead.
     """
     if not 0 < keep_permille <= 1000:
         raise ValueError("keep_permille must be in (0, 1000]")

@@ -3190,42 +3190,45 @@ _BM25_TERMS = ["spark", "vector", "merge", "stream"]
 
 
 def _bm25_oracle() -> str:
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     # float literals via repr() so DuckDB parses the exact doubles the
     # Spark plan uses (repr round-trips IEEE-754)
     k1, b, k1p1 = repr(_BM25_K1), repr(_BM25_B), repr(_BM25_K1 + 1.0)
-    slots = ",\n           ".join(
-        f"SUM(CASE WHEN term = '{t}' THEN score END) AS s{i}"
+    idx = range(len(_BM25_TERMS))
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
         for i, t in enumerate(_BM25_TERMS)
     )
-    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(_BM25_TERMS)))
-    return rf"""
-    WITH toks AS (
-      SELECT doc_id, tok AS term
-      FROM documents,
-           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
-      WHERE tok IN ({terms})
-    ),
-    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-    dls AS (SELECT doc_id, {_Q_NTOK} AS dl FROM documents),
-    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
-    sc AS (
-      SELECT tf.doc_id, tf.term,
-             ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-             * (CAST(tf AS DOUBLE) * {k1p1})
-             / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b} *
-                  (CAST(dl AS DOUBLE)
-                   / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
-      FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id), st
-    ),
-    agg AS (
-      SELECT doc_id, COUNT(*) AS n_matched,
-           {slots}
-      FROM sc GROUP BY 1
+    df_cols = ",\n              ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in idx
     )
-    SELECT doc_id, n_matched, {total} AS bm25
-    FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10
+    avgdl = "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    scores = "\n           + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} *"
+        f" (CAST(dl AS DOUBLE) / {avgdl}))) ELSE 0.0 END)"
+        for i in idx
+    )
+    matched = " + ".join(f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in idx)
+    any_tf = " + ".join(f"tf{i}" for i in idx)
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+            FROM documents)
+    ),
+    st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+              {df_cols}
+           FROM base)
+    SELECT doc_id,
+           CAST({matched} AS BIGINT) AS n_matched,
+           {scores} AS bm25
+    FROM base, st
+    WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 10
     """
 
 
@@ -3382,6 +3385,51 @@ def x_global_shuffle(spark, sf_dir):
 
 
 @query(
+    "x_embedding_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(g.i - 1 AS INTEGER) AS dim,
+           CASE WHEN nrm > 0.0
+                THEN CAST(embedding[g.i] AS DOUBLE) / nrm
+                ELSE 0.0 END AS nval
+    FROM e, (SELECT CAST(generate_series AS INT) AS i
+             FROM generate_series(1, 100000)) g
+    WHERE g.i <= len(embedding)
+    """,
+)
+def x_embedding_normalize(spark, sf_dir):
+    # L2 unit-normalization of the embedding column — the precursor to
+    # every cosine operator (after it, cosine = dot product and the ANN
+    # index can use plain inner-product buckets). Engine-portable by
+    # construction: the squared-norm is a LEFT-TO-RIGHT fold (addition
+    # order is part of the definition, same trick as the fingerprint
+    # recurrence) and sqrt is correctly-rounded in IEEE-754, unlike
+    # ln/exp. Zero vectors normalize to zeros. Plan: fully NARROW
+    # (scan -> project -> posexplode) like x_embedding_quantize — no
+    # shuffle, no UDF, scan-speed at any corpus size.
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    e = emb.withColumn("nrm", F.sqrt(sq_sum))
+    out = e.select("vec_id", "nrm", F.posexplode("embedding").alias("dim", "val"))
+    nval = F.when(
+        F.col("nrm") > 0.0, F.col("val").cast("double") / F.col("nrm")
+    ).otherwise(F.lit(0.0))
+    return out.select("vec_id", "dim", nval.alias("nval"))
+
+
+@query(
     "x_quality_filter_by_lang",
     oracle=f"""
     WITH scored AS (
@@ -3453,10 +3501,12 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # RE-verifies the staleness tail — the 22 entries whose only driver-green
 # row is round 1 plus the 19 entries last green in round 2 (two rounds of
 # code evolution since, including the events-ts normalization for newer
-# parquet readers) — plus the 5 round-4 debuts (x_bm25_topk,
+# parquet readers) — plus the 6 round-4 debuts (x_bm25_topk,
 # x_boilerplate_ngrams, x_domain_mix_plan, x_global_shuffle,
-# x_quality_filter_by_lang) and two timestamp-path anchors (w_sessionize,
-# x_user_value_trend) most exposed to the reader change.
+# x_quality_filter_by_lang, x_embedding_normalize) and two timestamp-path
+# anchors (w_sessionize, x_user_value_trend) most exposed to the reader
+# change. x_dedup_exact (trivial hash-agg, green r1+r2, pytest-gated)
+# yields its slot to the normalize debut.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3469,6 +3519,7 @@ CORRECTNESS_WINDOW = [
     "x_domain_mix_plan",
     "x_global_shuffle",
     "x_quality_filter_by_lang",
+    "x_embedding_normalize",
     # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
     "x_user_value_trend",
@@ -3512,7 +3563,6 @@ CORRECTNESS_WINDOW = [
     "f_calendar_keys",
     "f6_date_spine",
     "f7_regex_inference_precedence",
-    "x_dedup_exact",
     "x_dedup_token_jaccard",
     "x_asof_join_last_signup",
 ]

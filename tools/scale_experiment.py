@@ -60,6 +60,13 @@ QUERY_SET = [
     # narrow (no-shuffle) ops — expect ~linear wall in input bytes
     "x_doc_chunking",
     "x_embedding_quantize",
+    # round-4 ops: fixed-output retrieval/planning (expect ~flat wall per
+    # scan byte) and distributed ranking over 10x rows
+    "x_bm25_topk",
+    "x_domain_mix_plan",
+    "x_global_shuffle",
+    "x_quality_filter_by_lang",
+    "x_boilerplate_ngrams",
 ]
 
 
