@@ -125,6 +125,9 @@ def main() -> None:
         "outlier_spread_threshold": OUTLIER_SPREAD,
         "outliers": outliers,
         "round1_comparable_total": r1_total,
+        # shared-box context: 1/5/15-min load averages at end of run, so a
+        # contaminated sample window is diagnosable from the record alone
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(record))
     spark.stop()

@@ -100,6 +100,48 @@ def test_bm25_rarity_beats_frequency_across_docs(spark):
     assert all(r["n_matched"] == 1 for r in rows[1:])
 
 
+def test_bm25_matches_pure_python_reference_exactly(spark):
+    """The operator's arithmetic is a FIXED tree of IEEE-754 ops, so a
+    pure-Python recompute in the same order must match bit-for-bit — the
+    same portability contract the DuckDB oracle checks, but on a random
+    corpus rather than the fixtures."""
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 40))))
+        for i in range(200)
+    ]
+    terms = ["w0", "w7", "w19"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_matched"], r["bm25"])
+        for r in bm25_top_docs(df, "doc_id", "text", terms, k1=k1, b=b, top_k=10).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs}
+    n_docs = len(docs)
+    total_dl = sum(len(ts) for ts in toks.values())
+    avgdl = float(total_dl) / float(n_docs)
+    dfreq = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    scores = {}
+    for i, ts in toks.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = ts.count(t)
+            if tf > 0:
+                matched += 1
+                idf = (float(n_docs - dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+                denom = float(tf) + k1 * (1.0 - b + b * (float(len(ts)) / avgdl))
+                s = s + idf * (float(tf) * (k1 + 1.0)) / denom
+            else:
+                s = s + 0.0
+        if matched:
+            scores[i] = (matched, s)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert got == dict(top)
+
+
 def test_global_shuffle_is_a_permutation(spark):
     from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
 
