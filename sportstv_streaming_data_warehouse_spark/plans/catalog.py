@@ -3430,6 +3430,57 @@ def x_embedding_normalize(spark, sf_dir):
 
 
 @query(
+    "x_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT tok AS term
+      FROM documents,
+           UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    tf AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total_tokens FROM tf),
+    top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 100)
+    SELECT term, n,
+           CAST(SUM(n) OVER (ORDER BY n DESC, term
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(total_tokens AS DOUBLE) AS cum_coverage
+    FROM top, tot
+    """,
+)
+def x_vocab_coverage(spark, sf_dir):
+    # Tokenizer-vocabulary induction statistic: the top-k corpus terms
+    # with CUMULATIVE token coverage — the curve a pipeline reads to pick
+    # a vocab size ("how many types cover 95% of tokens"). Plan: one
+    # explode -> vocabulary-sized hash-agg -> TakeOrderedAndProject to k
+    # rows; the running sum then runs over a FIXED k-row relation (k=100
+    # regardless of corpus size), so the single-partition window here is
+    # bounded by construction, unlike a corpus-sized global window. The
+    # token total is a 1-row broadcast; integer counts sum exactly in any
+    # order, and the one division per row is a fixed IEEE op.
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = tf.agg(F.sum("n").alias("total_tokens"))
+    top = tf.orderBy(F.desc("n"), F.asc("term")).limit(100)
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_coverage",
+            F.sum("n").over(w).cast("double")
+            / F.col("total_tokens").cast("double"),
+        )
+        .select("term", "n", "cum_coverage")
+    )
+
+
+@query(
     "x_quality_filter_by_lang",
     oracle=f"""
     WITH scored AS (
@@ -3501,12 +3552,13 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # RE-verifies the staleness tail — the 22 entries whose only driver-green
 # row is round 1 plus the 19 entries last green in round 2 (two rounds of
 # code evolution since, including the events-ts normalization for newer
-# parquet readers) — plus the 6 round-4 debuts (x_bm25_topk,
+# parquet readers) — plus the 7 round-4 debuts (x_bm25_topk,
 # x_boilerplate_ngrams, x_domain_mix_plan, x_global_shuffle,
-# x_quality_filter_by_lang, x_embedding_normalize) and two timestamp-path
-# anchors (w_sessionize, x_user_value_trend) most exposed to the reader
-# change. x_dedup_exact (trivial hash-agg, green r1+r2, pytest-gated)
-# yields its slot to the normalize debut.
+# x_quality_filter_by_lang, x_embedding_normalize, x_vocab_coverage) and
+# two timestamp-path anchors (w_sessionize, x_user_value_trend) most
+# exposed to the reader change. x_dedup_exact and x_dedup_token_jaccard
+# (both green r1+r2, still pytest-gated) yield their slots to the
+# normalize and vocab-coverage debuts.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3520,6 +3572,7 @@ CORRECTNESS_WINDOW = [
     "x_global_shuffle",
     "x_quality_filter_by_lang",
     "x_embedding_normalize",
+    "x_vocab_coverage",
     # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
     "x_user_value_trend",
@@ -3563,7 +3616,6 @@ CORRECTNESS_WINDOW = [
     "f_calendar_keys",
     "f6_date_spine",
     "f7_regex_inference_precedence",
-    "x_dedup_token_jaccard",
     "x_asof_join_last_signup",
 ]
 
