@@ -3481,6 +3481,86 @@ def x_vocab_coverage(spark, sf_dir):
 
 
 @query(
+    "x_scd2_point_in_time",
+    oracle="""
+    WITH u2000 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE YEAR(CAST(o_orderdate AS DATE)) = 2000
+        AND o_orderpriority = '1-URGENT'
+    ),
+    u2001 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE YEAR(CAST(o_orderdate AS DATE)) = 2001
+        AND o_orderpriority = '1-URGENT'
+    ),
+    enriched AS (
+      SELECT CASE
+               WHEN u1.o_custkey IS NOT NULL
+                    AND CAST(o.o_orderdate AS TIMESTAMP)
+                        >= TIMESTAMP '2001-07-01 00:00:00' THEN 'URGENT2001'
+               WHEN u0.o_custkey IS NOT NULL
+                    AND CAST(o.o_orderdate AS TIMESTAMP)
+                        >= TIMESTAMP '2000-07-01 00:00:00' THEN 'URGENT2000'
+               ELSE c.c_mktsegment END AS mktsegment,
+             YEAR(CAST(o.o_orderdate AS DATE)) AS order_year
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      LEFT JOIN u2000 u0 ON u0.o_custkey = o.o_custkey
+      LEFT JOIN u2001 u1 ON u1.o_custkey = o.o_custkey
+    )
+    SELECT mktsegment, order_year, COUNT(*) AS n_orders
+    FROM enriched GROUP BY 1, 2
+    """,
+)
+def x_scd2_point_in_time(spark, sf_dir):
+    # SCD Type-2 end-to-end: bootstrap the customer dimension as version
+    # history, apply two deterministic change batches (customers with an
+    # urgent order in 2000 / 2001 re-segment at fixed effective dates),
+    # then attribute every order to the dimension version IN FORCE at its
+    # order date (plans/scd.py: apply_scd2 + enrich_point_in_time, the
+    # as-of join under the hood). The oracle replays the same history
+    # declaratively: because each batch writes a literal segment value,
+    # the in-force version at time t collapses to a CASE over (flagged
+    # set, t >= effective date) — an independent derivation that must
+    # agree with the version-chain walk exactly, orders at the boundary
+    # timestamp included (an event AT change_ts sees the NEW version).
+    from .scd import apply_scd2, enrich_point_in_time, init_scd2
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    hist = init_scd2(cust, "custkey", ["mktsegment"], "1990-01-01 00:00:00")
+
+    def urgent(year: int):
+        return (
+            orders.filter(
+                (F.year(F.to_date("o_orderdate")) == year)
+                & (F.col("o_orderpriority") == "1-URGENT")
+            )
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+            .withColumn("mktsegment", F.lit(f"URGENT{year}"))
+        )
+
+    hist = apply_scd2(hist, urgent(2000), "custkey", ["mktsegment"], "2000-07-01 00:00:00")
+    hist = apply_scd2(hist, urgent(2001), "custkey", ["mktsegment"], "2001-07-01 00:00:00")
+    events = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.to_timestamp("o_orderdate").alias("ts"),
+    )
+    enriched = enrich_point_in_time(events, hist, "custkey", "ts", ["mktsegment"])
+    return (
+        enriched.groupBy("mktsegment", F.year("ts").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
     "x_quality_filter_by_lang",
     oracle=f"""
     WITH scored AS (
@@ -3556,9 +3636,10 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # x_boilerplate_ngrams, x_domain_mix_plan, x_global_shuffle,
 # x_quality_filter_by_lang, x_embedding_normalize, x_vocab_coverage) and
 # two timestamp-path anchors (w_sessionize, x_user_value_trend) most
-# exposed to the reader change. x_dedup_exact and x_dedup_token_jaccard
-# (both green r1+r2, still pytest-gated) yield their slots to the
-# normalize and vocab-coverage debuts.
+# exposed to the reader change. x_dedup_exact, x_dedup_token_jaccard and
+# x_asof_join_last_signup (all green r1+r2, still pytest-gated; the SCD2
+# debut exercises the as-of join internally) yield their slots to the
+# normalize, vocab-coverage and SCD2 debuts.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3573,6 +3654,7 @@ CORRECTNESS_WINDOW = [
     "x_quality_filter_by_lang",
     "x_embedding_normalize",
     "x_vocab_coverage",
+    "x_scd2_point_in_time",
     # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
     "x_user_value_trend",
@@ -3616,7 +3698,6 @@ CORRECTNESS_WINDOW = [
     "f_calendar_keys",
     "f6_date_spine",
     "f7_regex_inference_precedence",
-    "x_asof_join_last_signup",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
