@@ -64,6 +64,11 @@ def test_grouped_top_fraction_heavy_ties_and_constant_group(spark):
     _assert_same_set(got, want, ["id", "grp"])
 
 
+def test_grouped_top_fraction_empty_input(spark):
+    df = spark.createDataFrame([], "id long, grp string, val double")
+    assert grouped_top_fraction(df, "grp", "val", "id", keep_permille=200).count() == 0
+
+
 def test_grouped_top_fraction_rejects_bad_permille(spark):
     df = spark.createDataFrame([(1, "g", 1.0)], ["id", "grp", "val"])
     for bad in (0, -5, 1001):
