@@ -209,6 +209,8 @@ def bm25_top_docs(
     Returns (id, n_matched, bm25) for the top_k docs by score DESC,
     id ASC.
     """
+    if not query_terms:
+        raise ValueError("bm25_top_docs requires at least one query term")
     toks = tokens(F.col(text_col))
 
     def _tf(term: str) -> Column:

@@ -120,6 +120,24 @@ def _stats(
     the deciles stats pass at sf0.1). A distinct literal per call keeps
     every persist/unpersist pair independent.
     """
+    bucketed = _persist_and_bucket(df, order_cols[0], n_buckets, accuracy)
+    per_bucket = {
+        r["__bkt"]: r["v"]
+        for r in bucketed.groupBy("__bkt").agg(agg.alias("v")).collect()
+    }
+    return bucketed, per_bucket
+
+
+def _persist_and_bucket(
+    df: DataFrame, order_col: str, n_buckets: int, accuracy: int
+) -> DataFrame:
+    """Persist the input (LRU-1, see module docstring) and add ``__bkt``:
+    range-bucket index from approx quantile boundaries of ``order_col``
+    (index = number of boundaries <= key, so equal values always share a
+    bucket). The one implementation behind _stats and
+    grouped_top_fraction — the cache-tag workaround and bucket
+    monotonicity rules live only here.
+    """
     import uuid
 
     from pyspark.storagelevel import StorageLevel
@@ -128,7 +146,7 @@ def _stats(
         StorageLevel.MEMORY_AND_DISK
     )
     _retain(df)
-    key = _bucket_key(df, order_cols[0])
+    key = _bucket_key(df, order_col)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
     bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
@@ -136,12 +154,7 @@ def _stats(
     arr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else None
     # bucket index = number of boundaries <= key
     bkt = F.size(F.filter(arr, lambda b: b <= key)) if bounds else F.lit(0)
-    bucketed = df.withColumn("__bkt", bkt)
-    per_bucket = {
-        r["__bkt"]: r["v"]
-        for r in bucketed.groupBy("__bkt").agg(agg.alias("v")).collect()
-    }
-    return bucketed.drop("__cache_tag"), per_bucket
+    return df.withColumn("__bkt", bkt).drop("__cache_tag")
 
 
 def _offsets_col(per_bucket: dict[int, object], zero) -> Column:
@@ -277,23 +290,9 @@ def grouped_top_fraction(
     """
     if not 0 < keep_permille <= 1000:
         raise ValueError("keep_permille must be in (0, 1000]")
-    import uuid
-
-    from pyspark.storagelevel import StorageLevel
-
     # persist once: feeds the bounds pass, the histogram pass, and the
-    # returned plan (same LRU-1 discipline as _stats; see module doc)
-    df = df.withColumn("__cache_tag", F.lit(uuid.uuid4().hex)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _retain(df)
-    key = _bucket_key(df, order_col)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds_row = df.agg(F.percentile_approx(key, qs, accuracy).alias("b")).first()
-    bounds = sorted({b for b in (bounds_row["b"] or []) if b is not None})
-    arr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else None
-    bkt = F.size(F.filter(arr, lambda b: b <= key)) if bounds else F.lit(0)
-    bucketed = df.withColumn("__bkt", bkt).drop("__cache_tag")
+    # returned plan (same LRU-1 discipline as _stats)
+    bucketed = _persist_and_bucket(df, order_col, n_buckets, accuracy)
 
     # exact histogram: groups x buckets scalars to the driver
     hist: dict[object, dict[int, int]] = {}

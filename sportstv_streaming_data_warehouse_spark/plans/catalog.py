@@ -3237,10 +3237,11 @@ def x_bm25_topk(spark, sf_dir):
     # BM25 retrieval over the corpus for a fixed query-term bag — the
     # lexical-retrieval half of a RAG / hard-negative-mining pipeline.
     # Rational idf ((N-df+0.5)/(df+0.5), no ln) and fixed-order partial-
-    # score summation make the doubles bit-identical across engines; the
-    # term filter prunes the token stream BEFORE the tf hash-agg, so the
-    # shuffled volume is len(terms) rows per doc, not the corpus
-    # vocabulary (functions/text.bm25_top_docs).
+    # score summation make the doubles bit-identical across engines. The
+    # terms are literals, so per-term tf is a column expression over the
+    # token array: one scan builds (id, dl, tf...) with no explode and no
+    # (doc, term) shuffle; corpus stats fold into a 1-row broadcast and
+    # the top-k is TakeOrderedAndProject (functions/text.bm25_top_docs).
     docs = load_table(spark, sf_dir, "documents")
     return T.bm25_top_docs(
         docs, "doc_id", "text", _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=10
