@@ -1,0 +1,99 @@
+"""Deterministic k-means (Lloyd) rounds over an embedding column.
+
+The iterative-ML pattern on Spark: each round is (1) a broadcast of k
+centroids against the vector corpus with an argmin assignment, (2) a
+hash-aggregated centroid update. Unlike textbook float k-means, every
+step here is ENGINE-PORTABLE so a full round can be replayed in plain
+SQL and hash-compared (the same contract as the IVF pipeline in
+operators/similarity.py, extended to the centroid UPDATE):
+
+- distances: squared L2 as a left-to-right fold over dimensions of
+  (cast(v_j as double) - cast(c_j as double))^2 — a fixed IEEE tree,
+  identical in any engine that folds in index order;
+- argmin: ROW_NUMBER over (distance, centroid_id) — the id tiebreak
+  makes equal distances deterministic;
+- centroid means: per-dimension sums accumulate in DECIMAL(20,8) after
+  an exact float->double widening (double->decimal rounding agrees
+  across engines where float->decimal does NOT — measured), then one
+  double division by the exact count. Decimal addition is associative,
+  so the shuffle's reduction order can't change the mean.
+
+Scale posture: k centroids broadcast (kilobytes); assignment is a
+narrow map over the corpus; the update is one hash-agg keyed on
+(cluster, dim) with map-side partials. No iteration-scoped state lives
+on the driver beyond the k x d centroid table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MEAN_DECIMAL = "decimal(20,8)"
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id): nearest centroid by squared L2, ties to the
+    smallest centroid id. ``centroids`` is (cid, c) with c an array
+    column; it is broadcast (k rows)."""
+    sq = F.zip_with(
+        F.col(vec_col),
+        F.col("__c"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    joined = vectors.select(id_col, vec_col).crossJoin(
+        F.broadcast(centroids.select("cid", F.col("c").alias("__c")))
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist", "cid")
+    return (
+        joined.withColumn("__dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("cid").alias("cluster_id"))
+    )
+
+
+def update_centroids(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, c): per-cluster per-dimension mean via exact decimal sums.
+    Empty clusters simply vanish (no row), as in textbook Lloyd."""
+    means = (
+        vectors.join(assignments, id_col)
+        .select("cluster_id", F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("cluster_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast(MEAN_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    return means.groupBy(F.col("cluster_id").alias("cid")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def lloyd_round(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd round: (assignments under the INPUT centroids, updated
+    centroids from those assignments)."""
+    assign = assign_clusters(vectors, centroids, id_col, vec_col)
+    return assign, update_centroids(vectors, assign, id_col, vec_col)

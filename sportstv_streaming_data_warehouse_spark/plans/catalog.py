@@ -3481,6 +3481,86 @@ def x_vocab_coverage(spark, sf_dir):
     )
 
 
+def _kmeans_dist_sql(c_rel: str) -> str:
+    """Squared-L2 fold between embeddings e and centroid relation
+    ``c_rel`` (cid, c) — the same index-ordered IEEE tree Spark's
+    zip_with+aggregate emits."""
+    return f"""
+  SELECT e.vec_id, {c_rel}.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST({c_rel}.c[i] AS DOUBLE))
+                * (CAST(e.embedding[i] AS DOUBLE) - CAST({c_rel}.c[i] AS DOUBLE)))),
+           (a, b) -> a + b) AS dist
+  FROM embeddings e, {c_rel}
+"""
+
+
+@query(
+    "x_kmeans_lloyd",
+    oracle=f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS c FROM embeddings
+                WHERE vec_id < 8),
+    d0 AS ({_kmeans_dist_sql("c0")}),
+    a0 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d0) WHERE rn = 1),
+    upd AS (
+      SELECT a0.cid, g.i AS dim,
+             CAST(SUM(CAST(CAST(e.embedding[g.i] AS DOUBLE)
+                           AS DECIMAL(20,8))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM embeddings e JOIN a0 USING (vec_id),
+           (SELECT CAST(generate_series AS INT) AS i
+            FROM generate_series(1, 1000)) g
+      WHERE g.i <= len(e.embedding)
+      GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM upd GROUP BY 1),
+    d1 AS ({_kmeans_dist_sql("c1")}),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d1) WHERE rn = 1),
+    s0 AS (SELECT cid AS cluster_id, COUNT(*) AS n_iter0 FROM a0 GROUP BY 1),
+    s1 AS (SELECT cid AS cluster_id, COUNT(*) AS n_iter1 FROM a1 GROUP BY 1)
+    SELECT cluster_id,
+           COALESCE(n_iter0, 0) AS n_iter0,
+           COALESCE(n_iter1, 0) AS n_iter1
+    FROM s0 FULL JOIN s1 USING (cluster_id)
+    """,
+)
+def x_kmeans_lloyd(spark, sf_dir):
+    # One full Lloyd round, verified END-TO-END including the centroid
+    # UPDATE: seed with the k=8 lowest-id vectors, assign, recompute
+    # centroids as exact decimal-sum means, re-assign, and report
+    # per-cluster sizes from both assignments. The oracle replays the
+    # entire round in SQL — the iterative-ML pattern (broadcast model,
+    # narrow scoring pass, hash-agg update) under the same portability
+    # contract as the IVF pipeline, extended to the model update
+    # (operators/clustering.py; float->double->decimal because
+    # float->decimal rounding differs between engines, measured).
+    from ..operators.clustering import assign_clusters, update_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    a0 = assign_clusters(emb, c0)
+    c1 = update_centroids(emb, a0)
+    a1 = assign_clusters(emb, c1)
+    s0 = a0.groupBy("cluster_id").agg(F.count("*").alias("n_iter0"))
+    s1 = a1.groupBy("cluster_id").agg(F.count("*").alias("n_iter1"))
+    return s0.join(s1, "cluster_id", "full").select(
+        "cluster_id",
+        F.coalesce("n_iter0", F.lit(0)).alias("n_iter0"),
+        F.coalesce("n_iter1", F.lit(0)).alias("n_iter1"),
+    )
+
+
 @query(
     "x_scd2_point_in_time",
     oracle="""
@@ -3639,8 +3719,9 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # two timestamp-path anchors (w_sessionize, x_user_value_trend) most
 # exposed to the reader change. x_dedup_exact, x_dedup_token_jaccard and
 # x_asof_join_last_signup (all green r1+r2, still pytest-gated; the SCD2
-# debut exercises the as-of join internally) yield their slots to the
-# normalize, vocab-coverage and SCD2 debuts.
+# debut exercises the as-of join internally) and u1_union_two_sources
+# yield their slots to the normalize, vocab-coverage, SCD2 and
+# k-means-Lloyd debuts.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3656,6 +3737,7 @@ CORRECTNESS_WINDOW = [
     "x_embedding_normalize",
     "x_vocab_coverage",
     "x_scd2_point_in_time",
+    "x_kmeans_lloyd",
     # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
     "x_user_value_trend",
@@ -3695,7 +3777,6 @@ CORRECTNESS_WINDOW = [
     "ja_orphan_anti_join",
     "a6_growth_by_year_priority",
     "w3_yoy_order_growth",
-    "u1_union_two_sources",
     "f_calendar_keys",
     "f6_date_spine",
     "f7_regex_inference_precedence",

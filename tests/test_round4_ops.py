@@ -147,6 +147,38 @@ def test_bm25_matches_pure_python_reference_exactly(spark):
     assert got == dict(top)
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    # three well-separated blobs; one Lloyd round from arbitrary seeds
+    # inside each blob must assign every point to its blob's centroid
+    from sportstv_streaming_data_warehouse_spark.operators.clustering import (
+        assign_clusters,
+        lloyd_round,
+        update_centroids,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for blob, center in enumerate([0.0, 100.0, 200.0]):
+        for i in range(40):
+            rows.append(
+                (blob * 40 + i, [center + rng.uniform(-1, 1), center + rng.uniform(-1, 1)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = df.filter(F.col("vec_id").isin([0, 40, 80])).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    assign, updated = lloyd_round(df, seeds)
+    got = {r["vec_id"]: r["cluster_id"] for r in assign.collect()}
+    assert all(got[i] == (i // 40) * 40 for i in range(120))
+    # after the update, centroids sit at the blob means and a second
+    # assignment is stable (Lloyd has converged on separated data)
+    again = {r["vec_id"]: r["cluster_id"] for r in assign_clusters(df, updated).collect()}
+    assert again == got
+    # empty clusters vanish from the update
+    lone = df.limit(0)
+    assert update_centroids(lone, assign_clusters(lone, seeds)).count() == 0
+
+
 def test_global_shuffle_is_a_permutation(spark):
     from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
 
