@@ -56,6 +56,8 @@ HEADLINE = [
     "x_bm25_topk",             # extended: BM25 lexical retrieval (r4)
     "x_global_shuffle",        # extended: deterministic training order (r4)
     "x_quality_filter_by_lang",# extended: per-lang top-20% selection (r4)
+    "x_kmeans_lloyd",          # extended: one Lloyd round, broadcast model (r4)
+    "x_scd2_point_in_time",    # extended: SCD2 history + as-of attribution (r4)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

@@ -26,7 +26,7 @@ on the driver beyond the k x d centroid table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEAN_DECIMAL = "decimal(20,8)"
@@ -40,7 +40,13 @@ def assign_clusters(
 ) -> DataFrame:
     """(id, cluster_id): nearest centroid by squared L2, ties to the
     smallest centroid id. ``centroids`` is (cid, c) with c an array
-    column; it is broadcast (k rows)."""
+    column; it is broadcast (k rows).
+
+    The argmin is MIN over a (dist, cid) struct — lexicographic struct
+    comparison gives the id tiebreak, and a hash-agg with map-side
+    partial MINs beats a row_number window (which would sort k rows per
+    key after a shuffle) while matching the oracle's
+    ROW_NUMBER OVER (ORDER BY dist, cid) = 1 exactly."""
     sq = F.zip_with(
         F.col(vec_col),
         F.col("__c"),
@@ -51,12 +57,11 @@ def assign_clusters(
     joined = vectors.select(id_col, vec_col).crossJoin(
         F.broadcast(centroids.select("cid", F.col("c").alias("__c")))
     )
-    w = Window.partitionBy(id_col).orderBy("__dist", "cid")
     return (
         joined.withColumn("__dist", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("cid").alias("cluster_id"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__dist"), F.col("cid"))).alias("__best"))
+        .select(id_col, F.col("__best.cid").alias("cluster_id"))
     )
 
 

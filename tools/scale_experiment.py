@@ -67,6 +67,8 @@ QUERY_SET = [
     "x_global_shuffle",
     "x_quality_filter_by_lang",
     "x_boilerplate_ngrams",
+    "x_kmeans_lloyd",
+    "x_scd2_point_in_time",
 ]
 
 
