@@ -62,7 +62,11 @@ HEADLINE = [
 
 # Queries whose history shows multi-second shared-box variance get more
 # timed iterations so one slow process window cannot set the median.
-EXTRA_ITERS = {"x_quality_deciles": 5, "x_dedup_embedding_cosine": 5}
+EXTRA_ITERS = {
+    "x_quality_deciles": 5,
+    "x_dedup_embedding_cosine": 5,
+    "x_dedup_survivors": 5,
+}
 # max/min spread beyond which a query's sample is flagged as contaminated
 OUTLIER_SPREAD = 3.0
 

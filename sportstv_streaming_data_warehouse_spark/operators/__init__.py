@@ -17,7 +17,14 @@ from .similarity import (
     normalize_embeddings_pandas,
 )
 from .asof import asof_join
+from .clustering import assign_clusters, lloyd_round, update_centroids
 from .ranges import range_join
+from .ranking import (
+    distributed_ntile,
+    grouped_top_fraction,
+    with_global_row_number,
+    with_running_total,
+)
 from .skew import salted_aggregate, salted_join
 from .regression import trend_apply_in_pandas, trend_expr
 from . import multimodal
@@ -39,7 +46,14 @@ __all__ = [
     "normalize_embeddings",
     "normalize_embeddings_pandas",
     "asof_join",
+    "assign_clusters",
+    "lloyd_round",
+    "update_centroids",
     "range_join",
+    "distributed_ntile",
+    "grouped_top_fraction",
+    "with_global_row_number",
+    "with_running_total",
     "salted_aggregate",
     "salted_join",
     "trend_apply_in_pandas",

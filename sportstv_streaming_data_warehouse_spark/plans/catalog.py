@@ -3417,12 +3417,9 @@ def x_embedding_normalize(spark, sf_dir):
     # (scan -> project -> posexplode) like x_embedding_quantize — no
     # shuffle, no UDF, scan-speed at any corpus size.
     emb = load_table(spark, sf_dir, "embeddings")
-    sq_sum = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    e = emb.withColumn("nrm", F.sqrt(sq_sum))
+    # S.norm is the same sqrt-of-left-fold tree the similarity operators
+    # use — one definition of "vector norm" across the engine
+    e = emb.withColumn("nrm", S.norm(F.col("embedding")))
     out = e.select("vec_id", "nrm", F.posexplode("embedding").alias("dim", "val"))
     nval = F.when(
         F.col("nrm") > 0.0, F.col("val").cast("double") / F.col("nrm")
