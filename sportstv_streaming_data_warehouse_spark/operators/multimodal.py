@@ -121,6 +121,84 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, DECODED_SCHEMA)
 
 
+PROBED_SCHEMA = StructType(
+    IMAGE_SCHEMA.fields
+    + [
+        StructField("format_detected", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Sniff real container formats and read dimensions from the header
+    bytes alone — NO imaging library, pure byte parsing, so unlike the
+    fake codec this path is fully real: PNG (IHDR big-endian dims), GIF
+    (87a/89a little-endian dims), JPEG (walk the marker stream to the
+    first SOF frame header), plus the SYNM synthetic container. Unknown
+    or truncated blobs probe as (None, None, None) rather than erroring —
+    a corpus audit must survive garbage bytes.
+
+    Same scale posture as decode_media: narrow mapInPandas, one pass per
+    partition, memory bounded by the Arrow batch size. This is the
+    metadata-extraction step a multimodal pipeline runs BEFORE deciding
+    what to decode (filter by format/size first, decode the survivors).
+    """
+
+    # self-contained closure: executors import nothing from this package
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+        def probe(b):
+            if b is None:
+                return (None, None, None)
+            b = bytes(b)
+            if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+                w = int.from_bytes(b[16:20], "big")
+                h = int.from_bytes(b[20:24], "big")
+                return ("png", w, h)
+            if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+                w = int.from_bytes(b[6:8], "little")
+                h = int.from_bytes(b[8:10], "little")
+                return ("gif", w, h)
+            if len(b) >= 4 and b[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(b):
+                    if b[i] != 0xFF:
+                        break
+                    code = b[i + 1]
+                    if code == 0xD8 or 0xD0 <= code <= 0xD7 or code == 0x01:
+                        i += 2  # standalone marker, no length field
+                        continue
+                    seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+                    if code in SOF:
+                        h = int.from_bytes(b[i + 5:i + 7], "big")
+                        w = int.from_bytes(b[i + 7:i + 9], "big")
+                        return ("jpeg", w, h)
+                    if seg_len < 2:
+                        break
+                    i += 2 + seg_len
+                return ("jpeg", None, None)  # JPEG magic but no SOF found
+            if len(b) >= 9 and b[:4] == b"SYNM":
+                _, w, h, _c = _st.unpack(">4sHHB", b[:9])
+                return ("synm", int(w), int(h))
+            return (None, None, None)
+
+        for pdf in batches:
+            meta = pdf["data"].map(probe)
+            pdf = pdf.copy()
+            pdf["format_detected"] = [m[0] for m in meta]
+            pdf["width"] = [m[1] for m in meta]
+            pdf["height"] = [m[2] for m in meta]
+            yield pdf
+
+    return df.mapInPandas(fn, PROBED_SCHEMA)
+
+
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """'Resize' blobs to (width, height): the fake regenerates the body
     deterministically from the original content hash, preserving the

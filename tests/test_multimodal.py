@@ -57,3 +57,44 @@ def test_embeddings_feed_similarity(spark):
     # unit-normalized vectors → cosine within [-1, 1]
     sims = [r["cosine_sim"] for r in topk.collect()]
     assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def _png(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 10
+
+
+def _jpeg(w, h):
+    # SOI, APP0 (JFIF stub), SOF0 frame header, EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof_payload = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    sof = b"\xff\xc0" + (2 + len(sof_payload)).to_bytes(2, "big") + sof_payload
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_probe_real_container_headers(spark):
+    blobs = [
+        (1, _png(640, 480), "?"),
+        (2, _gif(320, 200), "?"),
+        (3, _jpeg(1920, 1080), "?"),
+        (4, M.make_blob(32, 24), "?"),
+        (5, b"\x00garbage\x01\x02", "?"),
+        (6, None, "?"),
+        (7, b"\xff\xd8\xff\xd9", "?"),  # JPEG magic, no SOF
+    ]
+    df = spark.createDataFrame(blobs, M.IMAGE_SCHEMA).repartition(3)
+    got = {r["media_id"]: r for r in M.probe_media(df).collect()}
+    assert (got[1]["format_detected"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format_detected"], got[2]["width"], got[2]["height"]) == ("gif", 320, 200)
+    assert (got[3]["format_detected"], got[3]["width"], got[3]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[4]["format_detected"], got[4]["width"], got[4]["height"]) == ("synm", 32, 24)
+    assert got[5]["format_detected"] is None and got[5]["width"] is None
+    assert got[6]["format_detected"] is None
+    assert got[7]["format_detected"] == "jpeg" and got[7]["width"] is None
