@@ -85,17 +85,33 @@ def main() -> None:
     QUERIES["flagship_daily_rollup"](spark, "/root/testdata/sf0.001").count()
     QUERIES["x_dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
 
+    from pyspark.sql import functions as F
+
+    def run_full(name: str) -> None:
+        # Force the COMPLETE plan: hash every column of every output row
+        # into one scalar. count() is NOT a valid probe — Catalyst prunes
+        # every expression count doesn't need, including aggregate VALUES
+        # under a count-of-groupBy (measured: the flagship rollup timed
+        # 0.3 s under count vs 1.9 s forced — count skipped the exact
+        # countDistinct and the decimal sums) and whole projections of
+        # narrow queries. The noop sink agrees with this probe within
+        # noise; the hash-reduce is kept because it also exercises every
+        # output value without write-path configuration.
+        df = QUERIES[name](spark, sf_dir)
+        df.select(
+            F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")
+        ).collect()
+
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
     outliers: dict[str, float] = {}
     for name in HEADLINE:
         # discarded warm-up: absorbs plan compilation + page-cache faults
-        QUERIES[name](spark, sf_dir).count()
+        run_full(name)
         times = []
         for _ in range(max(iters, EXTRA_ITERS.get(name, 0))):
             t0 = time.perf_counter()
-            # count() fully executes the plan w/o driver-side row transfer
-            QUERIES[name](spark, sf_dir).count()
+            run_full(name)
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 3)
         per_query_min[name] = round(min(times), 3)
@@ -126,6 +142,9 @@ def main() -> None:
         "rollup_input_rows": n_rows,
         "iters": iters,
         "stat": "median",
+        # forcing probe (round 4+: full-plan hash-reduce; earlier history
+        # entries used count(), which under-measured pruned expressions)
+        "probe": "hash-force",
         "queries_min": per_query_min,
         "min_total": round(sum(per_query_min.values()), 3),
         "outlier_spread_threshold": OUTLIER_SPREAD,

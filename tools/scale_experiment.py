@@ -37,8 +37,8 @@ from sportstv_streaming_data_warehouse_spark.sources.fixtures import (
 )
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/spark_graft_scale10"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+DST = f"/tmp/spark_graft_scale{REPLICAS}"
 
 # Fuzzy-TEXT dedup (minhash / token-Jaccard) runs on a separate
 # ZIPFIAN-vocabulary corpus (zipf_documents below) rather than the
@@ -234,12 +234,17 @@ def fuzzy_dedup_experiment(spark) -> None:
 
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
-        return QUERIES[name](spark, sf_dir)
+        # hash-reduce forces every column of every output row (count()
+        # would let Catalyst prune narrow projections and time a bare row
+        # count — same forcing probe as bench.py)
+        df = QUERIES[name](spark, sf_dir)
+        df.select(F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")).collect()
 
-    run().count()  # warm (plan + IO cache)
+    run()  # warm (plan + IO cache)
     t0 = time.perf_counter()
-    n = run().count()
-    return time.perf_counter() - t0, n
+    run()
+    wall = time.perf_counter() - t0
+    return wall, QUERIES[name](spark, sf_dir).count()
 
 
 def main() -> None:
