@@ -122,8 +122,10 @@ def main() -> None:
             outliers[name] = round(spread, 2)
 
     total = round(sum(per_query.values()), 3)
-    # round-1 ran these 16; keep a directly comparable subtotal now that
-    # the headline set has grown
+    # subtotal over the 16 queries round 1 benched. NOTE: comparable only
+    # between entries with the SAME `probe` field — rounds 1-3 timed
+    # under count(), which under-measures pruned expressions (see
+    # run_full); bench_diff warns on cross-probe comparisons.
     r1_set = HEADLINE[:16]
     r1_total = round(sum(per_query[n] for n in r1_set), 3)
     # records/s of the ETL-analog rollup, comparable to BASELINE.md's

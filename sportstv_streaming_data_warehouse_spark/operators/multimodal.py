@@ -167,7 +167,10 @@ def probe_media(df: DataFrame) -> DataFrame:
                 return ("gif", w, h)
             if len(b) >= 4 and b[:2] == b"\xff\xd8":
                 i = 2
-                while i + 9 < len(b):
+                # need marker(2) + length(2) + precision(1) + h(2) + w(2)
+                # = 9 bytes from i; <= so an SOF ending at the last byte
+                # still parses
+                while i + 9 <= len(b):
                     if b[i] != 0xFF:
                         break
                     code = b[i + 1]

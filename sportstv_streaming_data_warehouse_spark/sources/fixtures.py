@@ -42,11 +42,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ branch below interprets wall-clock in the SESSION zone;
-        # pin it so absolute-instant ops (unix_timestamp arithmetic) are
-        # deterministic under a driver-owned session too. The repo's own
-        # factory (session.py) already pins UTC — this makes the catalog
-        # tz-independent when loaded into a vanilla session.
+        # The NTZ branch below interprets wall-clock in the SESSION zone,
+        # and the catalog's calendar/instant semantics (to_date renders,
+        # unix_timestamp arithmetic, the DuckDB oracle twins) are defined
+        # in UTC — so the session timezone is pinned here, which makes
+        # the catalog deterministic under a driver-owned vanilla session
+        # too (the repo's own factory already pins UTC). This IS a
+        # session-global override; warn instead of silently rewriting a
+        # deliberately non-UTC session.
+        current_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if current_tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            import warnings
+
+            warnings.warn(
+                "load_table('events') pins spark.sql.session.timeZone to "
+                f"UTC (was {current_tz!r}): the engine's calendar "
+                "semantics and oracle parity are defined in UTC",
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # Normalize ts to session-zoned TIMESTAMP whatever the reader

@@ -88,6 +88,10 @@ def test_probe_real_container_headers(spark):
         (5, b"\x00garbage\x01\x02", "?"),
         (6, None, "?"),
         (7, b"\xff\xd8\xff\xd9", "?"),  # JPEG magic, no SOF
+        # SOF's width field IS the final two bytes (truncated but
+        # sufficient) — regression for the marker-walk off-by-one
+        (8, b"\xff\xd8" + b"\xff\xc0" + (9).to_bytes(2, "big") + b"\x08"
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big"), "?"),
     ]
     df = spark.createDataFrame(blobs, M.IMAGE_SCHEMA).repartition(3)
     got = {r["media_id"]: r for r in M.probe_media(df).collect()}
@@ -98,3 +102,4 @@ def test_probe_real_container_headers(spark):
     assert got[5]["format_detected"] is None and got[5]["width"] is None
     assert got[6]["format_detected"] is None
     assert got[7]["format_detected"] == "jpeg" and got[7]["width"] is None
+    assert (got[8]["format_detected"], got[8]["width"], got[8]["height"]) == ("jpeg", 640, 480)

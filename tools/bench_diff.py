@@ -21,16 +21,24 @@ def main() -> None:
         band = float(sys.argv[sys.argv.index("--band") + 1])
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_history.jsonl")
     entries = [json.loads(line) for line in open(path) if line.strip()]
-    by_sf: dict[object, list[dict]] = {}
-    for e in entries:
-        by_sf.setdefault(e.get("sf"), []).append(e)
-    sf, runs = max(by_sf.items(), key=lambda kv: len(kv[1]))
+    if not entries:
+        print("empty history")
+        return
+    # diff at the LATEST entry's scale factor (not the most-populated one)
+    sf = entries[-1].get("sf")
+    runs = [e for e in entries if e.get("sf") == sf]
     if len(runs) < 2:
-        print("need two runs at one sf to diff")
+        print(f"need two runs at sf={sf} to diff")
         return
     prev, cur = runs[-2], runs[-1]
-    print(f"sf={sf}  prev git={prev.get('git')} loadavg={prev.get('loadavg')}  "
-          f"cur git={cur.get('git')} loadavg={cur.get('loadavg')}")
+    print(f"sf={sf}  prev git={prev.get('git')} probe={prev.get('probe', 'count')} "
+          f"loadavg={prev.get('loadavg')}  cur git={cur.get('git')} "
+          f"probe={cur.get('probe', 'count')} loadavg={cur.get('loadavg')}")
+    if prev.get("probe") != cur.get("probe"):
+        print("WARNING: forcing probes differ between runs — ratios reflect "
+              "the METHODOLOGY change (count() under-measures pruned "
+              "expressions by up to ~6x), not performance. Compare only "
+              "same-probe entries.")
     print(f"{'query':28} {'prev':>7} {'cur':>7} {'ratio':>6}")
     flagged = []
     for name, t in cur["queries"].items():

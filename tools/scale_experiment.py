@@ -205,6 +205,7 @@ def fuzzy_dedup_experiment(spark) -> None:
             )
         return minhash_near_duplicates(docs, "doc_id", "text")
 
+    # the zipf corpus experiment is always 1x -> 10x regardless of REPLICAS
     print(f"\n{'fuzzy dedup (zipf corpus)':36} {'1x wall':>8} {'10x wall':>9} {'ratio':>6}  rows(1x->10x)")
     for op in (
         "x_dedup_minhash_lsh",
@@ -255,7 +256,7 @@ def main() -> None:
     build(spark)
     print(f"built in {time.perf_counter() - t0:.0f}s")
 
-    print(f"{'query':36} {'1x wall':>8} {'10x wall':>9} {'ratio':>6}  rows(10x)")
+    print(f"{'query':36} {'1x wall':>8} {f'{REPLICAS}x wall':>9} {'ratio':>6}  rows({REPLICAS}x)")
     for name in QUERY_SET:
         w1, _ = time_query(spark, name, SRC)
         w10, n10 = time_query(spark, name, DST)
