@@ -1,6 +1,7 @@
 from .windows import per_group_argmax, yoy_growth
 from .dedup import (
     connected_components,
+    incremental_near_duplicates,
     dedup_by_clusters,
     exact_dedup,
     minhash_near_duplicates,
@@ -33,6 +34,7 @@ __all__ = [
     "per_group_argmax",
     "yoy_growth",
     "connected_components",
+    "incremental_near_duplicates",
     "dedup_by_clusters",
     "exact_dedup",
     "minhash_near_duplicates",

@@ -169,6 +169,113 @@ def minhash_signature(
     return with_hashes.select(id_col, F.array(*mins).alias("signature"))
 
 
+def _banded_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    seed: int,
+    portable: bool,
+) -> DataFrame:
+    """(id, signature, band_id, band_hash) — one row per (doc, band).
+    Shared by the in-corpus self-join and the incremental corpus↔batch
+    join; the signature is cached (it feeds the banding explode and the
+    candidate-refine columns)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, id_col, text_col, num_hashes, n, seed, portable=portable
+    ).cache()
+
+    if portable:
+        def band_key(b):
+            return F.aggregate(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, v: (acc * 1000003 + v) % _HASH_PRIME,
+            )
+    else:
+        def band_key(b):
+            return F.xxhash64(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+            )
+
+    return sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    band_key(b).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "signature", "band.band_id", "band.band_hash")
+
+
+def incremental_near_duplicates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus — the daily-
+    ingest dedup: which incoming documents duplicate something already
+    kept? Returns (batch_id, corpus_id, est_jaccard) pairs.
+
+    Same signatures and banding as minhash_near_duplicates, but the
+    candidate join is batch-buckets ⋈ corpus-buckets ONLY — no
+    within-corpus or within-batch pairs are ever generated, so the work
+    is proportional to the BATCH's bucket occupancy, not the corpus's
+    (the corpus side contributes signatures once; at steady state those
+    are precomputed and stored, making each ingest incremental in the
+    batch size). est_jaccard is the fraction of matching signature slots
+    (an exact rational k/num_hashes — engine-portable under the portable
+    hash family).
+    """
+    bb = _banded_minhash(
+        batch, id_col, text_col, num_hashes, bands, n, seed, portable
+    ).alias("b")
+    bc = _banded_minhash(
+        corpus, id_col, text_col, num_hashes, bands, n, seed, portable
+    ).alias("c")
+    cand = (
+        bb.join(
+            bc,
+            on=[
+                F.col("b.band_id") == F.col("c.band_id"),
+                F.col("b.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col("b.signature").alias("sig_b"),
+            F.col("c.signature").alias("sig_c"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -192,37 +299,9 @@ def minhash_near_duplicates(
     collisions only add candidates, which the signature-overlap filter
     then rejects identically in both engines.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(
-        df, id_col, text_col, num_hashes, n, seed, portable=portable
-    ).cache()
-
-    if portable:
-        def band_key(b):
-            return F.aggregate(
-                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                F.lit(0).cast("long"),
-                lambda acc, v: (acc * 1000003 + v) % _HASH_PRIME,
-            )
-    else:
-        def band_key(b):
-            return F.xxhash64(
-                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-            )
-
-    banded = sig.select(
-        F.col(id_col),
-        F.col("signature"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    band_key(b).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "signature", "band.band_id", "band.band_hash")
+    banded = _banded_minhash(
+        df, id_col, text_col, num_hashes, bands, n, seed, portable
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")

@@ -2565,6 +2565,98 @@ def _minhash_poly_oracle() -> str:
     """
 
 
+def _minhash_incremental_oracle() -> str:
+    coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
+    slots = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+
+    def band_key(k: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(k * _MH_RPB, (k + 1) * _MH_RPB):
+            acc = f"(({acc}) * 1000003 + m{i}) % {_MH_P}"
+        return f"{acc} AS bh{k}"
+
+    bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
+    est = " + ".join(
+        f"(CASE WHEN bb.m{i} = cc.m{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+    )
+    any_band = " OR ".join(f"bb.bh{k} = cc.bh{k}" for k in range(_MH_BANDS))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_MH_P}) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc,
+             {slots}
+      FROM th GROUP BY doc
+    ),
+    banded AS (
+      SELECT *,
+             {bands}
+      FROM sig
+    ),
+    split AS (SELECT doc_id, {_FP} % 10 AS sb FROM documents),
+    pairs AS (
+      SELECT bb.doc AS batch_id, cc.doc AS corpus_id,
+             ({est}) / 32.0 AS est_jaccard
+      FROM banded bb
+      JOIN split pb ON pb.doc_id = bb.doc AND pb.sb = 9
+      JOIN banded cc ON ({any_band})
+      JOIN split pc ON pc.doc_id = cc.doc AND pc.sb != 9
+      WHERE ({est}) / 32.0 >= {_MH_TAU}
+    )
+    SELECT batch_id, corpus_id, est_jaccard, n_corpus_dups
+    FROM (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY batch_id) AS n_corpus_dups,
+             ROW_NUMBER() OVER (PARTITION BY batch_id
+                                ORDER BY est_jaccard DESC, corpus_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+@query("x_dedup_incremental", oracle=_minhash_incremental_oracle())
+def x_dedup_incremental(spark, sf_dir):
+    # The daily-ingest dedup: content-hash 10% of the corpus plays the
+    # incoming batch, the rest the existing corpus; for each batch doc
+    # that near-duplicates something already kept, report how many
+    # corpus dups it has and its best match. The candidate join is
+    # batch-buckets x corpus-buckets ONLY (operators/dedup.
+    # incremental_near_duplicates) — no within-side pairs, so steady-
+    # state ingest work scales with the batch, not the corpus. The
+    # oracle replays signatures, banding, the cross-side join, and the
+    # per-batch-doc argmax in SQL on the portable hash family.
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.withColumn("__sb", T.fingerprint(F.col("text")) % 10)
+    corpus = tagged.filter(F.col("__sb") != 9)
+    batch = tagged.filter(F.col("__sb") == 9)
+    pairs = D.incremental_near_duplicates(
+        corpus, batch, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+        threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+    )
+    w = Window.partitionBy("batch_id")
+    wr = w.orderBy(F.desc("est_jaccard"), F.asc("corpus_id"))
+    return (
+        pairs.withColumn("n_corpus_dups", F.count("*").over(w))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("batch_id", "corpus_id", "est_jaccard", "n_corpus_dups")
+    )
+
+
 @query("x_dedup_minhash_poly", oracle=_minhash_poly_oracle())
 def x_dedup_minhash_poly(spark, sf_dir):
     # The MinHash+LSH pipeline on the PORTABLE hash family: DuckDB
@@ -3716,9 +3808,9 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # two timestamp-path anchors (w_sessionize, x_user_value_trend) most
 # exposed to the reader change. x_dedup_exact, x_dedup_token_jaccard and
 # x_asof_join_last_signup (all green r1+r2, still pytest-gated; the SCD2
-# debut exercises the as-of join internally) and u1_union_two_sources
-# yield their slots to the normalize, vocab-coverage, SCD2 and
-# k-means-Lloyd debuts.
+# debut exercises the as-of join internally), u1_union_two_sources and
+# s1_scan_pruned_projection yield their slots to the normalize,
+# vocab-coverage, SCD2, k-means-Lloyd and incremental-dedup debuts.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3735,6 +3827,7 @@ CORRECTNESS_WINDOW = [
     "x_vocab_coverage",
     "x_scd2_point_in_time",
     "x_kmeans_lloyd",
+    "x_dedup_incremental",
     # timestamp-path anchors: most exposed to the nanos->NTZ reader change
     "w_sessionize",
     "x_user_value_trend",
@@ -3762,7 +3855,6 @@ CORRECTNESS_WINDOW = [
     "f10_hours_arithmetic",
     "x_dedup_canonical",
     # stale since round 2 (last driver-green row is r2)
-    "s1_scan_pruned_projection",
     "p2_filter_notnull_nonempty",
     "p3_p4_p5_quality_clean",
     "p8_guarded_ratio",
