@@ -58,6 +58,7 @@ HEADLINE = [
     "x_quality_filter_by_lang",# extended: per-lang top-20% selection (r4)
     "x_kmeans_lloyd",          # extended: one Lloyd round, broadcast model (r4)
     "x_scd2_point_in_time",    # extended: SCD2 history + as-of attribution (r4)
+    "x_dedup_incremental",     # extended: batch-vs-corpus ingest dedup (r4)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

@@ -147,6 +147,40 @@ def test_bm25_matches_pure_python_reference_exactly(spark):
     assert got == dict(top)
 
 
+def test_incremental_dedup_catches_planted_dups_only(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        incremental_near_duplicates,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "red green blue yellow purple orange"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (101, "one two three four five six EIGHT"),    # near dup of 2
+            (102, "totally novel content nothing shared"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = incremental_near_duplicates(
+        corpus, batch, "doc_id", "text", n=1, threshold=0.5, portable=True
+    ).collect()
+    by_batch = {}
+    for r in pairs:
+        by_batch.setdefault(r["batch_id"], set()).add(r["corpus_id"])
+    assert by_batch.get(100) == {1}
+    assert by_batch.get(101) == {2}
+    assert 102 not in by_batch
+    # no within-side pairs ever appear: every pair is (batch, corpus)
+    assert all(r["batch_id"] >= 100 and r["corpus_id"] < 100 for r in pairs)
+
+
 def test_kmeans_recovers_separated_clusters(spark):
     # three well-separated blobs; one Lloyd round from arbitrary seeds
     # inside each blob must assign every point to its blob's centroid

@@ -69,6 +69,7 @@ QUERY_SET = [
     "x_boilerplate_ngrams",
     "x_kmeans_lloyd",
     "x_scd2_point_in_time",
+    "x_dedup_incremental",
 ]
 
 
