@@ -2030,15 +2030,44 @@ def f_from_json_struct(spark, sf_dir):
     )
 
 
-@query("a2_approx_distinct_scale")  # no oracle: HLL sketch is engine-specific
+@query(
+    "a2_approx_distinct_scale",
+    oracle="""
+    SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) AS INTEGER) AS year,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
 def a2_approx_distinct_scale(spark, sf_dir):
     # The 100-TB posture for A2 (SURVEY §7.2 M5): approx_count_distinct
-    # replaces exact distinct when the Expand+regroup cost matters.
-    # tests/test_approx.py bounds its error against the exact count.
+    # replaces exact distinct when the Expand+regroup cost matters.  The
+    # oracle-backed form emits the exact count PLUS `within_bound`, a
+    # deterministic boolean from the rsd contract (|approx - exact| <=
+    # 2.5*rsd*exact; Spark's HLL++ is deterministic for a fixed input, so
+    # the flag is stable).  The oracle computes the exact side and pins
+    # within_bound = TRUE, so a driver hash-match verifies BOTH the exact
+    # counts and that the sketch honored its error contract.  The raw
+    # estimate is excluded from the hashed output because the sketch value
+    # is engine-specific (tests/test_approx.py still bounds it directly).
+    # At 100 TB the production form drops exact_orders and keeps only the
+    # single-pass HLL — no Expand, one shuffle.
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.year(F.to_date("l_shipdate")).alias("year")).agg(
+    agg = li.groupBy(F.year(F.to_date("l_shipdate")).alias("year")).agg(
         F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+    bound = F.lit(2.5 * 0.02) * F.col("exact_orders")
+    return agg.select(
+        "year",
+        "n",
+        "exact_orders",
+        (F.abs(F.col("approx_orders") - F.col("exact_orders")) <= bound).alias(
+            "within_bound"
+        ),
     )
 
 
@@ -3347,7 +3376,8 @@ def x_bm25_topk(spark, sf_dir):
     dfs AS (SELECT tok, COUNT(*) AS df FROM gd GROUP BY 1)
     SELECT gd.doc AS doc_id,
            COUNT(*) AS n_grams,
-           SUM(CASE WHEN dfs.df >= 30 THEN 1 ELSE 0 END) AS boilerplate_grams,
+           CAST(SUM(CASE WHEN dfs.df >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS boilerplate_grams,
            CAST(SUM(CASE WHEN dfs.df >= 30 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS boilerplate_ratio
     FROM gd JOIN dfs USING (tok)
@@ -3389,11 +3419,14 @@ def x_boilerplate_ngrams(spark, sf_dir):
     "x_domain_mix_plan",
     oracle=f"""
     WITH d AS (SELECT source, {_Q_NTOK} AS ntok FROM documents),
-    per AS (SELECT source, COUNT(*) AS docs, SUM(ntok) AS tokens FROM d GROUP BY 1),
+    per AS (SELECT source, COUNT(*) AS docs,
+                   CAST(SUM(ntok) AS BIGINT) AS tokens FROM d GROUP BY 1),
     wt AS (
-      SELECT *, CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3.0
-                     WHEN source IN ('src5','src6','src7','src8','src9') THEN 2.0
-                     ELSE 1.0 END AS weight
+      SELECT *, CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                            THEN 3.0
+                          WHEN source IN ('src5','src6','src7','src8','src9')
+                            THEN 2.0
+                          ELSE 1.0 END AS DOUBLE) AS weight
       FROM per
     ),
     tot AS (SELECT SUM(weight) AS sum_w FROM wt)
@@ -3879,65 +3912,65 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3],
-    "star_fact_events": [1, 2, 3],
+    "flagship_daily_rollup": [1, 2, 3, 4],
+    "star_fact_events": [1, 2, 3, 4],
     "s1_scan_pruned_projection": [1, 2],
     "s45_source_stats": [2, 3],
-    "s4_source_date_bounds": [1],
-    "s5_row_counts": [1],
-    "p2_filter_notnull_nonempty": [1, 2],
-    "p3_p4_p5_quality_clean": [1, 2],
+    "s4_source_date_bounds": [1, 4],
+    "s5_row_counts": [1, 4],
+    "p2_filter_notnull_nonempty": [1, 2, 4],
+    "p3_p4_p5_quality_clean": [1, 2, 4],
     "p67_year_pruning": [2, 3],
-    "p6_year_equality_prune": [1],
-    "p7_year_range_prune": [1],
-    "p8_guarded_ratio": [1, 2],
-    "p9_null_audit": [1, 2],
-    "j1_snowflake_flatten_distinct": [1, 2],
-    "j2_broadcast_user_enrichment": [1, 2],
-    "j5_fact_by_country": [1, 2],
-    "j6_fact_by_dow_via_date_dim": [1],
-    "j7_enrich_with_fallback": [1, 2],
-    "ja_orphan_anti_join": [1, 2],
-    "js_semi_active_customers": [1],
+    "p6_year_equality_prune": [1, 4],
+    "p7_year_range_prune": [1, 4],
+    "p8_guarded_ratio": [1, 2, 4],
+    "p9_null_audit": [1, 2, 4],
+    "j1_snowflake_flatten_distinct": [1, 2, 4],
+    "j2_broadcast_user_enrichment": [1, 2, 4],
+    "j5_fact_by_country": [1, 2, 4],
+    "j6_fact_by_dow_via_date_dim": [1, 4],
+    "j7_enrich_with_fallback": [1, 2, 4],
+    "ja_orphan_anti_join": [1, 2, 4],
+    "js_semi_active_customers": [1, 4],
     "a45_global_summary": [2, 3],
-    "a4_global_summary": [1],
-    "a5_year_bounds": [1],
-    "a6_growth_by_year_priority": [1, 2],
-    "a7_weekly_latest_year": [1],
-    "a8_ratio_of_sums_by_type": [1],
-    "a11_type_dow_matrix": [1],
-    "a12_yearly_validation": [1],
-    "a13_avg_of_precomputed": [1],
+    "a4_global_summary": [1, 4],
+    "a5_year_bounds": [1, 4],
+    "a6_growth_by_year_priority": [1, 2, 4],
+    "a7_weekly_latest_year": [1, 4],
+    "a8_ratio_of_sums_by_type": [1, 4],
+    "a11_type_dow_matrix": [1, 4],
+    "a12_yearly_validation": [1, 4],
+    "a13_avg_of_precomputed": [1, 4],
     "a_cube_matrix": [2, 3],
     "a_rollup_hierarchy": [2, 3],
     "h_monthly_from_daily": [2, 3],
     "a_quantiles_by_flag": [2, 3],
     "a_share_of_total": [2, 3],
-    "w1_peak_week": [1],
+    "w1_peak_week": [1, 4],
     "w2_peak_dow_per_flag": [1, 2, 3],
-    "w3_yoy_order_growth": [1, 2],
-    "w_sessionize": [2, 3],
+    "w3_yoy_order_growth": [1, 2, 4],
+    "w_sessionize": [2, 3, 4],
     "w_moving_avg_7d": [2, 3],
     "o1_top10_customers": [1, 2, 3],
-    "o2_top_events_full_sort": [1],
-    "o5_distinct_years_sorted": [1],
+    "o2_top_events_full_sort": [1, 4],
+    "o5_distinct_years_sorted": [1, 4],
     "u1_union_two_sources": [1, 2],
-    "u2_distinct_pairs": [1],
+    "u2_distinct_pairs": [1, 4],
     "u34_set_ops": [2, 3],
-    "u3_except_churned": [1],
-    "u4_intersect_retained": [1],
-    "r1_pivot_year_matrix": [1],
+    "u3_except_churned": [1, 4],
+    "u4_intersect_retained": [1, 4],
+    "r1_pivot_year_matrix": [1, 4],
     "r2_unpivot_year_matrix": [1, 2, 3],
-    "f_calendar_keys": [1, 2],
-    "f6_date_spine": [1, 2],
-    "f7_regex_inference_precedence": [1, 2],
-    "f10_hours_arithmetic": [1],
+    "f_calendar_keys": [1, 2, 4],
+    "f6_date_spine": [1, 2, 4],
+    "f7_regex_inference_precedence": [1, 2, 4],
+    "f10_hours_arithmetic": [1, 4],
     "f_json_extract": [2, 3],
     "f_from_json_struct": [2, 3],
     "sql_surface_weekly_top": [2, 3],
     "q_quality_audit": [2, 3],
     "x_dedup_exact": [1, 2],
-    "x_dedup_canonical": [1],
+    "x_dedup_canonical": [1, 4],
     "x_dedup_token_jaccard": [1, 2],
     "x_dedup_minhash_poly": [2, 3],
     "x_dedup_simhash_poly": [2, 3],
@@ -3945,7 +3978,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_dedup_embedding_cosine": [2, 3],
     "x_asof_join_last_signup": [1, 2],
     "x_range_join_value_bands": [1, 2, 3],
-    "x_user_value_trend": [1, 2, 3],
+    "x_user_value_trend": [1, 2, 3, 4],
     "x_knn_bruteforce": [2, 3],
     "x_knn_lsh_poly": [2, 3],
     "x_text_profile": [2, 3],
@@ -3970,6 +4003,14 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_embedding_quantize": [3],
     "x_dupgraph_degree": [3],
     "x_dedup_survivors": [3],
+    "x_bm25_topk": [4],
+    "x_dedup_incremental": [4],
+    "x_embedding_normalize": [4],
+    "x_global_shuffle": [4],
+    "x_kmeans_lloyd": [4],
+    "x_quality_filter_by_lang": [4],
+    "x_scd2_point_in_time": [4],
+    "x_vocab_coverage": [4],
 }
 
 

@@ -85,3 +85,25 @@ def test_cumulative_driver_coverage_complete():
     assert not uncovered, f"oracle-backed queries never driver-scheduled: {uncovered}"
     unknown = set(DRIVER_GREEN_ROUNDS) - set(all_queries())
     assert not unknown, f"ledger names not in registry: {unknown}"
+
+
+def test_every_oracle_has_portable_duckdb_result_types():
+    """Planning-only screen of ALL oracle SQL: no result column may be
+    HUGEINT/UHUGEINT/DECIMAL.  pandas represents those differently from
+    the matching Spark type (HUGEINT -> float64 vs Spark BIGINT ->
+    int64; DECIMAL -> object/Decimal vs Spark DOUBLE -> float64), which
+    fails the driver's type-sensitive value-hash even when the values
+    are identical — the round-4 x_boilerplate_ngrams /
+    x_domain_mix_plan failure mode.  The fix is always a CAST in the
+    oracle SQL."""
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import ORACLE
+
+    from .conftest import SF001
+    from .parity import assert_oracle_types_portable, duckdb_connection
+
+    con = duckdb_connection(SF001)
+    try:
+        for name, sql in ORACLE.items():
+            assert_oracle_types_portable(con, sql, name)
+    finally:
+        con.close()
