@@ -211,6 +211,12 @@ def bm25_top_docs(
     """
     if not query_terms:
         raise ValueError("bm25_top_docs requires at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        # each duplicate would contribute an independent tf/df/score
+        # term, silently inflating scores; BM25 over a term BAG is not
+        # what the fixed-order summation defines, so reject outright
+        dupes = sorted({t for t in query_terms if query_terms.count(t) > 1})
+        raise ValueError(f"bm25_top_docs: duplicated query terms {dupes}")
     toks = tokens(F.col(text_col))
 
     def _tf(term: str) -> Column:

@@ -153,6 +153,12 @@ def probe_media(df: DataFrame) -> DataFrame:
         SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
+        def dim(v):
+            # the output columns are int32; a garbage header claiming a
+            # dimension outside (0, 2^31-1] must probe as null, not
+            # overflow the Arrow cast
+            return int(v) if 0 < v <= 0x7FFFFFFF else None
+
         def probe(b):
             if b is None:
                 return (None, None, None)
@@ -160,35 +166,49 @@ def probe_media(df: DataFrame) -> DataFrame:
             if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
                 w = int.from_bytes(b[16:20], "big")
                 h = int.from_bytes(b[20:24], "big")
-                return ("png", w, h)
+                return ("png", dim(w), dim(h))
             if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
                 w = int.from_bytes(b[6:8], "little")
                 h = int.from_bytes(b[8:10], "little")
-                return ("gif", w, h)
+                return ("gif", dim(w), dim(h))
             if len(b) >= 4 and b[:2] == b"\xff\xd8":
                 i = 2
-                # need marker(2) + length(2) + precision(1) + h(2) + w(2)
-                # = 9 bytes from i; <= so an SOF ending at the last byte
-                # still parses
-                while i + 9 <= len(b):
+                while i < len(b):
                     if b[i] != 0xFF:
                         break
-                    code = b[i + 1]
+                    # legal padding: any run of 0xFF fill bytes may
+                    # precede the marker code (ITU T.81 B.1.1.2)
+                    j = i + 1
+                    while j < len(b) and b[j] == 0xFF:
+                        j += 1
+                    if j >= len(b):
+                        break
+                    code = b[j]
+                    if code in (0xD9, 0xDA):
+                        # EOI / SOS reached without an SOF frame header:
+                        # neither has a parseable header region beyond
+                        # this point (SOS is followed by entropy data)
+                        break
                     if code == 0xD8 or 0xD0 <= code <= 0xD7 or code == 0x01:
-                        i += 2  # standalone marker, no length field
+                        i = j + 1  # standalone marker, no length field
                         continue
-                    seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+                    if j + 3 > len(b):
+                        break  # truncated before the length field
+                    seg_len = int.from_bytes(b[j + 1:j + 3], "big")
                     if code in SOF:
-                        h = int.from_bytes(b[i + 5:i + 7], "big")
-                        w = int.from_bytes(b[i + 7:i + 9], "big")
-                        return ("jpeg", w, h)
+                        # precision(1) + h(2) + w(2) after the length
+                        if j + 8 <= len(b):
+                            h = int.from_bytes(b[j + 4:j + 6], "big")
+                            w = int.from_bytes(b[j + 6:j + 8], "big")
+                            return ("jpeg", dim(w), dim(h))
+                        return ("jpeg", None, None)
                     if seg_len < 2:
                         break
-                    i += 2 + seg_len
+                    i = j + 1 + seg_len
                 return ("jpeg", None, None)  # JPEG magic but no SOF found
             if len(b) >= 9 and b[:4] == b"SYNM":
                 _, w, h, _c = _st.unpack(">4sHHB", b[:9])
-                return ("synm", int(w), int(h))
+                return ("synm", dim(w), dim(h))
             return (None, None, None)
 
         for pdf in batches:

@@ -29,13 +29,25 @@ FIXTURE_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, pin_utc: bool = True
+) -> DataFrame:
     """Read one fixture table. Pure metadata op — stays lazy.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects; we read it as long nanos (legacy conf, runtime-
     settable so it also works under a driver-owned session) and rebuild
     the timestamp with exact integer division — no precision loss.
+
+    SESSION-GLOBAL SIDE EFFECT: reading ``events`` pins
+    ``spark.sql.session.timeZone`` to UTC (with a warning if it changes
+    a non-UTC session) — the engine's calendar semantics and every
+    DuckDB oracle twin are defined in UTC, and the TIMESTAMP_NTZ cast
+    below interprets wall-clock in the session zone.  Callers that
+    manage their own session timezone can pass ``pin_utc=False`` to
+    skip the override; they then own the consequence that ``ts``
+    instants (and everything downstream: to_date renders,
+    unix_timestamp arithmetic, oracle parity) follow THEIR zone.
     """
     if name == "events":
         from pyspark.sql import functions as F
@@ -51,16 +63,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session-global override; warn instead of silently rewriting a
         # deliberately non-UTC session.
         current_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-        if current_tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-            import warnings
+        if pin_utc:
+            if current_tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                import warnings
 
-            warnings.warn(
-                "load_table('events') pins spark.sql.session.timeZone to "
-                f"UTC (was {current_tz!r}): the engine's calendar "
-                "semantics and oracle parity are defined in UTC",
-                stacklevel=2,
-            )
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+                warnings.warn(
+                    "load_table('events') pins spark.sql.session.timeZone to "
+                    f"UTC (was {current_tz!r}): the engine's calendar "
+                    "semantics and oracle parity are defined in UTC; pass "
+                    "pin_utc=False to keep your session timezone",
+                    stacklevel=2,
+                )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # Normalize ts to session-zoned TIMESTAMP whatever the reader
         # produced: long nanos under the legacy shim (rebuild with exact

@@ -92,6 +92,17 @@ def test_probe_real_container_headers(spark):
         # sufficient) — regression for the marker-walk off-by-one
         (8, b"\xff\xd8" + b"\xff\xc0" + (9).to_bytes(2, "big") + b"\x08"
             + (480).to_bytes(2, "big") + (640).to_bytes(2, "big"), "?"),
+        # PNG claiming 0xFFFFFFFF dims: must probe as (png, None, None),
+        # not overflow the int32 Arrow cast
+        (9, _png(0xFFFFFFFF, 0xFFFFFFFF), "?"),
+        # legal 0xFF fill padding before the SOF marker code
+        (10, b"\xff\xd8" + b"\xff\xff\xff\xc0" + (11).to_bytes(2, "big")
+             + b"\x08" + (240).to_bytes(2, "big") + (320).to_bytes(2, "big")
+             + b"\x01" + b"\xff\xd9", "?"),
+        # EOI immediately after SOI: walk must stop cleanly at 0xD9
+        (11, b"\xff\xd8\xff\xd9\x00\x00\x00\x00\x00", "?"),
+        # PNG claiming zero dims: invalid, probe dims as null
+        (12, _png(0, 0), "?"),
     ]
     df = spark.createDataFrame(blobs, M.IMAGE_SCHEMA).repartition(3)
     got = {r["media_id"]: r for r in M.probe_media(df).collect()}
@@ -103,3 +114,7 @@ def test_probe_real_container_headers(spark):
     assert got[6]["format_detected"] is None
     assert got[7]["format_detected"] == "jpeg" and got[7]["width"] is None
     assert (got[8]["format_detected"], got[8]["width"], got[8]["height"]) == ("jpeg", 640, 480)
+    assert (got[9]["format_detected"], got[9]["width"], got[9]["height"]) == ("png", None, None)
+    assert (got[10]["format_detected"], got[10]["width"], got[10]["height"]) == ("jpeg", 320, 240)
+    assert got[11]["format_detected"] == "jpeg" and got[11]["width"] is None
+    assert (got[12]["format_detected"], got[12]["width"], got[12]["height"]) == ("png", None, None)

@@ -6,6 +6,8 @@ a permutation."""
 
 import random
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -77,6 +79,12 @@ def test_grouped_top_fraction_rejects_bad_permille(spark):
             raise AssertionError("expected ValueError")
         except ValueError:
             pass
+
+
+def test_bm25_rejects_duplicated_query_terms(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="duplicated query terms"):
+        bm25_top_docs(df, "doc_id", "text", ["alpha", "beta", "alpha"])
 
 
 def test_bm25_all_terms_absent_returns_empty(spark):

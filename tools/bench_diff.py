@@ -51,8 +51,12 @@ def main() -> None:
         if mark:
             flagged.append(name)
         print(f"{name:28} {p:7.2f} {t:7.2f} {r:5.1f}x{mark}")
+    removed = [n for n in prev["queries"] if n not in cur["queries"]]
+    for name in removed:
+        print(f"{name:28} {prev['queries'][name]:7.2f} {'removed':>7}")
     print(f"total: prev {prev['value']} -> cur {cur['value']}; "
-          f"{len(flagged)} beyond {band}x band: {flagged}")
+          f"{len(flagged)} beyond {band}x band: {flagged}"
+          + (f"; {len(removed)} removed: {removed}" if removed else ""))
 
 
 if __name__ == "__main__":
