@@ -1453,8 +1453,41 @@ ORACLE["x_dedup_survivors"] = ORACLE["x_dedup_clusters"].replace(
 
 @query("x_dedup_simhash")  # no SQL oracle: hash-specific (rows-only check)
 def x_dedup_simhash(spark, sf_dir):
+    # The xxhash64 fast path has no SQL oracle (hash-family-specific;
+    # x_dedup_simhash_poly is the oracle-verified portable twin), so the
+    # semantic contract — 4-band pigeonhole candidate generation misses
+    # NO pair at hamming <= 3 — is pinned IN the output: an exact
+    # pairwise audit over a bounded sample (doc_id < 200, fixed size at
+    # any corpus scale: <= 19,900 hamming comparisons via a broadcast
+    # self-join) yields `audit_sample_recall`, which must be 1.0 by the
+    # pigeonhole theorem; `recall_ok` asserts it.
+    # tests/test_similarity_recall.py pins both columns.
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    pairs = D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+    sample_sig = D.simhash_signatures(
+        docs.filter(F.col("doc_id") < 200), "doc_id", "text"
+    )
+    a, b = sample_sig.alias("a"), sample_sig.alias("b")
+    n_exact = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.expr("bit_count(a.simhash ^ b.simhash)") <= 3)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    n_found = (
+        pairs.filter((F.col("id_a") < 200) & (F.col("id_b") < 200))
+        .agg(F.count("*").alias("n_found"))
+    )
+    stats = n_exact.crossJoin(n_found).select(
+        F.when(F.col("n_exact") == 0, F.lit(1.0))
+        .otherwise(
+            F.col("n_found").cast("double") / F.col("n_exact").cast("double")
+        )
+        .alias("audit_sample_recall")
+    )
+    return pairs.crossJoin(F.broadcast(stats)).withColumn(
+        "recall_ok", F.col("audit_sample_recall") >= 1.0
+    )
 
 
 @query(
@@ -1540,11 +1573,38 @@ def x_knn_ivf_ann(spark, sf_dir):
 
 @query("x_knn_lsh_ann")  # no SQL oracle: LSH recall measured in tests
 def x_knn_lsh_ann(spark, sf_dir):
-    # params tuned for ~0.7 recall on structure-free gaussian embeddings
-    # (tests/test_similarity_recall.py measures it against brute force)
+    # params tuned for ~0.7 recall on structure-free gaussian embeddings.
+    # The gaussian-plane hash family has no SQL oracle (x_knn_lsh_poly is
+    # the oracle-verified portable twin), so the semantic contract is
+    # pinned IN the output: recall vs the exact brute-force top-k over
+    # the same (tiny-by-contract) query set is emitted as a constant
+    # `overall_recall` column with `recall_ok` asserting the bound.  Both
+    # sides are deterministic (seeded planes, fixed tie-breaks), so the
+    # columns are stable.  This is the AUDIT form — it scans the corpus
+    # twice (once bucketed, once brute-force); the production form at
+    # 100 TB drops the exact twin and trusts the measured recall.
+    # tests/test_similarity_recall.py pins the columns.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_bucketed_topk(emb, queries, k=5, dim=64, n_planes=5, n_tables=12)
+    ann = S.lsh_bucketed_topk(emb, queries, k=5, dim=64, n_planes=5, n_tables=12)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    stats = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("overall_recall")
+        )
+    )
+    return ann.crossJoin(F.broadcast(stats)).withColumn(
+        "recall_ok", F.col("overall_recall") >= 0.5
+    )
 
 
 @query(

@@ -171,3 +171,39 @@ def test_pandas_signatures_match_jvm_fold(spark):
         ).alias("m")
     ).agg(F.min("m")).first()[0]
     assert min_abs > 1e-9, f"projection too close to zero: {min_abs}"
+
+
+def test_catalog_simhash_fast_path_emits_exactness_audit(spark):
+    """x_dedup_simhash (rows-only in the driver) pins its semantic
+    contract in-band: the bounded-sample exact audit must report the
+    pigeonhole-guaranteed recall of 1.0 on every row."""
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["x_dedup_simhash"](spark, SF01).collect()
+    assert rows, "expected near-dup pairs in the fixture corpus"
+    assert all(r["audit_sample_recall"] == 1.0 for r in rows)
+    assert all(r["recall_ok"] is True for r in rows)
+    assert all(r["hamming"] <= 3 for r in rows)
+
+
+def test_catalog_lsh_ann_emits_recall_bound(spark):
+    """x_knn_lsh_ann (rows-only in the driver) emits its measured recall
+    vs the exact brute-force twin; the 0.5 bound must hold and the
+    constant column must equal an independently computed recall."""
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["x_knn_lsh_ann"](spark, SF01).collect()
+    assert rows
+    recalls = {r["overall_recall"] for r in rows}
+    assert len(recalls) == 1, "overall_recall must be constant"
+    assert all(r["recall_ok"] is True for r in rows)
+
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    independent = len(exact & got) / len(exact)
+    assert abs(recalls.pop() - independent) < 1e-12
