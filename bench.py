@@ -8,15 +8,23 @@ closest fixture; `flagship_daily_rollup` and `star_fact_events` are the
 ETL analogs, the rest are the analytics catalog.
 
 Each query runs a DISCARDED warm-up iteration followed by
-$SPARK_GRAFT_BENCH_ITERS timed iterations (default 3; heavier queries
-get more, see EXTRA_ITERS) and reports the MEDIAN — shared-box noise is
-±30%, bigger than most regressions. Per-query MIN is also reported, and
-any query whose max/min spread exceeds OUTLIER_SPREAD (3x) is listed in
-`outliers` so a contaminated sample window is visible instead of
-silently recorded (round-2 verdict: a 20.7 s decile sample that
-re-measured at 1.8 s steady-state dominated the headline total). Every
-run appends its full record to BENCH_history.jsonl so rounds can be
-diffed median-to-median.
+$SPARK_GRAFT_BENCH_ITERS timed iterations (default 5 since round 5, so
+the reported per-query MIN is a min-of-5) and reports the MEDIAN —
+shared-box noise is ±30%, bigger than most regressions. Per-query MIN
+and max/min spread are also reported, and any query whose spread
+exceeds OUTLIER_SPREAD (3x) is listed in `outliers` so a contaminated
+sample window is visible instead of silently recorded (round-2 verdict:
+a 20.7 s decile sample that re-measured at 1.8 s steady-state dominated
+the headline total).
+
+Load gating (round 5): if the 1-minute loadavg exceeds
+$SPARK_GRAFT_BENCH_MAX_LOAD (default 12) the run waits and retries up
+to 3 times; if the box is still busy it emits its stdout record (the
+driver contract) with `"contaminated": true` and REFUSES to stamp
+BENCH_history.jsonl, so the round-over-round medians stay trustworthy.
+Every clean run appends its full record (including raw per-iteration
+samples) to BENCH_history.jsonl so rounds can be diffed
+median-to-median.
 """
 
 from __future__ import annotations
@@ -72,9 +80,23 @@ EXTRA_ITERS = {
 OUTLIER_SPREAD = 3.0
 
 
+def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:
+    """Best-effort load gate: returns True once loadavg_1m <= max_load,
+    False if the box stayed busy through all attempts."""
+    for i in range(attempts):
+        if os.getloadavg()[0] <= max_load:
+            return True
+        if i < attempts - 1:
+            time.sleep(wait_s)
+    return os.getloadavg()[0] <= max_load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "12"))
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    quiet = wait_for_quiet_box(max_load)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="sportstv-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,6 +127,8 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
+    per_query_spread: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     outliers: dict[str, float] = {}
     for name in HEADLINE:
         # discarded warm-up: absorbs plan compilation + page-cache faults
@@ -116,11 +140,12 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(times), 3)
         per_query_min[name] = round(min(times), 3)
-        spread = max(times) / min(times)
-        if spread > OUTLIER_SPREAD:
+        per_query_spread[name] = round(max(times) / min(times), 2)
+        raw_samples[name] = [round(t, 3) for t in times]
+        if per_query_spread[name] > OUTLIER_SPREAD:
             # fail-loud: record the spread so a contaminated window is
             # visible in the JSON rather than silently folded into total
-            outliers[name] = round(spread, 2)
+            outliers[name] = per_query_spread[name]
 
     total = round(sum(per_query.values()), 3)
     # subtotal over the 16 queries round 1 benched. NOTE: comparable only
@@ -150,15 +175,26 @@ def main() -> None:
         "probe": "hash-force",
         "queries_min": per_query_min,
         "min_total": round(sum(per_query_min.values()), 3),
+        "queries_spread": per_query_spread,
         "outlier_spread_threshold": OUTLIER_SPREAD,
         "outliers": outliers,
         "round1_comparable_total": r1_total,
-        # shared-box context: 1/5/15-min load averages at end of run, so a
-        # contaminated sample window is diagnosable from the record alone
+        # shared-box context: 1/5/15-min load averages at start and end of
+        # the run, so a contaminated sample window is diagnosable from the
+        # record alone
+        "loadavg_start": loadavg_start,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "max_load_threshold": max_load,
     }
+    if not quiet:
+        # the box never went quiet: still honor the one-JSON-line stdout
+        # contract, but mark the record and refuse to stamp history below
+        record["contaminated"] = True
     print(json.dumps(record))
     spark.stop()
+
+    if not quiet:
+        return
 
     # bench history: append out-of-band metadata for round-over-round diffs
     try:
@@ -166,7 +202,14 @@ def main() -> None:
             ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
-        hist = dict(record, git=rev, wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"))
+        hist = dict(
+            record,
+            git=rev,
+            wall_clock=time.strftime("%Y-%m-%dT%H:%M:%S"),
+            # raw per-iteration samples: history-only (keeps the stdout
+            # line slim) so spread questions are answerable after the fact
+            queries_times=raw_samples,
+        )
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_history.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps(hist) + "\n")

@@ -3891,77 +3891,85 @@ def x_quality_filter_by_lang(spark, sf_dir):
 # x_dupgraph_degree, x_dedup_survivors), bringing cumulative driver-green
 # coverage to all 91 oracle-backed queries registered through round 3.
 #
-# Round-4 rotation: with cumulative coverage complete, the window now
-# RE-verifies the staleness tail — the 22 entries whose only driver-green
-# row is round 1 plus the 19 entries last green in round 2 (two rounds of
-# code evolution since, including the events-ts normalization for newer
-# parquet readers) — plus the 7 round-4 debuts (x_bm25_topk,
-# x_boilerplate_ngrams, x_domain_mix_plan, x_global_shuffle,
-# x_quality_filter_by_lang, x_embedding_normalize, x_vocab_coverage) and
-# two timestamp-path anchors (w_sessionize, x_user_value_trend) most
-# exposed to the reader change. x_dedup_exact, x_dedup_token_jaccard and
-# x_asof_join_last_signup (all green r1+r2, still pytest-gated; the SCD2
-# debut exercises the as-of join internally), u1_union_two_sources and
-# s1_scan_pruned_projection yield their slots to the normalize,
-# vocab-coverage, SCD2, k-means-Lloyd and incremental-dedup debuts.
+# Round-4 rotation: with cumulative coverage complete, the window
+# RE-verified the staleness tail (r1-only + r2-last entries) plus the 7
+# round-4 debuts and two timestamp-path anchors. Result: 48/50 full
+# passes; the 2 hash fails (x_boilerplate_ngrams, x_domain_mix_plan)
+# were DuckDB HUGEINT/DECIMAL oracle-typing artifacts, fixed in round 5
+# by CASTs in the oracle SQL (values were verified identical).
+#
+# Round-5 rotation: (a) re-verify the two cast-fixed oracles, (b) debut
+# a2_approx_distinct_scale (newly oracle-backed via the within_bound
+# contract), (c) swap the stalest entries back in — everything whose
+# last driver-green row is round 2 (x_dedup_exact, x_dedup_token_jaccard,
+# x_asof_join_last_signup, u1_union_two_sources,
+# s1_scan_pruned_projection) plus the r3-last veterans — so after this
+# round no window-eligible query's last driver verification is older
+# than two rounds. The 44 entries green in round 4 rotate out (still
+# gated by the identical DuckDB sweep in tests/test_oracle_parity.py).
+# Six r3-last text-family queries (x_top_bigrams, x_doc_stats_by_lang,
+# x_text_stats, x_lang_id, x_quality_score, x_fingerprint) wait for
+# round 6: they share the tokenizer/scoring codepaths with
+# x_text_profile (in this window) and x_quality_filter_by_lang (green
+# r4), so their staleness risk is covered transitively.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-4 debuts (verify in their first window)
-    "x_bm25_topk",
+    # round-5 re-verification of the cast-fixed oracles
     "x_boilerplate_ngrams",
     "x_domain_mix_plan",
-    "x_global_shuffle",
-    "x_quality_filter_by_lang",
-    "x_embedding_normalize",
-    "x_vocab_coverage",
-    "x_scd2_point_in_time",
-    "x_kmeans_lloyd",
-    "x_dedup_incremental",
-    # timestamp-path anchors: most exposed to the nanos->NTZ reader change
-    "w_sessionize",
-    "x_user_value_trend",
-    # stale since round 1 (only driver-green row is r1)
-    "s4_source_date_bounds",
-    "s5_row_counts",
-    "p6_year_equality_prune",
-    "p7_year_range_prune",
-    "j6_fact_by_dow_via_date_dim",
-    "js_semi_active_customers",
-    "a4_global_summary",
-    "a5_year_bounds",
-    "a7_weekly_latest_year",
-    "a8_ratio_of_sums_by_type",
-    "a11_type_dow_matrix",
-    "a12_yearly_validation",
-    "a13_avg_of_precomputed",
-    "w1_peak_week",
-    "o2_top_events_full_sort",
-    "o5_distinct_years_sorted",
-    "u2_distinct_pairs",
-    "u3_except_churned",
-    "u4_intersect_retained",
-    "r1_pivot_year_matrix",
-    "f10_hours_arithmetic",
-    "x_dedup_canonical",
-    # stale since round 2 (last driver-green row is r2)
-    "p2_filter_notnull_nonempty",
-    "p3_p4_p5_quality_clean",
-    "p8_guarded_ratio",
-    "p9_null_audit",
-    "j1_snowflake_flatten_distinct",
-    "j2_broadcast_user_enrichment",
-    "j5_fact_by_country",
-    "j7_enrich_with_fallback",
-    "ja_orphan_anti_join",
-    "a6_growth_by_year_priority",
-    "w3_yoy_order_growth",
-    "f_calendar_keys",
-    "f6_date_spine",
-    "f7_regex_inference_precedence",
+    # round-5 debut: newly oracle-backed
+    "a2_approx_distinct_scale",
+    # last driver-green row is round 2 (stalest; judge-named)
+    "x_dedup_exact",
+    "x_dedup_token_jaccard",
+    "x_asof_join_last_signup",
+    "u1_union_two_sources",
+    "s1_scan_pruned_projection",
+    # last driver-green row is round 3
+    "o1_top10_customers",
+    "w2_peak_dow_per_flag",
+    "r2_unpivot_year_matrix",
+    "x_range_join_value_bands",
+    "s45_source_stats",
+    "p67_year_pruning",
+    "a45_global_summary",
+    "a_cube_matrix",
+    "a_rollup_hierarchy",
+    "h_monthly_from_daily",
+    "a_quantiles_by_flag",
+    "a_share_of_total",
+    "w_moving_avg_7d",
+    "u34_set_ops",
+    "f_json_extract",
+    "f_from_json_struct",
+    "sql_surface_weekly_top",
+    "q_quality_audit",
+    "x_dedup_minhash_poly",
+    "x_dedup_simhash_poly",
+    "x_dedup_clusters",
+    "x_dedup_embedding_cosine",
+    "x_knn_bruteforce",
+    "x_knn_lsh_poly",
+    "x_text_profile",
+    "x_content_hash_split",
+    "x_quality_deciles",
+    "x_cdc_fact_diff",
+    "x_salted_skew_rollup",
+    "x_knn_ivf_ann",
+    "x_dedup_ngram_jaccard",
+    "x_decontamination",
+    "x_stratified_sample",
+    "x_pack_shards",
+    "x_repetition_filter",
+    "x_doc_chunking",
+    "x_tfidf_top_terms",
+    "x_embedding_quantize",
+    "x_dupgraph_degree",
+    "x_dedup_survivors",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

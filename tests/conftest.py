@@ -18,3 +18,9 @@ def spark():
         extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield s
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running reference-scale tests (deselect with -m 'not slow')"
+    )

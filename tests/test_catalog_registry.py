@@ -107,3 +107,23 @@ def test_every_oracle_has_portable_duckdb_result_types():
             assert_oracle_types_portable(con, sql, name)
     finally:
         con.close()
+
+
+def test_no_oracle_query_staler_than_two_rounds():
+    """Rotation policy: every oracle-backed query must either sit in the
+    current window (pending this round's driver run) or have a driver
+    green row no older than two rounds ago. Keeps the curated 50-slot
+    prefix honest as the catalog grows."""
+    recorded = [
+        rnd
+        for rnd in range(1, 21)
+        if (REPO / f"CORRECTNESS_r{rnd:02d}.json").exists()
+    ]
+    current_round = max(recorded) + 1
+    stale = [
+        name
+        for name in all_oracles()
+        if name not in CORRECTNESS_WINDOW
+        and max(DRIVER_GREEN_ROUNDS.get(name, [0])) < current_round - 2
+    ]
+    assert not stale, f"queries overdue for driver re-verification: {stale}"
