@@ -3869,6 +3869,152 @@ def x_quality_filter_by_lang(spark, sf_dir):
     ).select("doc_id", "lang", "quality")
 
 
+_SEG_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
+
+
+@query(
+    "x_passage_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SEG_TOKS} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(toks) / 10.0) AS INT)),
+               i -> array_to_string(list_slice(toks, i * 10 + 1, (i + 1) * 10), ' ')
+             ) AS segs
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(segs) AS seg,
+                 generate_subscripts(segs, 1) AS i
+          FROM seg),
+    firsts AS (SELECT doc_id, seg, MIN(i) AS i FROM e GROUP BY 1, 2)
+    SELECT f.doc_id,
+           CAST(len(s.segs) AS INTEGER) AS n_segments,
+           CAST(COUNT(*) AS INTEGER) AS n_kept,
+           array_to_string(list(f.seg ORDER BY f.i), ' ') AS cleaned_text
+    FROM firsts f JOIN seg s USING (doc_id)
+    GROUP BY f.doc_id, s.segs
+    """,
+)
+def x_passage_dedup(spark, sf_dir):
+    # Within-document repeated-passage removal (the C4/CCNet intra-doc
+    # dedup step): split each document into non-overlapping 10-token
+    # passages, keep the FIRST occurrence of each distinct passage, and
+    # re-join the survivors — template pages collapse to one copy of the
+    # repeated block. Complementary to x_repetition_filter (which only
+    # SCORES repetition, this one produces the cleaned text).
+    #
+    # Plan: fully NARROW — the keep-first scan is a per-row fold over
+    # the passage array (array_contains against the accumulator:
+    # O(k²) per doc where k = passages per doc, bounded by doc length),
+    # so the whole operator runs at scan speed with NO shuffle at any
+    # corpus size. The oracle replays first-occurrence order via
+    # min-ordinality grouping.
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(F.array_contains(acc, s), acc).otherwise(
+            F.concat(acc, F.array(s))
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.size(segs).alias("n_segments"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, " ").alias("cleaned_text"),
+        )
+    )
+
+
+@query(
+    "x_source_overlap",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT source, {_FP} AS fp FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_fingerprints
+    FROM h a JOIN h b ON a.fp = b.fp AND a.source <= b.source
+    GROUP BY 1, 2
+    """,
+)
+def x_source_overlap(spark, sf_dir):
+    # Cross-source exact-overlap matrix — the dedup TRIAGE report a
+    # corpus team runs before mixing sources: for every (ordered) source
+    # pair, how many distinct content fingerprints appear in both?
+    # Self-pairs (a = b) count each source's distinct fingerprints and
+    # anchor the diagonal. Plan: distinct (source, fp) — one hash-agg —
+    # then a self-equi-join ON fp whose per-key blowup is bounded by the
+    # number of SOURCES sharing a hash (≤ |sources|, ~20 here), never
+    # corpus-quadratic; output is at most |sources|² rows. The portable
+    # polynomial fingerprint keeps the oracle bit-identical.
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", T.fingerprint(F.col("text")).alias("fp")).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )
+
+
+@query(
+    "x_seq_length_histogram",
+    oracle=f"""
+    WITH t AS (SELECT GREATEST({_Q_NTOK}, 1) AS ntok FROM documents),
+    b AS (
+      SELECT CAST(POWER(2, CEIL(LOG2(ntok))) AS BIGINT) AS bucket_hi, ntok
+      FROM t
+    ),
+    g AS (
+      SELECT bucket_hi, COUNT(*) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens
+      FROM b GROUP BY 1
+    )
+    SELECT bucket_hi, n_docs, total_tokens,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share
+    FROM g
+    """,
+)
+def x_seq_length_histogram(spark, sf_dir):
+    # Sequence-length histogram in power-of-two buckets — the input a
+    # packing/batching design needs (which context lengths dominate the
+    # corpus, where the padding waste lives). bucket_hi = 2^ceil(log2(n))
+    # is engine-portable: the only values where ceil could flip are exact
+    # powers of two, and IEEE log2 is exact there. Plan: one scan, one
+    # hash-agg to ≤ log2(max_len) rows, one window over that tiny
+    # aggregate — scan-bound at any corpus size.
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.greatest(T.token_count(F.col("text")), F.lit(1))
+    b = docs.select(
+        F.pow(F.lit(2.0), F.ceil(F.log2(ntok))).cast("long").alias("bucket_hi"),
+        ntok.alias("ntok"),
+    )
+    g = b.groupBy("bucket_hi").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.withColumn(
+        "doc_share",
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -3900,18 +4046,25 @@ def x_quality_filter_by_lang(spark, sf_dir):
 #
 # Round-5 rotation: (a) re-verify the two cast-fixed oracles, (b) debut
 # a2_approx_distinct_scale (newly oracle-backed via the within_bound
-# contract), (c) swap the stalest entries back in — everything whose
-# last driver-green row is round 2 (x_dedup_exact, x_dedup_token_jaccard,
-# x_asof_join_last_signup, u1_union_two_sources,
-# s1_scan_pruned_projection) plus the r3-last veterans — so after this
-# round no window-eligible query's last driver verification is older
-# than two rounds. The 44 entries green in round 4 rotate out (still
-# gated by the identical DuckDB sweep in tests/test_oracle_parity.py).
-# Six r3-last text-family queries (x_top_bigrams, x_doc_stats_by_lang,
-# x_text_stats, x_lang_id, x_quality_score, x_fingerprint) wait for
-# round 6: they share the tokenizer/scoring codepaths with
-# x_text_profile (in this window) and x_quality_filter_by_lang (green
-# r4), so their staleness risk is covered transitively.
+# contract) and the three new round-5 operators (x_passage_dedup,
+# x_source_overlap, x_seq_length_histogram), (c) swap the stalest
+# entries back in — everything whose last driver-green row is round 2
+# (x_dedup_exact, x_dedup_token_jaccard, x_asof_join_last_signup,
+# u1_union_two_sources, s1_scan_pruned_projection) plus the r3-last
+# veterans — so after this round no window-eligible query's last driver
+# verification is older than two rounds. The 44 entries green in round 4
+# rotate out (still gated by the identical DuckDB sweep in
+# tests/test_oracle_parity.py). Ten r3-last queries wait for round 6,
+# each transitively covered by an in-window sibling on the same
+# codepaths: the six text-family queries (x_top_bigrams,
+# x_doc_stats_by_lang, x_text_stats, x_lang_id, x_quality_score,
+# x_fingerprint — via x_text_profile in-window and
+# x_quality_filter_by_lang green r4) plus x_dedup_ngram_jaccard (via
+# x_dedup_token_jaccard, same inverted-index machinery), x_doc_chunking
+# (via the x_passage_dedup debut, same narrow slicing path),
+# x_embedding_quantize (via x_dedup_embedding_cosine in-window and
+# x_embedding_normalize green r4) and x_dupgraph_degree (via
+# x_dedup_clusters, same banded candidate-edge machinery).
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -3921,8 +4074,11 @@ CORRECTNESS_WINDOW = [
     # round-5 re-verification of the cast-fixed oracles
     "x_boilerplate_ngrams",
     "x_domain_mix_plan",
-    # round-5 debut: newly oracle-backed
+    # round-5 debuts: newly oracle-backed / new operators
     "a2_approx_distinct_scale",
+    "x_passage_dedup",
+    "x_source_overlap",
+    "x_seq_length_histogram",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -3965,10 +4121,7 @@ CORRECTNESS_WINDOW = [
     "x_stratified_sample",
     "x_pack_shards",
     "x_repetition_filter",
-    "x_doc_chunking",
     "x_tfidf_top_terms",
-    "x_embedding_quantize",
-    "x_dupgraph_degree",
     "x_dedup_survivors",
 ]
 

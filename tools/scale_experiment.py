@@ -268,6 +268,10 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
 def main() -> None:
     spark = get_spark(app_name="scale-experiment")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--guards" in sys.argv:
+        guard_histogram_experiment(spark)
+        spark.stop()
+        return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
     t0 = time.perf_counter()
     build(spark)
@@ -280,6 +284,179 @@ def main() -> None:
         print(f"{name:36} {w1:7.2f}s {w10:8.2f}s {w10 / w1:5.1f}x  {n10}")
     fuzzy_dedup_experiment(spark)
     spark.stop()
+
+
+
+
+# ---------------------------------------------------------------------------
+# Quadratic-guard evidence (round-5 verdict item 6): bucket-size / cap-hit
+# histograms for the banded dedup family at 1x / 10x / 100x, with measured
+# rows/s. Run: python tools/scale_experiment.py --guards
+# The guard's hit rate IS the scale-safety evidence: a banded join's only
+# quadratic term is in-bucket pair blowup, so the bucket-size distribution
+# (and what the cap skips) bounds total work.
+# ---------------------------------------------------------------------------
+
+GUARD_SCALES = (1, 10, 100)
+
+
+def _bucket_histogram(buckets, size_col: str):
+    """(size-range, n_buckets, pair_volume) rows for a bucket-size frame."""
+    sz = F.col(size_col)
+    edge = (
+        F.when(sz <= 4, "2-4")
+        .when(sz <= 8, "5-8")
+        .when(sz <= 16, "9-16")
+        .when(sz <= 32, "17-32")
+        .when(sz <= 64, "33-64")
+        .when(sz <= 128, "65-128")
+        .otherwise(">128")
+    )
+    return (
+        buckets.groupBy(edge.alias("bucket_size"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(sz * (sz - 1) / 2).cast("long").alias("pair_volume"),
+        )
+        .orderBy("bucket_size")
+        .collect()
+    )
+
+
+def _replicated_embeddings(spark, factor: int, path: str):
+    """vec_id-offset replicas with deterministic directional noise
+    (cos ~0.97 to the original) — each vector gains factor-1 semantic
+    near-dups: the dup-heavy workload the bucket cap guards against."""
+    df = load_table(spark, SRC, "embeddings")
+    if factor == 1:
+        return df
+    span = df.agg(F.max("vec_id")).first()[0] + 1
+    reps = spark.range(factor).select(F.col("id").alias("__r"))
+    noise = F.transform(
+        "embedding",
+        lambda x, d: (
+            x.cast("double")
+            + (
+                F.pmod(
+                    (F.col("vec_id") * 64 + d.cast("long")) * 2654435761,
+                    F.lit(1000),
+                ).cast("double")
+                / 1000.0
+                - 0.5
+            )
+            * 0.08
+        ).cast("float"),
+    )
+    out = (
+        df.crossJoin(F.broadcast(reps))
+        .withColumn("embedding", F.when(F.col("__r") == 0, F.col("embedding")).otherwise(noise))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__r") * span)
+        .drop("__r")
+    )
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def guard_histogram_experiment(spark) -> None:
+    from sportstv_streaming_data_warehouse_spark.operators import dedup as D
+    from sportstv_streaming_data_warehouse_spark.operators import similarity as S
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+        _EC,
+        _MH_BANDS,
+        _MH_K,
+        _MH_SEED,
+        _MH_TAU,
+    )
+
+    os.makedirs(DST, exist_ok=True)
+
+    # ---- x_dedup_embedding_cosine: sign-LSH banding + cap --------------
+    print("\n== x_dedup_embedding_cosine (catalog params, cap "
+          f"{_EC['cap']}): sign-LSH bucket occupancy ==")
+    print(f"{'scale':>6} {'vectors':>9} {'wall':>8} {'rows/s':>9} "
+          f"{'pairs':>9} {'capped_buckets':>14} {'capped_pairs':>12}")
+    for factor in GUARD_SCALES:
+        emb = _replicated_embeddings(spark, factor, f"{DST}/emb_{factor}x.parquet")
+        n_vec = emb.count()
+
+        def run_cosine():
+            return S.banded_cosine_pairs(
+                emb,
+                threshold=_EC["tau"],
+                dim=_EC["dim"],
+                planes_per_band=_EC["planes_per_band"],
+                n_bands=_EC["n_bands"],
+                seed=_EC["seed"],
+                max_bucket_size=_EC["cap"],
+            ).count()
+
+        run_cosine()  # warm: JIT/codegen + pandas-UDF worker spin-up
+        t0 = time.perf_counter()
+        n_pairs = run_cosine()
+        wall = time.perf_counter() - t0
+        # independent bucket census via the same signature path
+        s = emb.select(
+            F.col("vec_id"),
+            S.banded_signatures_pandas(
+                "embedding", _EC["dim"], _EC["planes_per_band"],
+                _EC["n_bands"], _EC["seed"],
+            ).alias("__sigs"),
+        ).select("vec_id", F.posexplode("__sigs").alias("band", "sig"))
+        buckets = (
+            s.groupBy("band", "sig").agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > 1)
+        ).cache()
+        over = buckets.filter(F.col("sz") > _EC["cap"]).agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("sz") * (F.col("sz") - 1) / 2), F.lit(0))
+            .cast("long").alias("pv"),
+        ).first()
+        print(f"{factor:>5}x {n_vec:>9} {wall:7.1f}s {n_vec / wall:9.0f} "
+              f"{n_pairs:>9} {over['n']:>14} {over['pv']:>12}")
+        for r in _bucket_histogram(buckets, "sz"):
+            print(f"       bucket size {r['bucket_size']:>7}: "
+                  f"{r['n_buckets']:>8} buckets, pair volume {r['pair_volume']}")
+        buckets.unpersist()
+
+    # ---- x_dedup_incremental: batch-buckets x corpus-buckets ----------
+    print("\n== x_dedup_incremental (catalog params on the zipf corpus): "
+          "band-bucket occupancy ==")
+    print(f"{'scale':>6} {'corpus':>8} {'batch':>7} {'wall':>8} "
+          f"{'batch_docs/s':>12} {'pairs':>7} {'join_volume':>11}")
+    n1 = 5000
+    for factor in GUARD_SCALES:
+        path = f"{DST}/zipf_guard_{factor}x.parquet"
+        zipf_documents(spark, n1 * factor).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        corpus = docs.filter(F.col("doc_id") % 10 != 9)
+        batch = docs.filter(F.col("doc_id") % 10 == 9)
+        n_corpus, n_batch = corpus.count(), batch.count()
+
+        def run_inc():
+            return D.incremental_near_duplicates(
+                corpus, batch, "doc_id", "text",
+                num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+                threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+            ).count()
+
+        run_inc()  # warm
+        t0 = time.perf_counter()
+        n_pairs = run_inc()
+        wall = time.perf_counter() - t0
+        bc = D._banded_minhash(
+            corpus, "doc_id", "text", _MH_K, _MH_BANDS, 1, _MH_SEED, True
+        ).groupBy("band_id", "band_hash").agg(F.count("*").alias("c"))
+        bb = D._banded_minhash(
+            batch, "doc_id", "text", _MH_K, _MH_BANDS, 1, _MH_SEED, True
+        ).groupBy("band_id", "band_hash").agg(F.count("*").alias("b"))
+        joined = bb.join(bc, ["band_id", "band_hash"]).cache()
+        vol = joined.agg(F.sum(F.col("b") * F.col("c")).cast("long").alias("v")).first()["v"] or 0
+        print(f"{factor:>5}x {n_corpus:>8} {n_batch:>7} {wall:7.1f}s "
+              f"{n_batch / wall:12.0f} {n_pairs:>7} {vol:>11}")
+        for r in _bucket_histogram(joined.withColumn("sz", F.col("c")), "sz"):
+            print(f"       corpus-bucket size {r['bucket_size']:>7}: "
+                  f"{r['n_buckets']:>8} joined buckets, corpus pair volume {r['pair_volume']}")
+        joined.unpersist()
 
 
 if __name__ == "__main__":
