@@ -67,6 +67,11 @@ HEADLINE = [
     "x_kmeans_lloyd",          # extended: one Lloyd round, broadcast model (r4)
     "x_scd2_point_in_time",    # extended: SCD2 history + as-of attribution (r4)
     "x_dedup_incremental",     # extended: batch-vs-corpus ingest dedup (r4)
+    "x_passage_dedup",         # extended: narrow intra-doc passage dedup (r5)
+    "x_token_entropy",         # extended: explode-heavy entropy signal (r5)
+    "a_cohort_retention",      # cohort matrix: self-join on custkey (r5)
+    "w_event_transitions",     # lead-window bigram matrix (r5)
+    "a_pareto_abc",            # distributed rank + decimal prefix sum (r5)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more
