@@ -4444,6 +4444,531 @@ def a_pareto_abc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 third batch — round-6 window debuts. Event-analytics and
+# entity-resolution operators a reference user running product analytics
+# over the event stream (report.Rmd's engagement sections) would reach
+# for next, plus two scale-audit operators in the a2 within-bound style.
+# Registered AFTER the round-5 window (overflow): verified this round by
+# the identical DuckDB gate in tests/test_oracle_parity.py, first in line
+# for the round-6 driver window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_copurchase_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def x_copurchase_pairs(spark, sf_dir):
+    # Market-basket co-occurrence: parts appearing in the same order,
+    # counted over all orders, top-20 pairs. The self-join is an
+    # EQUI-join on l_orderkey after a per-order distinct, so the pair
+    # expansion is bounded by (lines-per-order choose 2) — TPC-H orders
+    # hold <= ~13 lines, so the blow-up factor is <= ~78 per order and
+    # the whole operator is linear in orders at any corpus size (the
+    # same per-container quadratic bound as the dedup buckets'
+    # max_bucket_size guard). One shuffle on l_orderkey serves the
+    # distinct AND co-locates the self-join; the pair count is a second
+    # shuffle on the pair key. Top-20 is a TakeOrdered (per-partition
+    # heap + driver merge), never a full sort. Tie-safe: (count DESC,
+    # part_a, part_b) is a unique ordering.
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "w_rolling_distinct_7d",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INTEGER) AS obs_day, user_id
+      FROM du, UNNEST(range(0, 7)) AS t(i)
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS obs_day FROM events)
+    SELECT strftime(d.obs_day, '%Y-%m-%d') AS obs_day,
+           COUNT(DISTINCT c.user_id) AS active_users_7d
+    FROM days d JOIN contrib c ON c.obs_day = d.obs_day
+    GROUP BY 1
+    """,
+)
+def w_rolling_distinct_7d(spark, sf_dir):
+    # Rolling 7-day DISTINCT users per day — the one rolling metric a
+    # RANGE window cannot express (COUNT(DISTINCT) over a moving frame
+    # is unsupported in both engines, and naive per-day set unions are
+    # quadratic). Re-expression: each (day, user) pair CONTRIBUTES to
+    # exactly the 7 observation days [d, d+6] — a constant-factor-7
+    # explode of the deduplicated day-user pairs, then one
+    # countDistinct per observation day. Linear in |day-user pairs|,
+    # shuffles on obs_day; the day-spine join (restricting output to
+    # observed days) broadcasts. At 100 TB the day-user distinct is the
+    # same single shuffle the cohort operator uses; the factor-7 blowup
+    # is byte-bounded (two ints per row).
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("obs_day"),
+        "user_id",
+    )
+    days = ev.select(F.to_date("ts").alias("obs_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("obs_day"),
+            "active_users_7d",
+        )
+    )
+
+
+@query(
+    "w_active_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             (d - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM du
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY 1
+    """,
+)
+def w_active_streaks(spark, sf_dir):
+    # Longest run of consecutive active days per user (gaps-and-islands):
+    # day_number - row_number is constant within a consecutive run, so
+    # one per-user window + two hash-aggs finds every streak without a
+    # self-join. The window partitions by user_id over the DEDUPLICATED
+    # (user, day) pairs — max 365 rows per user-year regardless of event
+    # volume, so no task ever sees more than a few KB per user and skew
+    # is impossible by construction.
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = du.withColumn(
+        "grp", F.unix_date(F.col("d")) - F.row_number().over(w)
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@query(
+    "a_winsorized_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC,
+                        l_orderkey * 100 + l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    cut AS (
+      SELECT flag, MIN(price) AS cutoff
+      FROM ranked WHERE rn <= (n * 10 + 999) // 1000
+      GROUP BY 1
+    )
+    SELECT r.flag AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           c.cutoff AS cutoff,
+           CAST(SUM(CAST(r.price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS raw_mean,
+           CAST(SUM(CAST(LEAST(r.price, c.cutoff) AS DECIMAL(18,2)))
+                AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM ranked r JOIN cut c ON r.flag = c.flag
+    GROUP BY 1, 3
+    """,
+)
+def a_winsorized_stats(spark, sf_dir):
+    # Winsorized (p99-clipped) mean per return flag: values above the
+    # top-1% cutoff are clipped to it — the robust-mean step a metrics
+    # pipeline applies before trending heavy-tailed revenue. The cutoff
+    # is the EXACT top-1% boundary value, found with the distributed
+    # histogram-refinement ranker (operators/ranking.py
+    # grouped_top_fraction) — NOT a per-group sort window, so the
+    # biggest group costs one boundary-bucket rank, not a single-task
+    # sort of the whole group. The cutoff is an actual data value
+    # (2 decimal places), so the clipped decimal sum is exact in both
+    # engines — no interpolation, no rounding-mode divergence. The
+    # integer quota (n*10+999)//1000 matches the ranker's ceil exactly.
+    from ..operators.ranking import grouped_top_fraction
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("rid"),
+    )
+    top = grouped_top_fraction(li, "flag", "price", "rid", keep_permille=10)
+    cut = top.groupBy("flag").agg(F.min("price").alias("cutoff"))
+    return (
+        li.join(F.broadcast(cut), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"), "cutoff")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum("price").alias("__raw_sum"),
+            F.sum(
+                F.least(F.col("price"), F.col("cutoff")).cast(
+                    DecimalType(18, 2)
+                )
+            )
+            .cast("double")
+            .alias("__win_sum"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "cutoff",
+            (F.col("__raw_sum") / F.col("n")).alias("raw_mean"),
+            (F.col("__win_sum") / F.col("n")).alias("winsorized_mean"),
+        )
+    )
+
+
+@query(
+    "x_anomaly_zscore",
+    oracle="""
+    WITH dd AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM dd GROUP BY 1
+    )
+    SELECT dd.event_type, strftime(dd.d, '%Y-%m-%d') AS d,
+           dd.c AS n_events,
+           CASE WHEN n_days * ss - sc * sc > 0
+                THEN (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n_days)
+                     / sqrt(CAST(n_days * ss - sc * sc AS DOUBLE)
+                            / CAST(n_days * n_days AS DOUBLE))
+                ELSE 0.0 END AS z,
+           CASE WHEN n_days * ss - sc * sc > 0
+                THEN ABS((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / n_days)
+                     / sqrt(CAST(n_days * ss - sc * sc AS DOUBLE)
+                            / CAST(n_days * n_days AS DOUBLE))) > 2.0
+                ELSE FALSE END AS is_anomaly
+    FROM dd JOIN s USING (event_type)
+    """,
+)
+def x_anomaly_zscore(spark, sf_dir):
+    # Daily event-volume anomaly detection: population z-score of each
+    # (event_type, day) count against that type's 30-day distribution,
+    # flagging |z| > 2. The variance comes from EXACT integer sums
+    # (n*Σc² - (Σc)² over integer counts — no Welford/stddev_samp
+    # implementation divergence between engines), divided and rooted in
+    # IEEE doubles with an identical expression tree on both sides.
+    # Plan: two hash-aggs (day grain, then type grain — 5 rows) and a
+    # broadcast join back; nothing scales with raw event count except
+    # the first agg. At counts beyond ~3e9/day the c*c product needs
+    # DECIMAL(38) accumulation — noted, not needed at any TPC-H SF.
+    ev = load_table(spark, sf_dir, "events")
+    dd = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    s = dd.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    numer = F.col("n_days") * F.col("ss") - F.col("sc") * F.col("sc")
+    z = (
+        F.col("c").cast("double")
+        - F.col("sc").cast("double") / F.col("n_days")
+    ) / F.sqrt(
+        numer.cast("double")
+        / (F.col("n_days") * F.col("n_days")).cast("double")
+    )
+    return (
+        dd.join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("c").alias("n_events"),
+            F.when(numer > 0, z).otherwise(F.lit(0.0)).alias("z"),
+            F.when(numer > 0, F.abs(z) > 2.0)
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "x_fuzzy_match_names",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, string_split(p_name, ' ')[2] AS noun,
+             COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def x_fuzzy_match_names(spark, sf_dir):
+    # Fuzzy entity matching: near-identical part names (edit distance
+    # <= 3) — the catalog-reconciliation step before a dim merge. Two
+    # scale moves: (1) match over the DEDUPLICATED name vocabulary, not
+    # the part rows — the candidate space is |vocab|², not |parts|²
+    # (here 64 names for 2000 parts; real catalogs keep the same
+    # orders-of-magnitude gap); (2) block on the head noun (last token)
+    # so only same-entity-type names compare — an equi-join on the
+    # blocking key, never a cross join, with per-block size bounded by
+    # the noun's adjective fan-out. levenshtein runs JVM-side
+    # (whole-stage codegen), identical to DuckDB's by definition of
+    # edit distance.
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+        )
+        .agg(F.count("*").alias("n_parts"))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+_CANON = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "x_split_leakage_audit",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, {_CANON} AS canonical,
+             CASE WHEN {_FP} % 10 < 8 THEN 'train'
+                  WHEN {_FP} % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split_content,
+             CASE WHEN doc_id % 10 < 8 THEN 'train'
+                  WHEN doc_id % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split_naive
+      FROM documents
+    ),
+    g AS (
+      SELECT canonical,
+             COUNT(DISTINCT split_content) AS nc,
+             COUNT(DISTINCT split_naive) AS nn,
+             COUNT(*) AS docs
+      FROM assigned GROUP BY 1
+    )
+    SELECT 'content_hash' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_groups,
+           CAST(SUM(CASE WHEN nc > 1 THEN docs ELSE 0 END) AS BIGINT)
+             AS docs_at_risk
+    FROM g
+    UNION ALL
+    SELECT 'doc_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nn > 1 THEN docs ELSE 0 END) AS BIGINT)
+    FROM g
+    """,
+)
+def x_split_leakage_audit(spark, sf_dir):
+    # Train/test leakage audit: for each split strategy, how many
+    # near-duplicate groups (canonical-text identity, the
+    # x_dedup_canonical equivalence) span MORE than one split? Content-
+    # hash splitting is leakage-free by construction (same canonical
+    # text => same fingerprint => same split — x_content_hash_split);
+    # row-id splitting scatters duplicates across splits. This is the
+    # audit that certifies a split before an eval set ships. One
+    # hash-agg on the canonical key (same shuffle the canonical dedup
+    # uses), then a two-row summary; at 100 TB group on
+    # xxhash64(canonical) instead of the raw string to keep shuffle
+    # rows narrow.
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    bucket_c = T.fingerprint(F.col("text")) % 10
+    split_c = (
+        F.when(bucket_c < 8, "train")
+        .when(bucket_c == 8, "valid")
+        .otherwise("test")
+    )
+    bucket_n = F.col("doc_id") % 10
+    split_n = (
+        F.when(bucket_n < 8, "train")
+        .when(bucket_n == 8, "valid")
+        .otherwise("test")
+    )
+    g = (
+        docs.select(
+            canonical.alias("canonical"),
+            split_c.alias("split_content"),
+            split_n.alias("split_naive"),
+        )
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("split_content").alias("nc"),
+            F.countDistinct("split_naive").alias("nn"),
+            F.count("*").alias("docs"),
+        )
+    )
+    leaky = lambda col: F.sum(  # noqa: E731
+        F.when(F.col(col) > 1, 1).otherwise(0)
+    ).cast("long")
+    at_risk = lambda col: F.sum(  # noqa: E731
+        F.when(F.col(col) > 1, F.col("docs")).otherwise(0)
+    ).cast("long")
+    # BOTH strategies' metrics in ONE aggregate over the single group
+    # frame (a two-branch union would scan and shuffle everything
+    # twice), then a 1-row -> 2-row explode
+    summary = g.agg(
+        F.count("*").alias("n_groups"),
+        leaky("nc").alias("c_leaky"),
+        at_risk("nc").alias("c_risk"),
+        leaky("nn").alias("n_leaky"),
+        at_risk("nn").alias("n_risk"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("content_hash").alias("strategy"),
+                F.col("c_leaky").alias("leaky_groups"),
+                F.col("c_risk").alias("docs_at_risk"),
+            ),
+            F.struct(
+                F.lit("doc_id").alias("strategy"),
+                F.col("n_leaky").alias("leaky_groups"),
+                F.col("n_risk").alias("docs_at_risk"),
+            ),
+        )
+    )
+    return summary.select("n_groups", row.alias("r")).select(
+        F.col("r.strategy").alias("strategy"),
+        "n_groups",
+        F.col("r.leaky_groups").alias("leaky_groups"),
+        F.col("r.docs_at_risk").alias("docs_at_risk"),
+    )
+
+
+@query(
+    "a_approx_quantile_audit",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+           TRUE AS p50_within_bound,
+           TRUE AS p90_within_bound
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a_approx_quantile_audit(spark, sf_dir):
+    # The 100-TB posture for exact percentiles (the a2 pattern applied
+    # to quantiles): approx_percentile's rank-error contract (eps =
+    # 1/accuracy) is audited in-band against the exact interpolated
+    # percentile at p ± 2*eps — if the sketch honors its bound, its
+    # answer (an actual data element) must lie inside that exact-value
+    # bracket. The oracle computes the exact side and pins the bound
+    # flags TRUE, so a driver hash-match verifies BOTH the exact values
+    # and that the sketch honored its contract. The raw approximate
+    # values are excluded from the hashed output (sketch-impl-specific).
+    # At 100 TB production keeps only the single-pass approx_percentile;
+    # the exact side here is the audit harness.
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 100
+    eps = 2.0 / acc
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+        F.percentile("l_extendedprice", 0.5 - eps).alias("__p50_lo"),
+        F.percentile("l_extendedprice", 0.5 + eps).alias("__p50_hi"),
+        F.percentile("l_extendedprice", 0.9 - eps).alias("__p90_lo"),
+        F.percentile("l_extendedprice", 0.9 + eps).alias("__p90_hi"),
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.9, acc).alias("__a90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        (
+            (F.col("__a50") >= F.col("__p50_lo"))
+            & (F.col("__a50") <= F.col("__p50_hi"))
+        ).alias("p50_within_bound"),
+        (
+            (F.col("__a90") >= F.col("__p90_lo"))
+            & (F.col("__a90") <= F.col("__p90_hi"))
+        ).alias("p90_within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
 # oracle-backed queries chosen to cover every operator family of SURVEY §2
@@ -4507,6 +5032,23 @@ def a_pareto_abc(spark, sf_dir):
 # Expand path), a_share_of_total (same window-over-tiny-agg shape as
 # w_moving_avg_7d, which stays). All seven displaced entries are r3-green
 # (policy-eligible) and are first in line for the round-6 window.
+#
+# Round-5 third batch: eight more debuts (x_copurchase_pairs,
+# w_rolling_distinct_7d, w_active_streaks, a_winsorized_stats,
+# x_anomaly_zscore, x_fuzzy_match_names, x_split_leakage_audit,
+# a_approx_quantile_audit) displace eight r3-green entries, each with an
+# in-window sibling on the same codepath (or a strict superset among the
+# debuts): a_quantiles_by_flag (a_approx_quantile_audit computes the
+# identical exact percentiles PLUS the sketch audit), x_content_hash_split
+# (x_split_leakage_audit re-runs the same fingerprint split and audits
+# it), x_dedup_minhash_poly / x_dedup_simhash_poly / x_knn_lsh_poly
+# (portable-hash twins; the banded-bucket machinery stays in-window via
+# x_dedup_token_jaccard, x_dedup_clusters, x_dedup_embedding_cosine,
+# x_knn_bruteforce, x_knn_ivf_ann), sql_surface_weekly_top (SQL-API twin
+# of a7_weekly_latest_year, green r4), q_quality_audit (q_key_skew_report
+# debuts in-window; x_quality_deciles stays), x_tfidf_top_terms (sibling
+# x_bm25_topk green r4 — same tf/df machinery). All eight displaced
+# entries are r3-green (policy-eligible) and queue for round 6.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -4528,6 +5070,14 @@ CORRECTNESS_WINDOW = [
     "x_token_entropy",
     "q_key_skew_report",
     "a_pareto_abc",
+    "x_copurchase_pairs",
+    "w_rolling_distinct_7d",
+    "w_active_streaks",
+    "a_winsorized_stats",
+    "x_anomaly_zscore",
+    "x_fuzzy_match_names",
+    "x_split_leakage_audit",
+    "a_approx_quantile_audit",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -4541,19 +5091,12 @@ CORRECTNESS_WINDOW = [
     "x_range_join_value_bands",
     "a_rollup_hierarchy",
     "h_monthly_from_daily",
-    "a_quantiles_by_flag",
     "w_moving_avg_7d",
     "f_json_extract",
-    "sql_surface_weekly_top",
-    "q_quality_audit",
-    "x_dedup_minhash_poly",
-    "x_dedup_simhash_poly",
     "x_dedup_clusters",
     "x_dedup_embedding_cosine",
     "x_knn_bruteforce",
-    "x_knn_lsh_poly",
     "x_text_profile",
-    "x_content_hash_split",
     "x_quality_deciles",
     "x_cdc_fact_diff",
     "x_salted_skew_rollup",
@@ -4563,7 +5106,6 @@ CORRECTNESS_WINDOW = [
     "x_stratified_sample",
     "x_pack_shards",
     "x_repetition_filter",
-    "x_tfidf_top_terms",
     "x_dedup_survivors",
 ]
 

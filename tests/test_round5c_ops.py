@@ -1,0 +1,370 @@
+"""Semantics tests for the round-5 third-batch operators, with planted
+inputs the fixture corpus lacks (the random event stream has no known
+streak shapes or anomaly spikes, and fixture part names never tell us
+which fuzzy pairs SHOULD match). Value parity against DuckDB is covered
+separately by tests/test_oracle_parity.py."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+    grouped_top_fraction,
+)
+from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+from .conftest import SF01
+
+
+def _d(day):
+    return datetime.date(2024, 1, day)
+
+
+# ---------------------------------------------------------------------------
+# w_active_streaks — gaps-and-islands on planted activity patterns
+# ---------------------------------------------------------------------------
+
+
+def _streaks(spark, rows):
+    du = spark.createDataFrame(rows, ["user_id", "d"]).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = du.withColumn(
+        "grp", F.unix_date(F.col("d")) - F.row_number().over(w)
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return {
+        r["user_id"]: r
+        for r in streaks.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .collect()
+    }
+
+
+def test_streaks_planted_runs(spark):
+    out = _streaks(
+        spark,
+        # user 1: days 1-3 then 5-6  -> runs of 3 and 2
+        [(1, _d(1)), (1, _d(2)), (1, _d(3)), (1, _d(5)), (1, _d(6))]
+        # user 2: one day             -> single run of 1
+        + [(2, _d(10))]
+        # user 3: every second day    -> three runs of 1
+        + [(3, _d(1)), (3, _d(3)), (3, _d(5))],
+    )
+    assert (out[1]["n_streaks"], out[1]["longest_streak"], out[1]["active_days"]) == (2, 3, 5)
+    assert (out[2]["n_streaks"], out[2]["longest_streak"], out[2]["active_days"]) == (1, 1, 1)
+    assert (out[3]["n_streaks"], out[3]["longest_streak"], out[3]["active_days"]) == (3, 1, 3)
+
+
+def test_streaks_duplicate_events_one_day(spark):
+    # multiple events on the same day collapse before the window
+    out = _streaks(spark, [(1, _d(1)), (1, _d(1)), (1, _d(2))])
+    assert (out[1]["n_streaks"], out[1]["longest_streak"]) == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# w_rolling_distinct_7d — contribution-explode re-expression
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_distinct_planted(spark):
+    ev = spark.createDataFrame(
+        # user 1 active day 1; user 2 active days 1 and 9; user 3 day 8
+        [(1, _d(1)), (2, _d(1)), (2, _d(9)), (3, _d(8))],
+        ["user_id", "d"],
+    )
+    du = ev.distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("obs_day"),
+        "user_id",
+    )
+    days = ev.select(F.col("d").alias("obs_day")).distinct()
+    got = {
+        r["obs_day"].isoformat() if hasattr(r["obs_day"], "isoformat") else r["obs_day"]: r[
+            "active_users_7d"
+        ]
+        for r in contrib.join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .collect()
+    }
+    # observed days only: 1, 8, 9
+    # day 1: users {1,2}; day 8: {3} (day-1 contributions end day 7);
+    # day 9: {2 (again), 3 (from day 8)}
+    assert got == {"2024-01-01": 2, "2024-01-08": 1, "2024-01-09": 2}
+
+
+# ---------------------------------------------------------------------------
+# x_copurchase_pairs — pair expansion and ordering
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_planted_pairs(spark):
+    op = spark.createDataFrame(
+        # order 1: parts A,B,C; order 2: A,B; order 3: B (no pair);
+        # duplicate (1, A) line must collapse before pairing
+        [(1, 10), (1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 20)],
+        ["l_orderkey", "l_partkey"],
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .collect()
+    }
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+
+def test_copurchase_catalog_top20_is_sorted_unique(spark):
+    rows = QUERIES["x_copurchase_pairs"](spark, SF01).collect()
+    assert len(rows) == 20
+    keys = [(-r["n_orders"], r["part_a"], r["part_b"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# a_winsorized_stats — exact top-1% cutoff and clipped mean
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_planted_cutoff(spark):
+    # 300 values 1..300 in one group: k = ceil(300*10/1000) = 3 top rows
+    # -> cutoff = 298; clipped sum = sum(1..297) + 3*298
+    rows = [("X", float(v), v) for v in range(1, 301)]
+    li = spark.createDataFrame(rows, ["flag", "price", "rid"])
+    top = grouped_top_fraction(li, "flag", "price", "rid", keep_permille=10)
+    cut = top.groupBy("flag").agg(F.min("price").alias("cutoff"))
+    got = cut.collect()[0]
+    assert got["cutoff"] == 298.0
+    clipped = (
+        li.join(F.broadcast(cut), "flag")
+        .agg(F.sum(F.least("price", "cutoff")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert clipped == sum(range(1, 298)) + 3 * 298
+
+
+def test_winsorized_catalog_invariants(spark):
+    out = QUERIES["a_winsorized_stats"](spark, SF01).collect()
+    assert len(out) == 3  # A / N / R
+    for r in out:
+        assert r["winsorized_mean"] <= r["raw_mean"]
+        assert r["cutoff"] > 0 and r["n"] > 0
+
+
+# ---------------------------------------------------------------------------
+# x_anomaly_zscore — planted spike detection
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_zscore_planted_spike(spark):
+    # 29 quiet days at 10 events + one day at 100: the spike must flag,
+    # quiet days must not (z of quiet days ~ -0.19)
+    counts = [("click", _d(i + 1), 10) for i in range(29)] + [
+        ("click", _d(30), 100)
+    ]
+    dd = spark.createDataFrame(counts, ["event_type", "d", "c"])
+    s = dd.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    numer = F.col("n_days") * F.col("ss") - F.col("sc") * F.col("sc")
+    z = (
+        F.col("c").cast("double") - F.col("sc").cast("double") / F.col("n_days")
+    ) / F.sqrt(
+        numer.cast("double") / (F.col("n_days") * F.col("n_days")).cast("double")
+    )
+    out = {
+        r["d"]: (r["z"], r["is_anomaly"])
+        for r in dd.join(F.broadcast(s), "event_type")
+        .select(
+            "d",
+            F.when(numer > 0, z).otherwise(F.lit(0.0)).alias("z"),
+            F.when(numer > 0, F.abs(z) > 2.0).otherwise(F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+        .collect()
+    }
+    assert out[_d(30)][1] is True and out[_d(30)][0] > 5.0
+    assert all(not flag for d, (_, flag) in out.items() if d != _d(30))
+
+
+def test_anomaly_zscore_constant_series_no_flags(spark):
+    # zero variance -> z pinned to 0.0, nothing flagged (no NaN/div0)
+    dd = spark.createDataFrame(
+        [("view", _d(i + 1), 5) for i in range(10)], ["event_type", "d", "c"]
+    )
+    s = dd.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    numer = F.col("n_days") * F.col("ss") - F.col("sc") * F.col("sc")
+    z = (
+        F.col("c").cast("double") - F.col("sc").cast("double") / F.col("n_days")
+    ) / F.sqrt(
+        numer.cast("double") / (F.col("n_days") * F.col("n_days")).cast("double")
+    )
+    out = dd.join(F.broadcast(s), "event_type").select(
+        F.when(numer > 0, z).otherwise(F.lit(0.0)).alias("z"),
+        F.when(numer > 0, F.abs(z) > 2.0).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    ).collect()
+    assert all(r["z"] == 0.0 and r["is_anomaly"] is False for r in out)
+
+
+# ---------------------------------------------------------------------------
+# x_fuzzy_match_names — blocking and threshold semantics
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    vocab = df.groupBy(
+        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    ).agg(F.count("*").alias("n_parts"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    return {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .collect()
+    }
+
+
+def test_fuzzy_match_within_block_and_threshold(spark):
+    got = _fuzzy(
+        spark,
+        [
+            "red widget", "rad widget",     # same noun, dist 1 -> match
+            "blue bolt", "glue bolt",       # same noun, dist 1 -> match
+            "crimson widget",               # same noun, dist > 3 -> no
+            "red gizmo",                    # different noun -> never compared
+        ],
+    )
+    assert got == {
+        ("rad widget", "red widget"): 1,
+        ("blue bolt", "glue bolt"): 1,
+    }
+
+
+def test_fuzzy_match_duplicate_names_collapse(spark):
+    # duplicate part names collapse to one vocab row -> no self-pair
+    got = _fuzzy(spark, ["red widget", "red widget"])
+    assert got == {}
+
+
+# ---------------------------------------------------------------------------
+# x_split_leakage_audit — content split is leakage-free, id split leaks
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_catalog_content_split_never_leaks(spark):
+    rows = {
+        r["strategy"]: r
+        for r in QUERIES["x_split_leakage_audit"](spark, SF01).collect()
+    }
+    assert rows["content_hash"]["leaky_groups"] == 0
+    assert rows["content_hash"]["docs_at_risk"] == 0
+    # both strategies audit the same group universe
+    assert rows["content_hash"]["n_groups"] == rows["doc_id"]["n_groups"]
+
+
+def test_split_leakage_planted_dup_across_id_buckets(spark):
+    # same canonical text under doc_ids 1 and 12: doc_id%10 puts both in
+    # 'train'... use ids 7 and 18 -> buckets 7 (train) and 8 (valid):
+    # the id split leaks, the content split cannot (same text -> same
+    # fingerprint -> same split)
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(7, "Hello, World!"), (18, "hello  world"), (3, "other doc")],
+        ["doc_id", "text"],
+    )
+    canonical = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""),
+            r" +",
+            " ",
+        )
+    )
+    bucket_c = T.fingerprint(F.col("text")) % 10
+    split_c = (
+        F.when(bucket_c < 8, "train").when(bucket_c == 8, "valid").otherwise("test")
+    )
+    bucket_n = F.col("doc_id") % 10
+    split_n = (
+        F.when(bucket_n < 8, "train").when(bucket_n == 8, "valid").otherwise("test")
+    )
+    g = (
+        docs.select(
+            canonical.alias("canonical"),
+            split_c.alias("sc"),
+            split_n.alias("sn"),
+        )
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("sc").alias("nc"),
+            F.countDistinct("sn").alias("nn"),
+        )
+        .collect()
+    )
+    by_canon = {r["canonical"]: r for r in g}
+    # "Hello, World!" and "hello  world" canonicalize differently?  No:
+    # both become "hello world" -> ONE group spanning two id-buckets
+    assert by_canon["hello world"]["nn"] == 2  # id split leaks
+    # content split keyed on RAW text differs for the two variants, so
+    # the canonical group spans splits there too UNLESS the texts agree;
+    # the no-leak guarantee holds for exact-duplicate text:
+    exact = spark.createDataFrame(
+        [(7, "same text"), (18, "same text")], ["doc_id", "text"]
+    )
+    gc = (
+        exact.select(split_c.alias("sc"))
+        .agg(F.countDistinct("sc").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert gc == 1  # same text -> same content split, always
+
+
+# ---------------------------------------------------------------------------
+# a_approx_quantile_audit — the sketch honors its rank-error contract
+# ---------------------------------------------------------------------------
+
+
+def test_approx_quantile_audit_bounds_hold_on_fixture(spark):
+    out = QUERIES["a_approx_quantile_audit"](spark, SF01).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["p50_within_bound"] is True
+        assert r["p90_within_bound"] is True
+        assert r["exact_p50"] <= r["exact_p90"]
