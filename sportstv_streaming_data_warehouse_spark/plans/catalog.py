@@ -4968,6 +4968,323 @@ def a_approx_quantile_audit(spark, sf_dir):
     )
 
 
+_PR_UNIT = 1_000_000_000  # pagerank contribution unit (giga-units)
+
+
+@query(
+    "x_pagerank_step",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+    s AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(FLOOR({_PR_UNIT} / d.out_deg) AS BIGINT))
+                  AS BIGINT) AS inbound_mass
+      FROM edges e JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    )
+    SELECT s.node, d.out_deg AS degree, s.inbound_mass,
+           CAST(CAST(15 AS BIGINT) * {_PR_UNIT} + 85 * s.inbound_mass
+                AS BIGINT) AS pr_scaled
+    FROM s JOIN deg d ON s.node = d.src
+    """,
+)
+def x_pagerank_step(spark, sf_dir):
+    # One PageRank iteration (damping 0.85, uniform init) over the
+    # co-purchase graph — the bounded-iteration graph-propagation
+    # pattern (k-means precedent: one verified round; a driver loop
+    # chains rounds). Determinism: each neighbor's contribution is the
+    # EXACT integer floor(UNIT/deg), summed as BIGINTs — no float
+    # accumulation order anywhere; pr_scaled = 15*UNIT + 85*S(v) is the
+    # unnormalized rank in 1/(100*UNIT*N) units (N = node count, left
+    # to the reader to divide — keeping N out of the row avoids a
+    # global-scalar cross join). Plan: the edge list is the bounded
+    # per-order pair expansion (see x_copurchase_pairs), degree is one
+    # hash-agg, and propagation is ONE equi-join on src + one hash-agg
+    # on dst — the exact shape a Pregel superstep lowers to. Undirected
+    # graph => every node has in-edges, so the final join is inner.
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    s = (
+        edges.join(deg, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(
+                F.floor(F.lit(_PR_UNIT) / F.col("out_deg")).cast("long")
+            ).alias("inbound_mass")
+        )
+    )
+    return s.join(deg, s.node == deg.src).select(
+        "node",
+        F.col("out_deg").alias("degree"),
+        "inbound_mass",
+        (
+            F.lit(15 * _PR_UNIT) + F.lit(85) * F.col("inbound_mass")
+        ).cast("long").alias("pr_scaled"),
+    )
+
+
+@query(
+    "x_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(ROUND(LN((({_FP}) % 1000000 + 0.5) / 1000000.0)
+                        * 1000000.0) AS BIGINT) AS lnu_micro
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(lnu_micro AS DOUBLE) / n_chars AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def x_weighted_sample(spark, sf_dir):
+    # Deterministic weighted sampling WITHOUT replacement
+    # (Efraimidis–Spirakis priority sampling): each doc draws
+    # u = (fingerprint mod 1e6 + 0.5)/1e6 and ranks by u^(1/w) — here by
+    # the equivalent ln(u)/w, monotone for w > 0 — keeping the global
+    # top-k. Weight = n_chars: longer docs proportionally likelier, the
+    # standard size-biased corpus subsample. Determinism: ln(u) is
+    # rounded to integer micro-nats first (the x_token_entropy trick —
+    # boundary hits are measure-zero), then ONE IEEE division by the
+    # integer weight is correctly rounded and bit-identical in both
+    # engines; ties impossible (key DESC, doc_id ASC is unique). Plan:
+    # narrow per-row expressions + TakeOrdered(50) — no shuffle beyond
+    # the top-k merge; at 100 TB this is a scan + heap.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lnu_micro = F.round(
+        F.log((T.fingerprint(F.col("text")) % 1000000 + 0.5) / 1000000.0)
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (lnu_micro.cast("double") / F.col("n_chars")).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "x_unigram_surprisal",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                t -> t != '')) AS token
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    freq AS (SELECT token, CAST(SUM(c) AS BIGINT) AS f FROM tc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t FROM freq),
+    terms AS (
+      SELECT tc.doc_id,
+             tc.c,
+             CAST(ROUND(tc.c * LN(CAST(tot.t AS DOUBLE) / freq.f)
+                        * 1000000.0) AS BIGINT) AS q
+      FROM tc JOIN freq ON tc.token = freq.token CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(q) / 1000000.0 / SUM(c), 4) AS surprisal_nats
+    FROM terms GROUP BY 1
+    """,
+)
+def x_unigram_surprisal(spark, sf_dir):
+    # Per-document cross-entropy under the corpus unigram LM — the
+    # cheap perplexity-style quality signal (high surprisal = rare-token
+    # gibberish, low = boilerplate): S(d) = (1/n_d) Σ_tok c·ln(T/f_tok).
+    # Complements x_token_entropy (which scores INTERNAL diversity; this
+    # scores typicality AGAINST the corpus). Determinism: same
+    # integer-micro-nat term rounding as x_token_entropy, summed as
+    # BIGINTs. Plan: one explode + (doc, token) hash-agg, a token-grain
+    # hash-agg for the vocabulary frequencies, an equi-join back on
+    # token (vocabulary-sized right side — broadcastable at scale), a
+    # 1-row global total broadcast-crossed, then the per-doc agg.
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    freq = tc.groupBy("token").agg(F.sum("c").alias("f"))
+    tot = freq.agg(F.sum("f").alias("t"))
+    terms = (
+        tc.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c",
+            F.round(
+                F.col("c")
+                * F.log(F.col("t").cast("double") / F.col("f"))
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.sum("q") / 1000000.0 / F.sum("c"), 4
+        ).alias("surprisal_nats"),
+    )
+
+
+def _hard_negative_oracle() -> str:
+    """DuckDB replay of x_hard_negatives: the SAME capped sign-LSH
+    candidate chain as _ec_capped_oracle (no cosine threshold), unfolded
+    to both orientations, label-joined, then per-anchor argmax by
+    (cosine DESC, neg_id ASC)."""
+    n_bands = _EC["n_bands"]
+    sigs = ", ".join(_ec_sig_sql(b) for b in range(n_bands))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, e, {b} AS band, s{b} AS sig FROM s"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_dot_product(ae, be)"
+        " / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(be, be)))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e, {sigs} FROM v),
+    u AS ({unions}),
+    cnt AS (SELECT band, sig, COUNT(*) AS c FROM u GROUP BY 1, 2),
+    ok AS (SELECT u.* FROM u JOIN cnt USING (band, sig)
+           WHERE cnt.c > 1 AND cnt.c <= {_EC["cap"]}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ae, b.e AS be
+      FROM ok a JOIN ok b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (SELECT id_a, id_b, {cos} AS cos FROM pairs),
+    sym AS (
+      SELECT id_a AS anchor, id_b AS neg, cos FROM scored
+      UNION ALL SELECT id_b, id_a, cos FROM scored
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    ranked AS (
+      SELECT sym.anchor, la.label AS anchor_label,
+             sym.neg, ln.label AS neg_label, sym.cos,
+             ROW_NUMBER() OVER (PARTITION BY sym.anchor
+                                ORDER BY sym.cos DESC, sym.neg ASC) AS rn
+      FROM sym JOIN lbl la ON sym.anchor = la.vec_id
+               JOIN lbl ln ON sym.neg = ln.vec_id
+      WHERE la.label <> ln.label
+    )
+    SELECT anchor AS vec_id, anchor_label AS label,
+           neg AS hard_negative_id, neg_label AS hard_negative_label,
+           cos AS cosine_sim
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("x_hard_negatives", oracle=_hard_negative_oracle())
+def x_hard_negatives(spark, sf_dir):
+    # Hard-negative mining for contrastive training: for each labeled
+    # vector, the most-similar DIFFERENTLY-labeled vector among its
+    # sign-LSH candidates (the standard approximate mining pass — exact
+    # all-pairs argmax is corpus² and x_knn_bruteforce's deliberate
+    # baseline covers the exact path). Reuses banded_cosine_pairs in
+    # the capped configuration with NO cosine threshold (every bucket
+    # candidate competes), unfolds to both orientations, drops
+    # same-label pairs, and takes the per-anchor argmax via max(struct)
+    # — a hash-agg, no per-anchor sort. Cosine values are the same
+    # fold-pinned doubles the cosine-dedup oracle already hash-matches.
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.banded_cosine_pairs(
+        emb,
+        threshold=-1.0,
+        dim=_EC["dim"],
+        planes_per_band=_EC["planes_per_band"],
+        n_bands=_EC["n_bands"],
+        seed=_EC["seed"],
+        max_bucket_size=_EC["cap"],
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("neg"),
+        F.col("cosine_sim").alias("cos"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("anchor"),
+            F.col("id_a").alias("neg"),
+            F.col("cosine_sim").alias("cos"),
+        )
+    )
+    lbl = emb.select("vec_id", "label")
+    j = (
+        sym.join(
+            lbl.select(
+                F.col("vec_id").alias("anchor"),
+                F.col("label").alias("anchor_label"),
+            ),
+            "anchor",
+        )
+        .join(
+            lbl.select(
+                F.col("vec_id").alias("neg"),
+                F.col("label").alias("neg_label"),
+            ),
+            "neg",
+        )
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+    )
+    best = j.groupBy("anchor", "anchor_label").agg(
+        F.max(
+            F.struct(
+                F.col("cos"),
+                (-F.col("neg")).alias("__nneg"),
+                F.col("neg"),
+                F.col("neg_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("anchor").alias("vec_id"),
+        F.col("anchor_label").alias("label"),
+        F.col("b.neg").alias("hard_negative_id"),
+        F.col("b.neg_label").alias("hard_negative_label"),
+        F.col("b.cos").alias("cosine_sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -5049,6 +5366,19 @@ def a_approx_quantile_audit(spark, sf_dir):
 # debuts in-window; x_quality_deciles stays), x_tfidf_top_terms (sibling
 # x_bm25_topk green r4 — same tf/df machinery). All eight displaced
 # entries are r3-green (policy-eligible) and queue for round 6.
+#
+# Round-5 fourth batch: four more debuts (x_pagerank_step,
+# x_weighted_sample, x_unigram_surprisal, x_hard_negatives) displace
+# four r3-green entries with in-window family siblings:
+# x_knn_bruteforce (x_hard_negatives exercises the same fold-pinned
+# cosine machinery; x_knn_ivf_ann stays in-window), x_stratified_sample
+# (x_weighted_sample debuts — the sampling family's deterministic-hash
+# machinery; x_content_hash_split's split path moved to
+# x_split_leakage_audit in-window), x_repetition_filter
+# (x_unigram_surprisal debuts; x_token_entropy in-window — the
+# information-density quality family), x_salted_skew_rollup
+# (q_key_skew_report in-window — the skew-diagnostics family). All four
+# displaced entries are r3-green (policy-eligible) and queue for round 6.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -5078,6 +5408,10 @@ CORRECTNESS_WINDOW = [
     "x_fuzzy_match_names",
     "x_split_leakage_audit",
     "a_approx_quantile_audit",
+    "x_pagerank_step",
+    "x_weighted_sample",
+    "x_unigram_surprisal",
+    "x_hard_negatives",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5095,17 +5429,13 @@ CORRECTNESS_WINDOW = [
     "f_json_extract",
     "x_dedup_clusters",
     "x_dedup_embedding_cosine",
-    "x_knn_bruteforce",
     "x_text_profile",
     "x_quality_deciles",
     "x_cdc_fact_diff",
-    "x_salted_skew_rollup",
     "x_knn_ivf_ann",
     "x_dedup_ngram_jaccard",
     "x_decontamination",
-    "x_stratified_sample",
     "x_pack_shards",
-    "x_repetition_filter",
     "x_dedup_survivors",
 ]
 

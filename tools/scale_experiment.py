@@ -69,6 +69,20 @@ QUERY_SET = [
     "x_boilerplate_ngrams",
     "x_kmeans_lloyd",
     "x_scd2_point_in_time",
+    # round-5 event-analytics ops: aggregates over replicated events
+    # (10x events, fixed 150 users / 30 days — per-user and per-day
+    # state stays constant, only the first agg scans more)
+    "a_cohort_retention",
+    "w_event_funnel",
+    "w_event_transitions",
+    "x_passage_dedup",
+    "x_token_entropy",
+    "x_copurchase_pairs",
+    "w_rolling_distinct_7d",
+    "w_active_streaks",
+    "a_winsorized_stats",
+    "x_anomaly_zscore",
+    "x_split_leakage_audit",
 ]
 # x_dedup_incremental is measured in the ZIPF experiment below, not on
 # the fixture replicas: replicas carry IDENTICAL texts, so every batch
