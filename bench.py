@@ -72,6 +72,10 @@ HEADLINE = [
     "a_cohort_retention",      # cohort matrix: self-join on custkey (r5)
     "w_event_transitions",     # lead-window bigram matrix (r5)
     "a_pareto_abc",            # distributed rank + decimal prefix sum (r5)
+    "x_copurchase_pairs",      # bounded self-join pair mining + top-k (r5)
+    "w_rolling_distinct_7d",   # contribution-explode rolling distinct (r5)
+    "x_unigram_surprisal",     # corpus-LM typicality scoring (r5)
+    "x_hard_negatives",        # banded hard-negative mining argmax (r5)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

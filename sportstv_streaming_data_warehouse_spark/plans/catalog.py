@@ -5237,17 +5237,22 @@ def x_hard_negatives(spark, sf_dir):
         seed=_EC["seed"],
         max_bucket_size=_EC["cap"],
     )
+    # both orientations via ONE explode — a unionAll of two selects would
+    # re-evaluate the whole banded pipeline (pandas-UDF signatures,
+    # bucket join, cosine refine) once per branch
     sym = pairs.select(
-        F.col("id_a").alias("anchor"),
-        F.col("id_b").alias("neg"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor"), F.col("id_b").alias("neg")
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor"), F.col("id_a").alias("neg")
+                ),
+            )
+        ).alias("p"),
         F.col("cosine_sim").alias("cos"),
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("anchor"),
-            F.col("id_a").alias("neg"),
-            F.col("cosine_sim").alias("cos"),
-        )
-    )
+    ).select(F.col("p.anchor").alias("anchor"), F.col("p.neg").alias("neg"), "cos")
     lbl = emb.select("vec_id", "label")
     j = (
         sym.join(

@@ -278,3 +278,120 @@ def test_quantize_bounds_and_sign(spark, vecs):
                 assert r["q"] in (126, 127)
         else:
             assert r["q"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: randomized cross-checks against pure-Python models
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=5),                # user_id
+        st.sets(st.integers(min_value=0, max_value=40),       # active day #s
+                min_size=1, max_size=25),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_streaks_match_python_model(spark, activity):
+    """gaps-and-islands streaks == a brute-force python scan."""
+    from pyspark.sql import Window
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(days=d)) for u, days in activity.items()
+        for d in days
+    ]
+    du = spark.createDataFrame(rows, ["user_id", "d"]).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = du.withColumn(
+        "grp", F.unix_date(F.col("d")) - F.row_number().over(w)
+    )
+    got = {
+        r["user_id"]: (r["n_streaks"], r["longest"], r["active"])
+        for r in runs.groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("longest"),
+            F.sum("len").alias("active"),
+        )
+        .collect()
+    }
+    for u, days in activity.items():
+        ds = sorted(days)
+        streaks, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[u] == (len(streaks), max(streaks), len(ds)), (u, ds)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # order
+            st.integers(min_value=1, max_value=8),   # part
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_copurchase_pairs_match_python_model(spark, lines):
+    """distinct-pair self-join == itertools.combinations per order."""
+    import itertools
+    from collections import Counter
+
+    op = spark.createDataFrame(lines, ["l_orderkey", "l_partkey"]).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    got = {
+        (r["pa"], r["pb"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    model = Counter()
+    per_order = {}
+    for o, p in set(lines):
+        per_order.setdefault(o, set()).add(p)
+    for parts in per_order.values():
+        for x, y in itertools.combinations(sorted(parts), 2):
+            model[(x, y)] += 1
+    assert got == dict(model)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=1e6,
+                       allow_nan=False, allow_infinity=False),
+             min_size=20, max_size=120),
+)
+def test_winsorize_cutoff_matches_sorted_rank(spark, values):
+    """grouped_top_fraction's top-1% min == the ceil(n/100)-th largest
+    value from a plain python sort (the winsorization cutoff)."""
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        grouped_top_fraction,
+    )
+
+    rows = [("g", float(v), i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["flag", "price", "rid"])
+    top = grouped_top_fraction(df, "flag", "price", "rid", keep_permille=10)
+    got = top.agg(F.min("price")).collect()[0][0]
+    k = (len(values) * 10 + 999) // 1000
+    expected = sorted(values, reverse=True)[k - 1]
+    assert got == expected
