@@ -5165,6 +5165,237 @@ def x_unigram_surprisal(spark, sf_dir):
     )
 
 
+_ZL_FILE_ROWS = 1024  # rows per file in the layout audit (fixed contract)
+
+
+def _zl_morton_sql(md: str, pk: str) -> str:
+    """Bit-interleave SQL: morton key of (month-index, part-bucket)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({md} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({pk} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zl_strategy_sql(key_expr: str, name: str) -> str:
+    return f"""
+    SELECT '{name}' AS strategy, n_files, avg_files_touched_month,
+           avg_files_touched_part
+    FROM (
+      WITH ranked AS (
+        SELECT md, pk,
+               CAST((ROW_NUMBER() OVER (ORDER BY {key_expr}, rid) - 1)
+                    // {_ZL_FILE_ROWS} AS BIGINT) AS fid
+        FROM keyed
+      ),
+      zones AS (
+        SELECT fid, MIN(md) AS min_md, MAX(md) AS max_md,
+               MIN(pk) AS min_pk, MAX(pk) AS max_pk
+        FROM ranked GROUP BY 1
+      ),
+      nf AS (SELECT COUNT(*) AS n_files FROM zones),
+      vm AS (SELECT DISTINCT md FROM keyed),
+      vp AS (SELECT DISTINCT pk FROM keyed),
+      tm AS (SELECT COUNT(*) AS touches, (SELECT COUNT(*) FROM vm) AS nv
+             FROM vm JOIN zones ON vm.md BETWEEN zones.min_md AND zones.max_md),
+      tp AS (SELECT COUNT(*) AS touches, (SELECT COUNT(*) FROM vp) AS nv
+             FROM vp JOIN zones ON vp.pk BETWEEN zones.min_pk AND zones.max_pk)
+      SELECT nf.n_files,
+             CAST(tm.touches AS DOUBLE) / tm.nv AS avg_files_touched_month,
+             CAST(tp.touches AS DOUBLE) / tp.nv AS avg_files_touched_part
+      FROM nf CROSS JOIN tm CROSS JOIN tp
+    )
+    """
+
+
+@query(
+    "x_zorder_layout_audit",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(YEAR(CAST(l_shipdate AS DATE)) * 12
+                  + MONTH(CAST(l_shipdate AS DATE)) AS BIGINT)
+               - (SELECT MIN(CAST(YEAR(CAST(l_shipdate AS DATE)) * 12
+                                  + MONTH(CAST(l_shipdate AS DATE)) AS BIGINT))
+                  FROM lineitem) AS md,
+             l_partkey % 16 AS pk,
+             l_orderkey * 100 + l_linenumber AS rid
+      FROM lineitem
+    )
+    {_zl_strategy_sql("md", "time")}
+    UNION ALL {_zl_strategy_sql("pk", "part")}
+    UNION ALL {_zl_strategy_sql(_zl_morton_sql("md", "pk"), "morton")}
+    """,
+)
+def x_zorder_layout_audit(spark, sf_dir):
+    # Data-skipping layout audit — the 100-TB storage-design question
+    # "which sort order should the writer use?" answered with measured
+    # zone-map quality. Three layouts of the fact into fixed-size files
+    # (1024 rows each): sorted by time (month index), by part bucket,
+    # and by the MORTON (Z-order) interleave of both. For each layout,
+    # per-file zone maps (min/max of each dimension) are built and the
+    # expected number of files a point query must touch is computed for
+    # both dimensions — single-dimension sorts win their own dimension
+    # and forfeit the other (every file spans the full range); Z-order
+    # pays a little on each to serve both, which is exactly why
+    # Delta/Iceberg OPTIMIZE ZORDER exists. Plan: the global file
+    # assignment uses the two-phase distributed rank (operators/
+    # ranking.with_global_row_number — the x_global_shuffle machinery,
+    # no single-partition window); zone maps are one hash-agg at file
+    # grain; the touch counts join ~84 distinct months × file-count zone
+    # rows — the zone-map table is metadata-sized (rows/1024), exactly
+    # the table a lakehouse keeps in its manifest layer.
+    from ..operators.ranking import with_global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (F.year(F.to_date("l_shipdate")) * 12 + F.month(F.to_date("l_shipdate"))).cast(
+        "long"
+    )
+    base = li.select(
+        m.alias("m"),
+        (F.col("l_partkey") % 16).alias("pk"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("rid"),
+    )
+    min_m = base.agg(F.min("m").alias("min_m"))
+    keyed = base.crossJoin(F.broadcast(min_m)).select(
+        (F.col("m") - F.col("min_m")).alias("md"), "pk", "rid"
+    )
+
+    morton = F.lit(0)
+    for i in range(8):
+        morton = morton + F.shiftleft(
+            F.shiftright(F.col("md"), i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(F.col("pk"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+
+    def strategy(name: str, key):
+        df = keyed.withColumn("__key", key)
+        ranked = with_global_row_number(df, ["__key", "rid"], out_col="__rn")
+        zones = (
+            ranked.withColumn(
+                "fid",
+                F.floor((F.col("__rn") - 1) / F.lit(_ZL_FILE_ROWS)).cast("long"),
+            )
+            .groupBy("fid")
+            .agg(
+                F.min("md").alias("min_md"),
+                F.max("md").alias("max_md"),
+                F.min("pk").alias("min_pk"),
+                F.max("pk").alias("max_pk"),
+            )
+        )
+        nf = zones.agg(F.count("*").alias("n_files"))
+        vm = keyed.select("md").distinct()
+        vp = keyed.select("pk").distinct()
+        tm = (
+            vm.join(
+                F.broadcast(zones),
+                (vm.md >= zones.min_md) & (vm.md <= zones.max_md),
+            )
+            .agg(F.count("*").alias("touches"))
+            .crossJoin(vm.agg(F.count("*").alias("nv")))
+        )
+        tp = (
+            vp.join(
+                F.broadcast(zones),
+                (vp.pk >= zones.min_pk) & (vp.pk <= zones.max_pk),
+            )
+            .agg(F.count("*").alias("touches"))
+            .crossJoin(vp.agg(F.count("*").alias("nv")))
+        )
+        return (
+            nf.crossJoin(
+                tm.select(
+                    (F.col("touches").cast("double") / F.col("nv")).alias(
+                        "avg_files_touched_month"
+                    )
+                )
+            )
+            .crossJoin(
+                tp.select(
+                    (F.col("touches").cast("double") / F.col("nv")).alias(
+                        "avg_files_touched_part"
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_files",
+                "avg_files_touched_month",
+                "avg_files_touched_part",
+            )
+        )
+
+    return (
+        strategy("time", F.col("md"))
+        .unionByName(strategy("part", F.col("pk")))
+        .unionByName(strategy("morton", morton))
+    )
+
+
+@query(
+    "x_session_features",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+             AS duration_us,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def x_session_features(spark, sf_dir):
+    # Per-session ML feature extraction — the table a churn/conversion
+    # model trains on: the w_sessionize session assignment (30-min gap,
+    # same lag + running-sum windows) kept at SESSION grain with event
+    # count, type diversity, exact BIGINT-microsecond duration, and the
+    # purchase count label. One shuffle on user_id serves both windows
+    # and the final (user, session) hash-agg; per-user window state is
+    # bounded by that user's events, never the stream.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800)
+    ).cast("int")
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "duration_us"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+        )
+    )
+
+
 def _hard_negative_oracle() -> str:
     """DuckDB replay of x_hard_negatives: the SAME capped sign-LSH
     candidate chain as _ec_capped_oracle (no cosine threshold), unfolded
@@ -5384,6 +5615,15 @@ def x_hard_negatives(spark, sf_dir):
 # information-density quality family), x_salted_skew_rollup
 # (q_key_skew_report in-window — the skew-diagnostics family). All four
 # displaced entries are r3-green (policy-eligible) and queue for round 6.
+#
+# Round-5 fifth batch: two more debuts (x_zorder_layout_audit,
+# x_session_features) displace two r3-green entries: x_pack_shards (the
+# layout-audit debut runs the SAME two-phase distributed-rank machinery,
+# and x_global_shuffle on that codepath is green r4) and
+# x_dedup_ngram_jaccard (in-window sibling x_dedup_token_jaccard — the
+# identical inverted-index machinery, the same transitive-coverage pairing
+# the round-5 opening rotation used). Both displaced entries are r3-green
+# (policy-eligible) and queue for round 6.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -5417,6 +5657,8 @@ CORRECTNESS_WINDOW = [
     "x_weighted_sample",
     "x_unigram_surprisal",
     "x_hard_negatives",
+    "x_zorder_layout_audit",
+    "x_session_features",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5438,9 +5680,7 @@ CORRECTNESS_WINDOW = [
     "x_quality_deciles",
     "x_cdc_fact_diff",
     "x_knn_ivf_ann",
-    "x_dedup_ngram_jaccard",
     "x_decontamination",
-    "x_pack_shards",
     "x_dedup_survivors",
 ]
 
