@@ -5165,6 +5165,133 @@ def x_unigram_surprisal(spark, sf_dir):
     )
 
 
+@query(
+    "x_sample_exact_k",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars, {_FP} AS fp FROM documents
+    )
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY fp ASC, doc_id ASC) AS rn
+      FROM keyed
+    ) WHERE rn <= 20
+    """,
+)
+def x_sample_exact_k(spark, sf_dir):
+    # "Exactly k docs per language" — the deterministic eval-set builder
+    # (x_stratified_sample's Bernoulli hashing gives a RATE per stratum;
+    # eval sets need an exact count). Order within each language is the
+    # content fingerprint (content-addressed: the sample is stable under
+    # row reordering and ingestion-time changes), ties broken by doc_id.
+    # Selection runs through grouped_top_fraction's histogram-refinement
+    # ranker in keep_count mode — the per-language quota is exact-k with
+    # NO per-group sort window, so a 30-TB language costs one
+    # boundary-bucket rank, not a single-task sort. The ranker keeps
+    # top-by-DESC, so the ascending fingerprint order rides a negated
+    # key column.
+    from ..operators.ranking import grouped_top_fraction
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (-T.fingerprint(F.col("text"))).alias("neg_fp"),
+    )
+    kept = grouped_top_fraction(
+        docs, "lang", "neg_fp", "doc_id", keep_count=20
+    )
+    return kept.select("lang", "doc_id", "n_chars")
+
+
+@query(
+    "w_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+                  - MAX(CAST(o_orderdate AS DATE)) AS BIGINT) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                  AS INTEGER) AS r_q,
+             CAST(NTILE(5) OVER (ORDER BY -frequency, o_custkey)
+                  AS INTEGER) AS f_q,
+             CAST(NTILE(5) OVER (ORDER BY -monetary, o_custkey)
+                  AS INTEGER) AS m_q
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-'
+             || CAST(m_q AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def w_rfm_segmentation(spark, sf_dir):
+    # RFM customer segmentation — recency / frequency / monetary
+    # quintiles (1 = best: most recent, most orders, highest spend),
+    # the classic lifecycle-marketing rollup of the reference's
+    # subscriber base. All three quintiles are EXACT distributed NTILEs
+    # (operators/ranking.distributed_ntile — closed-form tile arithmetic
+    # over the two-phase global rank, no single-partition window);
+    # descending dimensions ride negated key columns so one ascending
+    # ranker serves all three. The monetary sum is decimal-exact; the
+    # reference date is the corpus max order date (broadcast scalar).
+    from ..operators.ranking import distributed_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            _dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+            (-F.col("frequency")).alias("neg_f"),
+            (-F.col("monetary")).alias("neg_m"),
+        )
+    )
+    scored = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(
+                base, 5, ["recency_days", "o_custkey"], out_col="r_q"
+            ),
+            5,
+            ["neg_f", "o_custkey"],
+            out_col="f_q",
+        ),
+        5,
+        ["neg_m", "o_custkey"],
+        out_col="m_q",
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
+    )
+
+
 _ZL_FILE_ROWS = 1024  # rows per file in the layout audit (fixed contract)
 
 
@@ -5624,6 +5751,15 @@ def x_hard_negatives(spark, sf_dir):
 # identical inverted-index machinery, the same transitive-coverage pairing
 # the round-5 opening rotation used). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
+#
+# Round-5 sixth batch: two more debuts (x_sample_exact_k,
+# w_rfm_segmentation) displace two r3-green entries: x_quality_deciles
+# (w_rfm_segmentation runs THREE of the identical distributed-NTILE
+# ranks — a strict machinery superset on the same codepath) and
+# o1_top10_customers (TakeOrdered path; sibling o2_top_events_full_sort
+# green r4 and x_copurchase_pairs in-window exercise the same
+# TakeOrderedAndProject shape). Both displaced entries are r3-green
+# (policy-eligible) and queue for round 6.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -5659,6 +5795,8 @@ CORRECTNESS_WINDOW = [
     "x_hard_negatives",
     "x_zorder_layout_audit",
     "x_session_features",
+    "x_sample_exact_k",
+    "w_rfm_segmentation",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5666,7 +5804,6 @@ CORRECTNESS_WINDOW = [
     "u1_union_two_sources",
     "s1_scan_pruned_projection",
     # last driver-green row is round 3
-    "o1_top10_customers",
     "w2_peak_dow_per_flag",
     "r2_unpivot_year_matrix",
     "x_range_join_value_bands",
@@ -5677,7 +5814,6 @@ CORRECTNESS_WINDOW = [
     "x_dedup_clusters",
     "x_dedup_embedding_cosine",
     "x_text_profile",
-    "x_quality_deciles",
     "x_cdc_fact_diff",
     "x_knn_ivf_ann",
     "x_decontamination",

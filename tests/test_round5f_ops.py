@@ -1,0 +1,149 @@
+"""Semantics tests for the round-5 sixth-batch operators: exact-k
+per-stratum sampling (keep_count mode of the histogram ranker) and RFM
+quintile segmentation (distributed NTILE chain)."""
+
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+    distributed_ntile,
+    grouped_top_fraction,
+)
+from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+from .conftest import SF01
+
+
+def test_keep_count_exact_quota_and_cap(spark):
+    rows = [("a", float(v), v) for v in range(30)] + [
+        ("b", float(v), 100 + v) for v in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "rid"])
+    kept = grouped_top_fraction(df, "g", "v", "rid", keep_count=5).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    # group a: exactly 5, and they are the top-5 by value
+    assert sorted(by_g["a"], reverse=True) == [29.0, 28.0, 27.0, 26.0, 25.0]
+    # group b: only 3 rows exist -> quota capped at group size
+    assert sorted(by_g["b"], reverse=True) == [2.0, 1.0, 0.0]
+
+
+def test_keep_count_validation(spark):
+    df = spark.createDataFrame([("a", 1.0, 1)], ["g", "v", "rid"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_top_fraction(df, "g", "v", "rid")  # neither mode
+    with pytest.raises(ValueError):
+        grouped_top_fraction(
+            df, "g", "v", "rid", keep_permille=10, keep_count=5
+        )  # both modes
+    with pytest.raises(ValueError):
+        grouped_top_fraction(df, "g", "v", "rid", keep_count=0)
+
+
+def test_sample_exact_k_catalog_contract(spark):
+    out = QUERIES["x_sample_exact_k"](spark, SF01)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # every language contributes min(20, n_lang) docs, no dups
+    assert out.count() == out.select("doc_id").distinct().count()
+    for lang, n in counts.items():
+        assert n <= 20
+
+
+def test_sample_exact_k_content_addressed_stability(spark):
+    # shuffling input row order must not change the selected set
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+
+    docs = [(i, f"doc number {i} text {'x' * (i % 7)}", "en") for i in range(60)]
+    a = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    b = spark.createDataFrame(list(reversed(docs)), ["doc_id", "text", "lang"])
+
+    def pick(df):
+        keyed = df.select(
+            "doc_id", "lang", (-T.fingerprint(F.col("text"))).alias("neg_fp")
+        )
+        kept = grouped_top_fraction(keyed, "lang", "neg_fp", "doc_id", keep_count=10)
+        return {r["doc_id"] for r in kept.collect()}
+
+    assert pick(a) == pick(b)
+    assert len(pick(a)) == 10
+
+
+def test_rfm_quintile_semantics(spark):
+    # 10 customers with strictly increasing frequency/monetary and
+    # decreasing recency: quintiles must be perfectly anti-aligned
+    rows = []
+    import datetime
+
+    for c in range(10):
+        for o in range(c + 1):  # frequency = c+1
+            rows.append(
+                (
+                    c,
+                    (
+                        datetime.date(2024, 1, 1)
+                        + datetime.timedelta(days=c * 10 + o)
+                    ).isoformat(),
+                    100.0 * (c + 1),
+                )
+            )
+    o = spark.createDataFrame(rows, ["o_custkey", "o_orderdate", "o_totalprice"])
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+            (-F.col("frequency")).alias("neg_f"),
+            (-F.col("monetary")).alias("neg_m"),
+        )
+    )
+    scored = distributed_ntile(
+        distributed_ntile(
+            distributed_ntile(base, 5, ["recency_days", "o_custkey"], out_col="r_q"),
+            5, ["neg_f", "o_custkey"], out_col="f_q",
+        ),
+        5, ["neg_m", "o_custkey"], out_col="m_q",
+    )
+    got = {r["o_custkey"]: r for r in scored.collect()}
+    # customer 9: most recent, most frequent, highest spend -> 1-1-1
+    assert (got[9]["r_q"], got[9]["f_q"], got[9]["m_q"]) == (1, 1, 1)
+    # customer 0: oldest, fewest, lowest -> 5-5-5
+    assert (got[0]["r_q"], got[0]["f_q"], got[0]["m_q"]) == (5, 5, 5)
+    # quintiles of 10 rows: exactly 2 customers per tile on every axis
+    for axis in ("r_q", "f_q", "m_q"):
+        from collections import Counter
+
+        c = Counter(r[axis] for r in got.values())
+        assert c == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_rfm_catalog_contract(spark):
+    out = QUERIES["w_rfm_segmentation"](spark, SF01)
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows[:100]:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+        assert r["segment"] == f"{r['r_q']}-{r['f_q']}-{r['m_q']}"
+        assert r["recency_days"] >= 0
+    # each quintile holds n/5 ± 1 customers
+    for axis in ("r_q", "f_q", "m_q"):
+        counts = [
+            r["c"]
+            for r in out.groupBy(axis).agg(F.count("*").alias("c")).collect()
+        ]
+        assert len(counts) == 5
+        assert max(counts) - min(counts) <= 1
