@@ -181,3 +181,90 @@ def test_doc_chunking_is_narrow(spark):
     assert len(scans) == 1
     # only doc_id + text read; lang/source/n_chars pruned from the scan
     assert "lang" not in scans[0] and "n_chars" not in scans[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "x_copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+    # no cartesian path: the self-join is key-based (broadcast at test
+    # scale, sort-merge beyond the broadcast threshold)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_distinct_is_equi_shaped(spark):
+    plan = plan_of(spark, "w_rolling_distinct_7d")
+    # the day-spine restriction is a broadcast equi-join, and the
+    # explode is the only row expansion (no non-equi join anywhere)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_session_features_single_user_shuffle(spark):
+    plan = plan_of(spark, "x_session_features")
+    # both windows and the session-grain agg ride ONE user_id exchange;
+    # AQE may add read-stage nodes but only one shuffle WRITE on user_id
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_funnel_reuses_user_exchange(spark):
+    plan = plan_of(spark, "w_event_funnel")
+    # every stage joins/aggregates on user_id only — no other key's
+    # exchange may appear
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(" in line:
+            assert "user_id" in line, line
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    plan = plan_of(spark, "x_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_match_blocks_on_noun(spark):
+    plan = plan_of(spark, "x_fuzzy_match_names")
+    # the join must be an equi-join on the blocking key, never a
+    # nested-loop over the whole vocabulary
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_no_cartesian(spark):
+    plan = plan_of(spark, "x_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation + argmax are hash aggregations
+    assert "HashAggregate" in plan
+
+
+def test_zorder_audit_nested_loops_are_metadata_sized_only(spark):
+    # the zone-map touch joins are deliberate BNLJ over distinct-values x
+    # per-file zones (both metadata-sized); the DATA-sized path (rank,
+    # zone build) must stay hash/equi-shaped. Guard: every BNLJ in the
+    # plan builds a broadcast side, and no CartesianProduct exists.
+    plan = plan_of(spark, "x_zorder_layout_audit")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight" in line or "BuildLeft" in line, line
+
+
+def test_rfm_no_single_partition_window(spark):
+    plan = plan_of(spark, "w_rfm_segmentation")
+    # distributed NTILE must never rank through a SinglePartition
+    # exchange (the two-phase rank partitions by bucket; only tiny
+    # scalar aggregates may collapse to one partition): every Window
+    # node's immediate subtree must be bucket-partitioned
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            ctx = "\n".join(lines[i : i + 6])
+            assert "SinglePartition" not in ctx, ctx
