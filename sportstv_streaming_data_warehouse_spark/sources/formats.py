@@ -63,3 +63,39 @@ def read_media_dir(
         F.col("path").alias("source_path"),
         F.col("length").alias("n_bytes"),
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines ingestion with an explicit schema and quarantine
+    semantics: malformed lines land whole in ``corrupt_col`` instead of
+    failing the load (PERMISSIVE mode — the same clean/dirty split the
+    CSV source uses, sources/fixtures.read_csv_source). The schema must
+    already contain ``corrupt_col`` as a StringType field; Spark fills
+    it only for rows it could not parse, so
+    ``df.filter(col(corrupt_col).isNull())`` is the clean side and the
+    non-null side is the audit trail. Schema-on-read with an EXPLICIT
+    schema also skips the sampling inference pass — one scan, not two,
+    which matters when the source is a 100-TB event dump."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read across files written under an EVOLVING schema:
+    ``mergeSchema`` unions the per-file schemas (new columns appear as
+    nulls in old files) instead of trusting one random footer. The merge
+    costs a footer read per file — fine for a table's worth of files,
+    which is why writers should still evolve additively (add nullable
+    columns; never retype). Retyped columns fail the merge loudly, which
+    is the correct behavior: silent coercion would corrupt downstream
+    aggregates."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

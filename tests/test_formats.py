@@ -55,3 +55,65 @@ def test_binaryfile_media_ingestion_probes_real_headers(spark, tmp_path):
     assert got == {"png": (640, 480), "gif": (320, 200), "jpeg": (1920, 1080)}
     # the extension hint survives alongside; the glob filter narrows the scan
     assert read_media_dir(spark, str(tmp_path), glob="*.png").count() == 1
+
+
+def test_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sportstv_streaming_data_warehouse_spark.sources.formats import read_jsonl
+
+    p = str(tmp_path / "events.jsonl")
+    with open(p, "w") as f:
+        f.write('{"event_id": 1, "user_id": 10}\n')
+        f.write('{"event_id": 2, "user_id": "not_a_number"}\n')  # bad type
+        f.write("this is not json at all\n")                     # bad line
+        f.write('{"event_id": 4, "user_id": 13}\n')
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, p, schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    dirty = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["event_id"] for r in clean.collect()} == {1, 4}
+    assert dirty.count() == 2
+    # the quarantine column preserves the raw line for the audit trail
+    raws = [r["_corrupt_record"] for r in dirty.collect()]
+    assert any("not_a_number" in (s or "") for s in raws)
+    assert any("not json" in (s or "") for s in raws)
+    df.unpersist()
+
+
+def test_parquet_schema_evolution_merges_additively(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.sources.formats import (
+        read_parquet_evolving,
+    )
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(
+        base + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(base + "/batch=2")
+    df = read_parquet_evolving(spark, base)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None   # old file: new column null-filled
+    assert rows[2]["score"] == 9.5
+    # aggregates treat the evolved column as nullable, not as zero
+    agg = df.agg(
+        F.count("score").alias("n"), F.sum("score").alias("s")
+    ).collect()[0]
+    assert agg["n"] == 1 and agg["s"] == 9.5

@@ -83,6 +83,14 @@ QUERY_SET = [
     "a_winsorized_stats",
     "x_anomaly_zscore",
     "x_split_leakage_audit",
+    "x_pagerank_step",
+    "x_weighted_sample",
+    "x_unigram_surprisal",
+    "x_hard_negatives",
+    "x_zorder_layout_audit",
+    "x_session_features",
+    "x_sample_exact_k",
+    "w_rfm_segmentation",
 ]
 # x_dedup_incremental is measured in the ZIPF experiment below, not on
 # the fixture replicas: replicas carry IDENTICAL texts, so every batch
