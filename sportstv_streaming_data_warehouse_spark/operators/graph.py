@@ -1,0 +1,84 @@
+"""Iterative graph propagation — multi-step PageRank over an edge list.
+
+The catalog's ``x_pagerank_step`` verifies ONE superstep end-to-end
+against a SQL oracle; this module chains supersteps with a driver loop
+(the same bounded-iteration discipline as the k-means Lloyd rounds in
+operators/clustering.py: each round is one equi-join + one hash-agg, the
+driver holds only the loop counter, never data).
+
+Determinism contract: all mass is EXACT integer fixed-point. Node v
+starts with ``unit`` mass; each step
+
+    pr'(v) = round(0.15 * unit) + sum_u floor(85 * pr(u) / (100 * deg(u)))
+
+over in-neighbors u. Integer floors leak a little mass per step (at most
+deg(u) - 1 parts in 100*deg(u) per node) — rankings are unaffected and
+two engines can never disagree on a result bit.
+
+Scale: per iteration ONE shuffle of (src, pr) onto the edge list's src
+key and one hash-agg on dst — the Pregel superstep shape. State between
+iterations is a (node, pr) frame persisted with an LRU-1 discipline;
+iterations is a small constant (PageRank converges geometrically at
+damping^t), so the lineage stays shallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_UNIT = 1_000_000_000
+
+
+def symmetric_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected pair list -> both-direction (src, dst) edge list."""
+    return pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    unit: int = DEFAULT_UNIT,
+) -> DataFrame:
+    """``n_iter`` exact-integer PageRank supersteps (damping 0.85) over
+    an (src, dst) edge list. Returns (node, degree, pr) with ``pr`` in
+    ``unit`` fixed-point (uniform init: every node starts at ``unit``).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = edges.join(deg, "src").persist()
+    ed.count()  # materialize once; reused every iteration
+
+    base = F.lit(round(0.15 * unit))
+    pr = deg.select(F.col("src").alias("node"), F.lit(unit).cast("long").alias("pr"))
+    pr_is_cached = False
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(pr, ed.src == pr.node)
+            .select(
+                F.col("dst"),
+                F.floor(
+                    (F.lit(85) * F.col("pr")) / (F.lit(100) * F.col("out_deg"))
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        nxt = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("mass"))
+            .select("node", (base + F.col("mass")).cast("long").alias("pr"))
+            .persist()
+        )
+        nxt.count()  # materialize: cuts lineage each superstep (LRU-1)
+        if pr_is_cached:
+            pr.unpersist()
+        pr, pr_is_cached = nxt, True
+    out = pr.join(deg, pr.node == deg.src).select(
+        "node", F.col("out_deg").alias("degree"), "pr"
+    )
+    ed.unpersist()
+    return out

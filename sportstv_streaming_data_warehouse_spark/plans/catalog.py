@@ -5370,7 +5370,11 @@ def x_zorder_layout_audit(spark, sf_dir):
     # no single-partition window); zone maps are one hash-agg at file
     # grain; the touch counts join ~84 distinct months × file-count zone
     # rows — the zone-map table is metadata-sized (rows/1024), exactly
-    # the table a lakehouse keeps in its manifest layer.
+    # the table a lakehouse keeps in its manifest layer. The WRITER side
+    # of this decision lives in plans/layout.py (zorder_by writes real
+    # interleaved-sorted parquet; tests measure the row-group min/max
+    # spans shrinking); this query is the planning-time audit that picks
+    # the order before the expensive rewrite.
     from ..operators.ranking import with_global_row_number
 
     li = load_table(spark, sf_dir, "lineitem")
