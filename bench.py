@@ -76,6 +76,8 @@ HEADLINE = [
     "w_rolling_distinct_7d",   # contribution-explode rolling distinct (r5)
     "x_unigram_surprisal",     # corpus-LM typicality scoring (r5)
     "x_hard_negatives",        # banded hard-negative mining argmax (r5)
+    "x_session_features",      # session-grain feature table (r5)
+    "w_active_streaks",        # gaps-and-islands per-user streaks (r5)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more
