@@ -386,18 +386,35 @@ def simhash_near_duplicates(
     guarantees ≥1 identical chunk, so candidates come from 4 equi-joins
     (unioned), never a crossJoin.
     """
+    sig = simhash_signatures(df, id_col, text_col, n_bits, portable)
+    return hamming_pairs(sig, id_col, "simhash", max_hamming, n_bits)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Pairs with hamming(hash) ≤ max_hamming over ANY 64-bit-style
+    signature column — the pigeonhole chunk equi-join shared by text
+    SimHash and the multimodal perceptual-hash dedup. Splitting the
+    signature into 4 chunks guarantees hamming ≤ 3 pairs agree on at
+    least one chunk, so candidates come from 4 equi-joins (unioned via
+    one explode), never a crossJoin.
+    """
     width = n_bits // 4
     mask = (1 << width) - 1
-    sig = simhash_signatures(df, id_col, text_col, n_bits, portable)
     chunks = sig.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), width * i)
+                        F.shiftright(F.col(hash_col), width * i)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -405,7 +422,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    ).select(id_col, hash_col, "c.chunk_id", "c.chunk")
 
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
@@ -420,7 +437,7 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr(f"bit_count(a.{hash_col} ^ b.{hash_col})").alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)

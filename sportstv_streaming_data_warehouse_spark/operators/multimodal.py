@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -315,3 +316,79 @@ def embed_media(df: DataFrame, dim: int = 64) -> DataFrame:
             yield _pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return df.mapInPandas(fn, out_schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average hash (aHash) per media row — REAL perceptual-hash
+    arithmetic over whatever pixels the decoder yields (here the
+    deterministic SYNM fake; a real build swaps the body parse for
+    ``PIL.Image.open``): grayscale by channel mean, block-mean downscale
+    to ``grid``×``grid``, threshold each cell at the global mean, pack
+    ``grid``² bits row-major into a signed 64-bit value. Near-identical
+    images differ in few bits, so hamming distance orders duplicates.
+    mapInPandas, Arrow batches, no shuffle; the closure is
+    self-contained (numpy only) so executors need no package import.
+    """
+    if grid * grid > 64:
+        raise ValueError("grid^2 must fit in 64 bits")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            if len(b) < 9 or b[:4] != b"SYNM":
+                return None
+            _, w, h, c = _st.unpack(">4sHHB", b[:9])
+            body = _np.frombuffer(b[9:], dtype=_np.uint8)
+            if body.size < w * h * c or w * h == 0:
+                return None
+            px = body[: w * h * c].reshape(h, w, c).astype(_np.float64)
+            gray = px.mean(axis=2)
+            # block-mean downscale to grid x grid (cells may be uneven
+            # when h/w don't divide evenly — split indices handle it)
+            rows = _np.array_split(_np.arange(h), grid)
+            cols = _np.array_split(_np.arange(w), grid)
+            cells = _np.array(
+                [[gray[_np.ix_(r, cc)].mean() for cc in cols] for r in rows]
+            )
+            bits = (cells > cells.mean()).astype(_np.uint64).ravel()
+            v = _np.uint64(0)
+            for i, bit in enumerate(bits):
+                v |= _np.uint64(bit) << _np.uint64(i)
+            return int(_np.int64(v))  # two's-complement into LongType
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["data"].map(one).astype("object"),
+                }
+            )
+
+    return df.mapInPandas(fn, AHASH_SCHEMA)
+
+
+def image_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs: aHash signatures + the SAME pigeonhole
+    hamming join the text SimHash dedup uses (operators/dedup.
+    hamming_pairs — 4 chunk equi-joins, never a crossJoin). Returns
+    (id_a, id_b, hamming). The candidate-generation scale story is
+    identical to SimHash: work scales with chunk-bucket occupancy."""
+    from .dedup import hamming_pairs
+
+    sig = ahash_media(df).filter(F.col("ahash").isNotNull())
+    return hamming_pairs(sig, "media_id", "ahash", max_hamming)

@@ -118,3 +118,69 @@ def test_probe_real_container_headers(spark):
     assert (got[10]["format_detected"], got[10]["width"], got[10]["height"]) == ("jpeg", 320, 240)
     assert got[11]["format_detected"] == "jpeg" and got[11]["width"] is None
     assert (got[12]["format_detected"], got[12]["width"], got[12]["height"]) == ("png", None, None)
+
+
+def test_ahash_deterministic_and_identical_blobs_collide(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        ahash_media,
+        make_blob,
+    )
+
+    same = make_blob(16, 16, 3, seed=7)
+    rows = [(1, same, "synm"), (2, same, "synm"), (3, make_blob(16, 16, 3, 8), "synm")]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in ahash_media(df).collect()}
+    assert got[1] == got[2]             # identical pixels, identical hash
+    assert got[1] is not None
+    # two runs agree bit-for-bit (determinism)
+    again = {r["media_id"]: r["ahash"] for r in ahash_media(df).collect()}
+    assert got == again
+
+
+def test_ahash_garbage_blob_yields_null(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        ahash_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"not a blob", "junk"), (2, None, "none")], IMAGE_SCHEMA
+    )
+    got = {r["media_id"]: r["ahash"] for r in ahash_media(df).collect()}
+    assert got == {1: None, 2: None}
+
+
+def test_image_near_duplicates_find_planted_twins(spark):
+    import struct as _st
+
+    from sportstv_streaming_data_warehouse_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        ahash_media,
+        image_near_duplicates,
+        make_blob,
+    )
+
+    base = make_blob(16, 16, 3, seed=21)
+    # perturb ONE pixel's bytes: at most a few aHash cells flip
+    body = bytearray(base)
+    body[9] = (body[9] + 120) % 256
+    near = bytes(body)
+    rows = [
+        (1, base, "synm"),
+        (2, base, "synm"),       # exact twin: hamming 0
+        (3, near, "synm"),       # near twin: small hamming
+        (4, make_blob(16, 16, 3, 99), "synm"),   # unrelated
+        (5, make_blob(24, 16, 3, 100), "synm"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # the perturbed twin is within the hamming budget of both copies
+    h13 = {k: v for k, v in pairs.items() if k in ((1, 3), (2, 3))}
+    assert h13 and all(v <= 3 for v in h13.values())
+    # unrelated images (independent random pixels) never pair
+    assert all(4 not in k and 5 not in k for k in pairs)
