@@ -5166,6 +5166,85 @@ def x_unigram_surprisal(spark, sf_dir):
 
 
 @query(
+    "x_shared_passage_flags",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')
+               AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 3),
+                    i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+               AS shingle
+      FROM toks WHERE len(tk) >= 5
+    ),
+    dfreq AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS docs_with
+      FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.docs_with > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN dfreq.docs_with > 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS shared_share
+    FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+    GROUP BY 1
+    """,
+)
+def x_shared_passage_flags(spark, sf_dir):
+    # Cross-document shared-passage analysis (the C4/RefinedWeb
+    # INTER-doc passage dedup signal, completing the taxonomy:
+    # x_passage_dedup removes INTRA-doc repeats, x_boilerplate_ngrams
+    # screens corpus-frequent bigrams, this flags which documents carry
+    # 5-token passages that also appear in OTHER documents — the docs a
+    # passage-level dedup pass would rewrite). Overlapping 5-token
+    # shingles, deduplicated per doc, document-frequency via one
+    # hash-agg on the shingle key, joined back for the per-doc shared
+    # share. At 100 TB the shingle key shuffles as xxhash64(shingle)
+    # instead of the raw string (same narrow-shuffle note as the
+    # leakage audit); the join's frequency side is
+    # vocabulary-of-passages-sized and skew-safe (AQE splits the hot
+    # boilerplate shingles).
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sh = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 4),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("docs_with") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .withColumn(
+            "shared_share",
+            F.col("n_shared").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
+@query(
     "x_sample_exact_k",
     oracle=f"""
     WITH keyed AS (
@@ -5756,6 +5835,12 @@ def x_hard_negatives(spark, sf_dir):
 # the round-5 opening rotation used). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
 #
+# Round-5 seventh debut: x_shared_passage_flags (inter-doc passage
+# analysis) displaces x_decontamination — the same shingle-df machinery
+# family (x_dedup_ngram_jaccard's shingles + x_boilerplate_ngrams' df
+# screen, the latter driver-green this round's window), r3-green and
+# queued for round 6 like its siblings.
+#
 # Round-5 sixth batch: two more debuts (x_sample_exact_k,
 # w_rfm_segmentation) displace two r3-green entries: x_quality_deciles
 # (w_rfm_segmentation runs THREE of the identical distributed-NTILE
@@ -5801,6 +5886,7 @@ CORRECTNESS_WINDOW = [
     "x_session_features",
     "x_sample_exact_k",
     "w_rfm_segmentation",
+    "x_shared_passage_flags",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5820,7 +5906,6 @@ CORRECTNESS_WINDOW = [
     "x_text_profile",
     "x_cdc_fact_diff",
     "x_knn_ivf_ann",
-    "x_decontamination",
     "x_dedup_survivors",
 ]
 

@@ -147,3 +147,49 @@ def test_rfm_catalog_contract(spark):
         ]
         assert len(counts) == 5
         assert max(counts) - min(counts) <= 1
+
+
+def test_shared_passage_flags_planted_overlap(spark):
+    from pyspark.sql import functions as F
+
+    # doc 1 and 2 share the exact passage "a b c d e"; doc 3 is disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z w v"),
+            (2, "q r s a b c d e t u"),
+            (3, "k l m n o p"),
+            (4, "tiny doc"),  # < 5 tokens: excluded from output
+        ],
+        ["doc_id", "text"],
+    )
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sh = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 4),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.countDistinct("doc_id").alias("d"))
+    got = {
+        r["doc_id"]: (r["n"], r["s"])
+        for r in sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).alias("s"),
+        )
+        .collect()
+    }
+    # docs 1/2: 10 tokens -> 6 shingles each; exactly ONE shingle is the
+    # shared window "a b c d e" (other windows straddle different text)
+    assert got[1] == (6, 1) and got[2] == (6, 1)
+    assert got[3] == (2, 0)
+    assert 4 not in got  # sub-5-token doc excluded
