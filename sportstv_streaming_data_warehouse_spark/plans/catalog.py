@@ -5166,6 +5166,59 @@ def x_unigram_surprisal(spark, sf_dir):
 
 
 @query(
+    "w_daily_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def w_daily_ohlc(spark, sf_dir):
+    # Daily OHLC bars per event type (the time-series downsampling every
+    # metrics store ships): open/close are the value at the earliest/
+    # latest (ts, event_id) — computed as ONE hash-agg via min/max over
+    # a (ts, event_id, value) struct (lexicographic struct ordering =
+    # argmin/argmax with a deterministic unique tiebreak), so the whole
+    # bar build is a single shuffle on the (type, day) grain with full
+    # map-side partial aggregation — no window, no per-day sort, nothing
+    # scales beyond the scan. The oracle replays open/close with
+    # ROW_NUMBER windows, proving the struct trick against the
+    # conventional formulation.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("__d"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("__first"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__last"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("__d", "yyyy-MM-dd").alias("d"),
+            F.col("__first.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("__last.value").alias("close_value"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "x_shared_passage_flags",
     oracle=r"""
     WITH toks AS (
@@ -5835,6 +5888,12 @@ def x_hard_negatives(spark, sf_dir):
 # the round-5 opening rotation used). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
 #
+# Round-5 eighth debut: w_daily_ohlc (single-hash-agg OHLC bars)
+# displaces w2_peak_dow_per_flag — the same per-group argmax family
+# (OHLC's open/close ARE two struct-argmaxes; w1_peak_week green r4 and
+# the w2 semantics stay pinned by tests/test_oracle_parity.py), r3-green
+# and queued for round 6.
+#
 # Round-5 seventh debut: x_shared_passage_flags (inter-doc passage
 # analysis) displaces x_decontamination — the same shingle-df machinery
 # family (x_dedup_ngram_jaccard's shingles + x_boilerplate_ngrams' df
@@ -5887,6 +5946,7 @@ CORRECTNESS_WINDOW = [
     "x_sample_exact_k",
     "w_rfm_segmentation",
     "x_shared_passage_flags",
+    "w_daily_ohlc",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5894,7 +5954,6 @@ CORRECTNESS_WINDOW = [
     "u1_union_two_sources",
     "s1_scan_pruned_projection",
     # last driver-green row is round 3
-    "w2_peak_dow_per_flag",
     "r2_unpivot_year_matrix",
     "x_range_join_value_bands",
     "a_rollup_hierarchy",

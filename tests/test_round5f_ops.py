@@ -193,3 +193,46 @@ def test_shared_passage_flags_planted_overlap(spark):
     assert got[1] == (6, 1) and got[2] == (6, 1)
     assert got[3] == (2, 0)
     assert 4 not in got  # sub-5-token doc excluded
+
+
+def test_daily_ohlc_planted_bar(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # one day, one type: values in a known arrival order
+        ("click", 1, t0 + datetime.timedelta(minutes=0), 5.0),
+        ("click", 2, t0 + datetime.timedelta(minutes=10), 9.0),
+        ("click", 3, t0 + datetime.timedelta(minutes=20), 1.0),
+        ("click", 4, t0 + datetime.timedelta(minutes=30), 7.0),
+        # same-ts tie on open: event_id breaks it deterministically
+        ("view", 10, t0, 3.0),
+        ("view", 11, t0, 4.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "event_id", "ts", "value"])
+    out = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("__d"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("__first"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__last"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("__first.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("__last.value").alias("close_value"),
+            "n_events",
+        )
+        .collect()
+    }
+    c = out["click"]
+    assert (c["open_value"], c["high_value"], c["low_value"], c["close_value"], c["n_events"]) == (5.0, 9.0, 1.0, 7.0, 4)
+    v = out["view"]
+    assert v["open_value"] == 3.0 and v["close_value"] == 4.0  # id tiebreak

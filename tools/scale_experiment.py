@@ -39,6 +39,9 @@ from sportstv_streaming_data_warehouse_spark.sources.fixtures import (
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 DST = f"/tmp/spark_graft_scale{REPLICAS}"
+# optional comma-separated subset of QUERY_SET (e.g. the 100x probe runs
+# a handful of ops rather than the whole battery)
+_SUBSET = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
 
 # Fuzzy-TEXT dedup (minhash / token-Jaccard) runs on a separate
 # ZIPFIAN-vocabulary corpus (zipf_documents below) rather than the
@@ -299,12 +302,14 @@ def main() -> None:
     build(spark)
     print(f"built in {time.perf_counter() - t0:.0f}s")
 
+    names = [n for n in QUERY_SET if not _SUBSET or n in _SUBSET.split(",")]
     print(f"{'query':36} {'1x wall':>8} {f'{REPLICAS}x wall':>9} {'ratio':>6}  rows({REPLICAS}x)")
-    for name in QUERY_SET:
+    for name in names:
         w1, _ = time_query(spark, name, SRC)
         w10, n10 = time_query(spark, name, DST)
         print(f"{name:36} {w1:7.2f}s {w10:8.2f}s {w10 / w1:5.1f}x  {n10}")
-    fuzzy_dedup_experiment(spark)
+    if not _SUBSET:
+        fuzzy_dedup_experiment(spark)
     spark.stop()
 
 
