@@ -404,6 +404,14 @@ def hamming_pairs(
     least one chunk, so candidates come from 4 equi-joins (unioned via
     one explode), never a crossJoin.
     """
+    # pigeonhole soundness: 4 chunks guarantee recall only for
+    # hamming <= 3 (a hamming-4 pair can differ in every chunk and
+    # never become a join candidate) — reject silently-lossy budgets
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "hamming_pairs: max_hamming must be in [0, 3] for the "
+            "4-chunk pigeonhole join (hamming k needs k+1 chunks)"
+        )
     width = n_bits // 4
     mask = (1 << width) - 1
     chunks = sig.select(

@@ -60,9 +60,11 @@ def pagerank(
             ed.join(pr, ed.src == pr.node)
             .select(
                 F.col("dst"),
-                F.floor(
-                    (F.lit(85) * F.col("pr")) / (F.lit(100) * F.col("out_deg"))
-                )
+                # INTEGRAL division (div), not floor-of-double: float '/'
+                # rounds the quotient once 85*pr exceeds 2^53, breaking
+                # the exact-integer contract at hub-scale ranks
+                # (round-5 review finding)
+                F.expr("(85 * pr) div (100 * out_deg)")
                 .cast("long")
                 .alias("c"),
             )

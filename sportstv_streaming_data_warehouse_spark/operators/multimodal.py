@@ -354,7 +354,11 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
                 return None
             _, w, h, c = _st.unpack(">4sHHB", b[:9])
             body = _np.frombuffer(b[9:], dtype=_np.uint8)
-            if body.size < w * h * c or w * h == 0:
+            # images smaller than the grid (or without channels) have
+            # empty block cells -> NaN means -> all-False bits: every
+            # such image would hash to 0 and spuriously pair with every
+            # other small image (round-5 review finding). Refuse them.
+            if body.size < w * h * c or w < grid or h < grid or c == 0:
                 return None
             px = body[: w * h * c].reshape(h, w, c).astype(_np.float64)
             gray = px.mean(axis=2)

@@ -50,3 +50,31 @@ def yoy_growth(
         out_col,
         (F.col(value_col) - prev) / prev * 100.0,
     )
+
+
+def with_session_ids(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Assign per-user session ids: a gap STRICTLY GREATER than
+    ``gap_s`` seconds starts a new session (lag + running-sum windows,
+    deterministic order (ts, id)). The ONE definition behind the
+    w_sessionize rollup, the x_session_features feature table, and the
+    streaming sessionizer's batch twin — a gap-rule change lands
+    everywhere at once. Both windows and any downstream per-(user,
+    session) aggregation share a single shuffle on ``user_col``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("long") - prev_ts.cast("long")) > gap_s)
+    ).cast("int")
+    return df.withColumn("__new_session", new_session).withColumn(
+        "session_id", F.sum("__new_session").over(run).cast("long")
+    ).drop("__new_session")

@@ -42,11 +42,19 @@ def rolling_distinct_users_stream(
     ts_col: str = "ts",
     user_col: str = "user_id",
     window_days: int = 7,
-    delay: str = "2 days",
+    delay_days: int = 2,
 ) -> DataFrame:
     """Exact rolling ``window_days``-day distinct ``user_col`` count per
     observation day, in append mode. Returns (obs_day DATE, active_users
-    BIGINT) rows finalized as the watermark passes each day."""
+    BIGINT) rows finalized as the watermark passes each day.
+
+    ``delay_days`` is the lateness tolerance for EVENT time. Because the
+    watermark column is the explode-shifted observation day (up to
+    window_days-1 days AHEAD of the event), the internal watermark delay
+    is ``delay_days + window_days - 1`` days — without that compensation
+    an on-time event arriving after a same-day event in an earlier batch
+    would find its earliest observation windows already finalized and be
+    silently dropped (undercounting distinct users)."""
     day = F.to_date(F.col(ts_col))
     contrib = stream.select(
         F.col(user_col).alias("user_id"),
@@ -58,8 +66,9 @@ def rolling_distinct_users_stream(
         "obs_day",
         F.col("obs_day").cast("timestamp").alias("obs_ts"),
     )
+    effective = f"{delay_days + window_days - 1} days"
     once_per_window = (
-        contrib.withWatermark("obs_ts", delay)
+        contrib.withWatermark("obs_ts", effective)
         .dropDuplicatesWithinWatermark(["user_id", "obs_day"])
     )
     return (

@@ -184,3 +184,40 @@ def test_image_near_duplicates_find_planted_twins(spark):
     assert h13 and all(v <= 3 for v in h13.values())
     # unrelated images (independent random pixels) never pair
     assert all(4 not in k and 5 not in k for k in pairs)
+
+
+def test_ahash_sub_grid_images_yield_null_not_zero(spark):
+    # round-5 review regression: images smaller than the 8x8 grid used
+    # to hash to exactly 0 (NaN cell means -> all-False bits) and
+    # spuriously pair with every other small image
+    from sportstv_streaming_data_warehouse_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        ahash_media,
+        image_near_duplicates,
+        make_blob,
+    )
+
+    rows = [
+        (1, make_blob(4, 4, 3, seed=1), "synm"),
+        (2, make_blob(6, 6, 3, seed=2), "synm"),
+        (3, make_blob(16, 16, 3, seed=3), "synm"),
+    ]
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    got = {r["media_id"]: r["ahash"] for r in ahash_media(df).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] is not None
+    assert image_near_duplicates(df).count() == 0
+
+
+def test_hamming_pairs_rejects_unsound_budget(spark):
+    import pytest
+
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    sig = spark.createDataFrame([(1, 0), (2, 15)], ["id", "h"])
+    with pytest.raises(ValueError):
+        hamming_pairs(sig, "id", "h", max_hamming=4)
+    with pytest.raises(ValueError):
+        hamming_pairs(sig, "id", "h", max_hamming=-1)

@@ -300,10 +300,11 @@ def test_split_leakage_catalog_content_split_never_leaks(spark):
 
 
 def test_split_leakage_planted_dup_across_id_buckets(spark):
-    # same canonical text under doc_ids 1 and 12: doc_id%10 puts both in
-    # 'train'... use ids 7 and 18 -> buckets 7 (train) and 8 (valid):
-    # the id split leaks, the content split cannot (same text -> same
-    # fingerprint -> same split)
+    # same CANONICAL text under different raw bytes and doc_ids 7/18:
+    # the id split leaks (buckets 7=train, 8=valid), while the
+    # canonical-fingerprint content split CANNOT — canonical-equal docs
+    # share the fingerprint by construction (round-5 review hardening:
+    # the split keys on fingerprint(canonical), not fingerprint(raw))
     from sportstv_streaming_data_warehouse_spark.functions import text as T
 
     docs = spark.createDataFrame(
@@ -317,7 +318,7 @@ def test_split_leakage_planted_dup_across_id_buckets(spark):
             " ",
         )
     )
-    bucket_c = T.fingerprint(F.col("text")) % 10
+    bucket_c = T.fingerprint(canonical) % 10
     split_c = (
         F.when(bucket_c < 8, "train").when(bucket_c == 8, "valid").otherwise("test")
     )
@@ -339,21 +340,10 @@ def test_split_leakage_planted_dup_across_id_buckets(spark):
         .collect()
     )
     by_canon = {r["canonical"]: r for r in g}
-    # "Hello, World!" and "hello  world" canonicalize differently?  No:
-    # both become "hello world" -> ONE group spanning two id-buckets
+    # "Hello, World!" and "hello  world" share canonical "hello world":
+    # one group spanning two id-buckets but ONE content split
     assert by_canon["hello world"]["nn"] == 2  # id split leaks
-    # content split keyed on RAW text differs for the two variants, so
-    # the canonical group spans splits there too UNLESS the texts agree;
-    # the no-leak guarantee holds for exact-duplicate text:
-    exact = spark.createDataFrame(
-        [(7, "same text"), (18, "same text")], ["doc_id", "text"]
-    )
-    gc = (
-        exact.select(split_c.alias("sc"))
-        .agg(F.countDistinct("sc").alias("n"))
-        .collect()[0]["n"]
-    )
-    assert gc == 1  # same text -> same content split, always
+    assert by_canon["hello world"]["nc"] == 1  # canonical split cannot
 
 
 # ---------------------------------------------------------------------------

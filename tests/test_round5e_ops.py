@@ -54,22 +54,16 @@ def test_zorder_catalog_tradeoff_shape(spark):
 
 
 def _session_features(spark, rows):
+    from sportstv_streaming_data_warehouse_spark.operators.windows import (
+        with_session_ids,
+    )
+
     ev = spark.createDataFrame(
         rows, ["user_id", "event_id", "event_type", "ts"]
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    prev_ts = F.lag("ts").over(w)
-    new_session = (
-        prev_ts.isNull()
-        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800)
-    ).cast("int")
     return {
         (r["user_id"], r["session_id"]): r
-        for r in ev.withColumn("new_session", new_session)
-        .withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+        for r in with_session_ids(ev)
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),

@@ -31,7 +31,7 @@ def _run(spark, in_path, out_path, ckpt, window_days=7):
     )
     q = (
         rolling_distinct_users_stream(
-            stream, window_days=window_days, delay="1 day"
+            stream, window_days=window_days, delay_days=1
         )
         .writeStream.outputMode("append")
         .format("parquet")
@@ -130,3 +130,29 @@ def test_stream_is_idempotent_under_replay(spark, tmp_path):
     assert got["2024-01-02"] == 2  # users 1,2 counted once each
     assert got["2024-01-08"] == 2  # day-2 contributions end day 8
     assert "2024-01-09" not in got  # nothing contributes past day 2+6
+
+
+def test_cross_batch_same_day_users_both_count(spark, tmp_path):
+    """Regression (round-5 review finding): an ON-TIME event for day D
+    arriving in a LATER micro-batch than another day-D event must still
+    count — the watermark delay must compensate for the explode shift
+    (obs_ts runs up to window_days-1 ahead of event time)."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _drop(inp, "d1.json", [{"user_id": 1, "ts": "2024-01-05T10:00:00"}])
+    _run(spark, inp, outp, ckpt)
+    # batch 2: ANOTHER user, same day, zero lateness
+    _drop(inp, "d2.json", [{"user_id": 2, "ts": "2024-01-05T11:00:00"}])
+    _run(spark, inp, outp, ckpt)
+    _drop(inp, "d3.json", [{"user_id": 999, "ts": "2024-03-01T00:00:00"}])
+    _run(spark, inp, outp, ckpt)
+    got = {
+        r["obs_day"].isoformat(): r["active_users"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    # every window covering Jan 5 must see BOTH users
+    for d in range(5, 12):
+        assert got[f"2024-01-{d:02d}"] == 2, (d, got)
