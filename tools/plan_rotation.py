@@ -1,0 +1,103 @@
+"""Compute the next round's MANDATORY correctness-window membership.
+
+The rotation policy (tests/test_catalog_registry.py::
+test_no_oracle_query_staler_than_two_rounds) requires every oracle-backed
+query to either sit in the current 50-slot window or carry a driver-green
+row no older than two rounds. This tool folds the recorded
+CORRECTNESS_r*.json files (plus an assumed-green current window, since the
+driver run for the round in flight lands after the build) and prints:
+
+- the queries that MUST occupy next-round window slots,
+- the remaining free-slot budget for debuts,
+- ledger entries the DRIVER_GREEN_ROUNDS table is missing (run after a
+  new CORRECTNESS file appears; fold with tools/update_ledger.py).
+
+Run from the repo root: python tools/plan_rotation.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sportstv_streaming_data_warehouse_spark.plans.catalog import (  # noqa: E402
+    CORRECTNESS_WINDOW,
+    DRIVER_GREEN_ROUNDS,
+    all_oracles,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SIZE = 50
+ANCHORS = ["flagship_daily_rollup", "star_fact_events"]
+
+
+def recorded_rounds() -> list[int]:
+    return [
+        r
+        for r in range(1, 21)
+        if os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))
+    ]
+
+
+def greens_from_files() -> dict[str, list[int]]:
+    greens: dict[str, list[int]] = {}
+    for r in recorded_rounds():
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            )
+            if ok:
+                greens.setdefault(name, []).append(r)
+    return greens
+
+
+def main() -> None:
+    rounds = recorded_rounds()
+    current = max(rounds) + 1 if rounds else 1
+    nxt = current + 1
+    greens = greens_from_files()
+
+    last_green: dict[str, int] = {}
+    for name in all_oracles():
+        rs = list(DRIVER_GREEN_ROUNDS.get(name, []))
+        rs += greens.get(name, [])
+        if name in CORRECTNESS_WINDOW:
+            rs.append(current)  # pending this round's driver run
+        last_green[name] = max(rs, default=0)
+
+    mandatory = sorted(
+        n for n, m in last_green.items() if m < nxt - 2 and n not in ANCHORS
+    )
+    print(f"recorded rounds: {rounds}; current build round: {current}")
+    print(f"next round ({nxt}) window: {WINDOW_SIZE} slots")
+    print(f"  anchors ({len(ANCHORS)}): {', '.join(ANCHORS)}")
+    print(f"  mandatory rotations ({len(mandatory)}):")
+    for n in mandatory:
+        print(f"    {n}  (last green r{last_green[n]})")
+    free = WINDOW_SIZE - len(ANCHORS) - len(mandatory)
+    print(f"  free slots for debuts/re-verification: {free}")
+    if free < 0:
+        print("  !! OVER BUDGET — stagger the rotations across two rounds")
+
+    missing = [
+        n
+        for n, rs in greens.items()
+        if n in DRIVER_GREEN_ROUNDS
+        and sorted(set(DRIVER_GREEN_ROUNDS[n])) != sorted(set(rs))
+    ]
+    if missing:
+        print(f"ledger out of date for {len(missing)} entries — run the "
+              "update_ledger fold")
+
+
+if __name__ == "__main__":
+    main()
