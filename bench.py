@@ -99,15 +99,19 @@ def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> 
             return True
         if i < attempts - 1:
             time.sleep(wait_s)
-    return os.getloadavg()[0] <= max_load
+    return False
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "12"))
-    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    loadavg_pre_gate = [round(x, 2) for x in os.getloadavg()]
     quiet = wait_for_quiet_box(max_load)
+    # captured AFTER the gate's wait: describes the actual sample window
+    # (the pre-gate value is kept separately so a gated-then-clean run
+    # doesn't read as contaminated — round-5 review finding)
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="sportstv-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,6 +198,7 @@ def main() -> None:
         # the run, so a contaminated sample window is diagnosable from the
         # record alone
         "loadavg_start": loadavg_start,
+        "loadavg_pre_gate": loadavg_pre_gate,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "max_load_threshold": max_load,
     }

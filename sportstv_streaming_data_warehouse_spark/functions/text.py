@@ -314,3 +314,78 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def dedup_passages(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+):
+    """Within-document repeated-passage removal (C4/CCNet intra-doc
+    dedup): split ``text_col`` into non-overlapping ``passage_tokens``
+    -token passages, keep the FIRST occurrence of each distinct passage,
+    re-join the survivors. Fully NARROW (per-row fold, no shuffle); the
+    keep-first accumulator is O(k²) in passages-per-doc, bounded by doc
+    length. The ONE definition behind the x_passage_dedup catalog query
+    and its planted-input tests (round-5 review finding: the logic used
+    to be inlined in both).
+
+    Returns (id_col, n_segments, n_kept, cleaned_text); rows whose text
+    has no tokens are dropped.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+        ),
+    )
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(F.array_contains(acc, s), acc).otherwise(
+            F.concat(acc, F.array(s))
+        ),
+    )
+    return df.filter(F.size(toks) > 0).select(
+        id_col,
+        F.size(segs).alias("n_segments"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+def source_overlap_matrix(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Cross-source exact-overlap matrix over the portable content
+    fingerprint: for every ordered source pair (a <= b), the count of
+    distinct fingerprints present in both (diagonal = each source's own
+    distinct count). One hash-agg for the distinct (source, fp) pairs,
+    then a self-equi-join on fp whose per-key fan-out is bounded by the
+    source count. Shared by the x_source_overlap catalog query and its
+    planted-input tests."""
+    from pyspark.sql import functions as F
+
+    h = df.select(
+        source_col, fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{source_col}") <= F.col(f"b.{source_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared_fingerprints"))
+    )

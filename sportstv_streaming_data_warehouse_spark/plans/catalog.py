@@ -3915,28 +3915,7 @@ def x_passage_dedup(spark, sf_dir):
     # corpus size. The oracle replays first-occurrence order via
     # min-ordinality grouping.
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-    )
-    kept = F.aggregate(
-        segs,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(F.array_contains(acc, s), acc).otherwise(
-            F.concat(acc, F.array(s))
-        ),
-    )
-    return (
-        docs.filter(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.size(segs).alias("n_segments"),
-            F.size(kept).alias("n_kept"),
-            F.array_join(kept, " ").alias("cleaned_text"),
-        )
-    )
+    return T.dedup_passages(docs, "doc_id", "text", passage_tokens=10)
 
 
 @query(
@@ -3960,20 +3939,7 @@ def x_source_overlap(spark, sf_dir):
     # corpus-quadratic; output is at most |sources|² rows. The portable
     # polynomial fingerprint keeps the oracle bit-identical.
     docs = load_table(spark, sf_dir, "documents")
-    h = docs.select("source", T.fingerprint(F.col("text")).alias("fp")).distinct()
-    a, b = h.alias("a"), h.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.source") <= F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count("*").alias("shared_fingerprints"))
-    )
+    return T.source_overlap_matrix(docs, "source", "text")
 
 
 @query(
@@ -3981,7 +3947,10 @@ def x_source_overlap(spark, sf_dir):
     oracle=f"""
     WITH t AS (SELECT GREATEST({_Q_NTOK}, 1) AS ntok FROM documents),
     b AS (
-      SELECT CAST(POWER(2, CEIL(LOG2(ntok))) AS BIGINT) AS bucket_hi, ntok
+      SELECT CAST(CASE WHEN ntok <= 1 THEN 1
+                       ELSE POWER(2, LENGTH(bin(ntok - 1))) END AS BIGINT)
+               AS bucket_hi,
+             ntok
       FROM t
     ),
     g AS (
@@ -3998,14 +3967,22 @@ def x_seq_length_histogram(spark, sf_dir):
     # Sequence-length histogram in power-of-two buckets — the input a
     # packing/batching design needs (which context lengths dominate the
     # corpus, where the padding waste lives). bucket_hi = 2^ceil(log2(n))
-    # is engine-portable: the only values where ceil could flip are exact
-    # powers of two, and IEEE log2 is exact there. Plan: one scan, one
-    # hash-agg to ≤ log2(max_len) rows, one window over that tiny
-    # aggregate — scan-bound at any corpus size.
+    # computed from the INTEGER bit length of n-1 (binary-string length
+    # — conv/bin in the two engines), never floating log2: Spark's log2
+    # is ln(x)/ln(2), which is NOT exact at large powers of two
+    # (ceil(log2(2^29)) evaluates to 30 there — round-5 review finding),
+    # while the bit length is exact at any BIGINT. The 2^len power is
+    # exact in a double up to 2^53. Plan: one scan, one hash-agg to
+    # ≤ log2(max_len) rows, one window over that tiny aggregate —
+    # scan-bound at any corpus size.
     docs = load_table(spark, sf_dir, "documents")
     ntok = F.greatest(T.token_count(F.col("text")), F.lit(1))
+    bit_len = F.length(F.conv(ntok - 1, 10, 2))
     b = docs.select(
-        F.pow(F.lit(2.0), F.ceil(F.log2(ntok))).cast("long").alias("bucket_hi"),
+        F.when(ntok <= 1, F.lit(1))
+        .otherwise(F.pow(F.lit(2.0), bit_len).cast("long"))
+        .cast("long")
+        .alias("bucket_hi"),
         ntok.alias("ntok"),
     )
     g = b.groupBy("bucket_hi").agg(

@@ -11,29 +11,15 @@ from .conftest import SF01
 
 
 def _passage_dedup_frame(spark, rows):
-    """Run the x_passage_dedup plan body against an arbitrary frame by
-    monkey-free reuse: the catalog query reads from sf_dir, so for
-    planted inputs we inline the same expressions."""
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    n_seg = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    """Planted inputs through THE SAME function the catalog query calls
+    (functions/text.dedup_passages — round-5 review finding replaced the
+    previous inline copy of the expressions)."""
+    from sportstv_streaming_data_warehouse_spark.functions.text import (
+        dedup_passages,
     )
-    kept = F.aggregate(
-        segs,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(F.array_contains(acc, s), acc).otherwise(
-            F.concat(acc, F.array(s))
-        ),
-    )
+
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    return df.filter(F.size(toks) > 0).select(
-        "doc_id",
-        F.size(segs).alias("n_segments"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, " ").alias("cleaned_text"),
-    )
+    return dedup_passages(df, "doc_id", "text", passage_tokens=10)
 
 
 BLOCK = "a b c d e f g h i j"          # one exact 10-token passage
@@ -73,11 +59,25 @@ def test_passage_dedup_partial_last_segment_and_empty(spark):
 def test_passage_dedup_catalog_matches_identity_on_fixture(spark):
     # the fixture corpus has no intra-doc repeats (verified in DuckDB),
     # so the operator must be a pure pass-through there: n_kept equals
-    # n_segments on every row and cleaned token count equals the
-    # original token count
+    # n_segments on every row AND the cleaned token count equals the
+    # original token count (catches slice/join regressions that keep
+    # segment counts but corrupt cleaned_text — round-5 review finding)
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
     out = QUERIES["x_passage_dedup"](spark, SF01)
     bad = out.filter(F.col("n_kept") != F.col("n_segments")).count()
     assert bad == 0
+    ntok = lambda c: F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))  # noqa: E731
+    docs = load_table(spark, SF01, "documents").select(
+        "doc_id", ntok(F.col("text")).alias("n_orig")
+    )
+    mism = (
+        out.select("doc_id", ntok(F.col("cleaned_text")).alias("n_clean"))
+        .join(docs, "doc_id")
+        .filter(F.col("n_clean") != F.col("n_orig"))
+        .count()
+    )
+    assert mism == 0
 
 
 def test_source_overlap_counts_planted_cross_dups(spark):
@@ -94,22 +94,14 @@ def test_source_overlap_counts_planted_cross_dups(spark):
         (8, "dup inside a", "A"),
         (9, "dup inside a", "A"),   # same source: counts once on diagonal
     ]
+    from sportstv_streaming_data_warehouse_spark.functions.text import (
+        source_overlap_matrix,
+    )
+
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
-    h = docs.select("source", fingerprint(F.col("text")).alias("fp")).distinct()
-    a, b = h.alias("a"), h.alias("b")
     got = {
         (r["source_a"], r["source_b"]): r["shared_fingerprints"]
-        for r in a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.source") <= F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count("*").alias("shared_fingerprints"))
-        .collect()
+        for r in source_overlap_matrix(docs, "source", "text").collect()
     }
     assert got[("A", "B")] == 2
     assert got[("B", "C")] == 1

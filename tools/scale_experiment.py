@@ -328,7 +328,9 @@ GUARD_SCALES = (1, 10, 100)
 
 
 def _bucket_histogram(buckets, size_col: str):
-    """(size-range, n_buckets, pair_volume) rows for a bucket-size frame."""
+    """(size-range, n_buckets, pair_volume) rows for a bucket-size frame,
+    ordered by the NUMERIC lower edge (a string orderBy prints 17-32
+    before 2-4 — round-5 review finding)."""
     sz = F.col(size_col)
     edge = (
         F.when(sz <= 4, "2-4")
@@ -339,13 +341,19 @@ def _bucket_histogram(buckets, size_col: str):
         .when(sz <= 128, "65-128")
         .otherwise(">128")
     )
+    lo = (
+        F.when(sz <= 4, 2).when(sz <= 8, 5).when(sz <= 16, 9)
+        .when(sz <= 32, 17).when(sz <= 64, 33).when(sz <= 128, 65)
+        .otherwise(129)
+    )
     return (
-        buckets.groupBy(edge.alias("bucket_size"))
+        buckets.groupBy(edge.alias("bucket_size"), lo.alias("__lo"))
         .agg(
             F.count("*").alias("n_buckets"),
             F.sum(sz * (sz - 1) / 2).cast("long").alias("pair_volume"),
         )
-        .orderBy("bucket_size")
+        .orderBy("__lo")
+        .drop("__lo")
         .collect()
     )
 
