@@ -5156,6 +5156,160 @@ def x_unigram_surprisal(spark, sf_dir):
 
 
 @query(
+    "w_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    series AS (SELECT DISTINCT user_id, event_type FROM daily),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    spine AS (SELECT s.user_id, s.event_type, days.d
+              FROM series s CROSS JOIN days),
+    j AS (
+      SELECT spine.user_id, spine.event_type, spine.d, daily.v
+      FROM spine LEFT JOIN daily USING (user_id, event_type, d)
+    )
+    SELECT user_id, event_type, strftime(d, '%Y-%m-%d') AS d,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id, event_type ORDER BY d
+             ROWS UNBOUNDED PRECEDING) AS filled_value,
+           v IS NULL AS is_filled
+    FROM j
+    """,
+)
+def w_forward_fill(spark, sf_dir):
+    # Forward fill / LOCF over a dense per-series date spine — the
+    # gap-filling step every time-series consumer needs before joins or
+    # charting (a day with no activity carries the last observed daily
+    # value; days before the first observation stay null and are
+    # flagged). Re-uses the as-of join's core primitive: last(...,
+    # ignorenulls) over a per-series ordered window — ONE shuffle on
+    # the series key, per-partition state bounded by the spine length
+    # (days), never by event volume. The spine is observed-series ×
+    # observed-days (a broadcast of two tiny distincts), so absent
+    # series don't materialize rows. Daily sums go through
+    # DECIMAL(18,6) for order-independent float parity.
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.col("value").cast(DecimalType(18, 6)))
+        .cast("double")
+        .alias("v")
+    )
+    series = daily.select("user_id", "event_type").distinct()
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    spine = series.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "event_type", "d"], "left")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("v").isNull().alias("is_filled"),
+    )
+
+
+@query(
+    "x_bigram_surprisal",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')
+               AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS b
+      FROM toks WHERE len(tk) >= 2
+    ),
+    pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (SELECT w1, w2, COUNT(*) AS f2 FROM pairs GROUP BY 1, 2),
+    c1 AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f1 FROM (
+        SELECT unnest(tk) AS token FROM toks
+      ) GROUP BY 1
+    ),
+    terms AS (
+      SELECT p.doc_id,
+             CAST(ROUND(LN(CAST(c1.f1 AS DOUBLE) / c2.f2) * 1000000.0)
+                  AS BIGINT) AS q
+      FROM pairs p
+      JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+      JOIN c1 ON p.w1 = c1.token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(q) / 1000000.0 / COUNT(*), 4) AS bigram_surprisal_nats
+    FROM terms GROUP BY 1
+    """,
+)
+def x_bigram_surprisal(spark, sf_dir):
+    # Per-document cross-entropy under the corpus BIGRAM LM — the
+    # next-order typicality signal after x_unigram_surprisal (CCNet-
+    # style LM filtering): S(d) = avg over bigram positions of
+    # ln(c1(w1)/c2(w1,w2)), i.e. -ln P(w2|w1) with MLE conditionals.
+    # Word-salad scores high even when its unigrams are common — the
+    # case the unigram filter cannot see. Same determinism machinery:
+    # per-TERM integer micro-nat rounding, BIGINT sums. Plan: one
+    # explode to bigram positions, corpus bigram + unigram frequency
+    # hash-aggs (vocabulary-sized — broadcastable at scale), two
+    # equi-joins back, one per-doc agg.
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    pairs = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                        F.element_at(F.col("tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
+    c1 = (
+        docs.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f1"))
+    )
+    terms = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, pairs.w1 == c1.token)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("f1").cast("double") / F.col("f2")) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("q") / 1000000.0 / F.count("*"), 4).alias(
+            "bigram_surprisal_nats"
+        ),
+    )
+
+
+@query(
     "w_daily_ohlc",
     oracle="""
     WITH r AS (
@@ -5883,6 +6037,16 @@ def x_hard_negatives(spark, sf_dir):
 # the round-5 opening rotation used). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
 #
+# Round-5 ninth batch: two more debuts (w_forward_fill,
+# x_bigram_surprisal) displace two r3-green entries:
+# h_monthly_from_daily (the time-series downsampling family is now
+# represented in-window by w_daily_ohlc and w_moving_avg_7d stays;
+# forward-fill exercises the same last-ignorenulls machinery as
+# x_asof_join_last_signup, also in-window) and x_dedup_survivors
+# (sibling x_dedup_clusters stays — the identical fixpoint machinery;
+# the same pairing used when ngram-jaccard rotated). Both displaced
+# entries queue for round 6.
+#
 # Round-5 eighth debut: w_daily_ohlc (single-hash-agg OHLC bars)
 # displaces w2_peak_dow_per_flag — the same per-group argmax family
 # (OHLC's open/close ARE two struct-argmaxes; w1_peak_week green r4 and
@@ -5942,6 +6106,8 @@ CORRECTNESS_WINDOW = [
     "w_rfm_segmentation",
     "x_shared_passage_flags",
     "w_daily_ohlc",
+    "w_forward_fill",
+    "x_bigram_surprisal",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -5952,7 +6118,6 @@ CORRECTNESS_WINDOW = [
     "r2_unpivot_year_matrix",
     "x_range_join_value_bands",
     "a_rollup_hierarchy",
-    "h_monthly_from_daily",
     "w_moving_avg_7d",
     "f_json_extract",
     "x_dedup_clusters",
@@ -5960,7 +6125,6 @@ CORRECTNESS_WINDOW = [
     "x_text_profile",
     "x_cdc_fact_diff",
     "x_knn_ivf_ann",
-    "x_dedup_survivors",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -236,3 +236,119 @@ def test_daily_ohlc_planted_bar(spark):
     assert (c["open_value"], c["high_value"], c["low_value"], c["close_value"], c["n_events"]) == (5.0, 9.0, 1.0, 7.0, 4)
     v = out["view"]
     assert v["open_value"] == 3.0 and v["close_value"] == 4.0  # id tiebreak
+
+
+def test_forward_fill_planted_gaps(spark):
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def d(day):
+        return datetime.date(2024, 1, day)
+
+    # series (1,'view'): observed days 1 (v=5) and 4 (v=7); spine days
+    # 1..5 -> day 2,3 carry 5.0; day 5 carries 7.0. Series (2,'click')
+    # starts day 3 -> days 1,2 stay null-filled (no value yet).
+    daily = spark.createDataFrame(
+        [
+            (1, "view", d(1), 5.0),
+            (1, "view", d(4), 7.0),
+            (2, "click", d(3), 2.0),
+        ],
+        ["user_id", "event_type", "d", "v"],
+    )
+    days = spark.createDataFrame([(d(i),) for i in range(1, 6)], ["d"])
+    series = daily.select("user_id", "event_type").distinct()
+    spine = series.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "event_type", "d"], "left")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r["user_id"], r["d"].day): (r["filled_value"], r["is_filled"])
+        for r in j.select(
+            "user_id",
+            "d",
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("v").isNull().alias("is_filled"),
+        ).collect()
+    }
+    assert got[(1, 1)] == (5.0, False)
+    assert got[(1, 2)] == (5.0, True)
+    assert got[(1, 3)] == (5.0, True)
+    assert got[(1, 4)] == (7.0, False)
+    assert got[(1, 5)] == (7.0, True)
+    assert got[(2, 1)] == (None, True)   # before first observation
+    assert got[(2, 2)] == (None, True)
+    assert got[(2, 3)] == (2.0, False)
+
+
+def test_forward_fill_catalog_contract(spark):
+    from pyspark.sql import functions as F
+
+    out = QUERIES["w_forward_fill"](spark, SF01)
+    # observed cells are never flagged; filled cells carry a prior value
+    # or null (before first observation) — and every series spans the
+    # full observed-day spine
+    bad = out.filter(~F.col("is_filled") & F.col("filled_value").isNull()).count()
+    assert bad == 0
+    n_days = out.select("d").distinct().count()
+    per_series = out.groupBy("user_id", "event_type").count().select("count").distinct().collect()
+    assert len(per_series) == 1 and per_series[0]["count"] == n_days
+
+
+def test_bigram_surprisal_word_salad_scores_higher(spark):
+    from pyspark.sql import functions as F
+
+    # corpus: "a b" repeated (predictable) vs the same unigrams in a
+    # never-seen order: bigram surprisal separates them even though
+    # unigram frequencies are identical
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),
+            (2, "b b a a b a b a"),
+        ],
+        ["doc_id", "text"],
+    )
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    pairs = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                        F.element_at(F.col("tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
+    c1 = (
+        docs.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f1"))
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in pairs.join(c2, ["w1", "w2"])
+        .join(c1, pairs.w1 == c1.token)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("f1").cast("double") / F.col("f2")) * 1000000.0, 0
+            ).cast("long").alias("q"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("q") / 1000000.0 / F.count("*"), 4).alias("s"))
+        .collect()
+    }
+    assert out[2] > out[1]
