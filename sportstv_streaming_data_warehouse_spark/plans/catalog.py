@@ -5156,6 +5156,108 @@ def x_unigram_surprisal(spark, sf_dir):
 
 
 @query(
+    "x_containment_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')
+               AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 3),
+                    i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+               AS shingle
+      FROM toks WHERE len(tk) >= 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    ok AS (SELECT sh.* FROM sh JOIN dfreq USING (shingle) WHERE df <= 20),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM ok a JOIN ok b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.shared,
+           CAST(p.shared AS DOUBLE) / sa.n_sh AS containment_a,
+           CAST(p.shared AS DOUBLE) / sb.n_sh AS containment_b
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    """,
+)
+def x_containment_dedup(spark, sf_dir):
+    # ASYMMETRIC containment dedup (doc-inside-doc detection): for every
+    # candidate pair, |S(a)∩S(b)|/|S(a)| and /|S(b)| over 5-token
+    # shingle sets. Jaccard misses the quote/wrapper case — a short doc
+    # fully contained in a long one has tiny Jaccard but containment
+    # ≈ 1.0 on the short side; this is the screen that catches quoted
+    # articles, templated wrappers, and partial scrapes. Candidates come
+    # from the shingle inverted index (equi-join on the shingle key,
+    # never all-pairs) with a df ≤ 20 guard — the max_token_docs
+    # pattern: a shingle shared by more docs is boilerplate whose pair
+    # explosion costs df² while true containment pairs still co-occur
+    # on rarer shingles (guard inactive at correctness SF, so the
+    # oracle match stays exact).
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sh = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 4),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ok = sh.join(dfreq, "shingle").filter(F.col("df") <= 20).select(
+        "doc_id", "shingle"
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (F.col("shared").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("shared").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+@query(
     "w_forward_fill",
     oracle="""
     WITH daily AS (
@@ -6037,6 +6139,13 @@ def x_hard_negatives(spark, sf_dir):
 # the round-5 opening rotation used). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
 #
+# Round-5 tenth debut: x_containment_dedup (asymmetric shingle
+# containment — the quote/wrapper detector Jaccard misses) displaces
+# r2_unpivot_year_matrix (3-round veteran [1,2,3]; the reshape family
+# stays ledger-covered by r1_pivot_year_matrix green r4). The
+# containment candidates ride the same shingle inverted index as
+# x_shared_passage_flags and x_dedup_token_jaccard, both in-window.
+#
 # Round-5 ninth batch: two more debuts (w_forward_fill,
 # x_bigram_surprisal) displace two r3-green entries:
 # h_monthly_from_daily (the time-series downsampling family is now
@@ -6108,6 +6217,7 @@ CORRECTNESS_WINDOW = [
     "w_daily_ohlc",
     "w_forward_fill",
     "x_bigram_surprisal",
+    "x_containment_dedup",
     # last driver-green row is round 2 (stalest; judge-named)
     "x_dedup_exact",
     "x_dedup_token_jaccard",
@@ -6115,7 +6225,6 @@ CORRECTNESS_WINDOW = [
     "u1_union_two_sources",
     "s1_scan_pruned_projection",
     # last driver-green row is round 3
-    "r2_unpivot_year_matrix",
     "x_range_join_value_bands",
     "a_rollup_hierarchy",
     "w_moving_avg_7d",

@@ -352,3 +352,64 @@ def test_bigram_surprisal_word_salad_scores_higher(spark):
         .collect()
     }
     assert out[2] > out[1]
+
+
+def test_containment_dedup_quote_inside_article(spark):
+    from pyspark.sql import functions as F
+
+    quote = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    article = f"intro words here {quote} closing words after end"
+    docs = spark.createDataFrame(
+        [(1, article), (2, quote), (3, "totally different content here now")],
+        ["doc_id", "text"],
+    )
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sh = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 4),
+                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in pairs.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "shared",
+            (F.col("shared").cast("double") / F.col("n_a")).alias("ca"),
+            (F.col("shared").cast("double") / F.col("n_b")).alias("cb"),
+        )
+        .collect()
+    }
+    # the quote (doc 2, 6 tokens -> 2 shingles) is FULLY contained in
+    # the article: containment on the quote side is 1.0, article side
+    # is small — exactly the asymmetry Jaccard cannot express
+    r = got[(1, 2)]
+    assert r["cb"] == 1.0
+    assert r["ca"] < 0.5
+    assert (1, 3) not in got and (2, 3) not in got
