@@ -94,6 +94,11 @@ QUERY_SET = [
     "x_session_features",
     "x_sample_exact_k",
     "w_rfm_segmentation",
+    "x_shared_passage_flags",
+    "w_daily_ohlc",
+    "w_forward_fill",
+    "x_bigram_surprisal",
+    "x_containment_dedup",
 ]
 # x_dedup_incremental is measured in the ZIPF experiment below, not on
 # the fixture replicas: replicas carry IDENTICAL texts, so every batch
