@@ -395,3 +395,79 @@ def test_winsorize_cutoff_matches_sorted_rank(spark, values):
     k = (len(values) * 10 + 999) // 1000
     expected = sorted(values, reverse=True)[k - 1]
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_hamming_pairs_match_python_popcount(spark, hashes):
+    """The pigeonhole chunk join finds EXACTLY the pairs a brute-force
+    python popcount finds at hamming <= 3 (soundness AND completeness
+    of the 4-chunk equi-join on random 64-bit signatures)."""
+    from itertools import combinations
+
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    sig = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], ["id", "h"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(sig, "id", "h", max_hamming=3).collect()
+    }
+    model = {}
+    for (i, a), (j, b) in combinations(enumerate(hashes), 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            model[(i, j)] = d
+    assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999_999),  # u-hash slot
+            st.integers(min_value=1, max_value=10_000),   # weight
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_efraimidis_spirakis_key_order_matches_python(spark, rows):
+    """ln(u)/w ordering == python's math.log on the identical micro-nat
+    integers: the weighted-sample ranking can never disagree with the
+    reference formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, fp, w) for i, (fp, w) in enumerate(rows)], ["i", "fp", "w"]
+    )
+    lnu_micro = F.round(
+        F.log((F.col("fp") % 1000000 + 0.5) / 1000000.0) * 1000000.0, 0
+    ).cast("long")
+    got = [
+        r["i"]
+        for r in df.select(
+            "i", (lnu_micro.cast("double") / F.col("w")).alias("k")
+        )
+        .orderBy(F.desc("k"), F.asc("i"))
+        .collect()
+    ]
+    def key(t):
+        i, (fp, w) = t
+        lnu = round(math.log((fp % 1000000 + 0.5) / 1000000.0) * 1000000.0)
+        return (-(lnu / w), i)
+
+    model = [i for i, _ in sorted(enumerate(rows), key=key)]
+    assert got == model
