@@ -41,13 +41,21 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     unit: int = DEFAULT_UNIT,
+    tol: int | None = None,
 ) -> DataFrame:
-    """``n_iter`` exact-integer PageRank supersteps (damping 0.85) over
-    an (src, dst) edge list. Returns (node, degree, pr) with ``pr`` in
-    ``unit`` fixed-point (uniform init: every node starts at ``unit``).
+    """Up to ``n_iter`` exact-integer PageRank supersteps (damping 0.85)
+    over an (src, dst) edge list. Returns (node, degree, pr) with ``pr``
+    in ``unit`` fixed-point (uniform init: every node starts at
+    ``unit``). With ``tol`` set, iteration stops early once the maximum
+    per-node |Δpr| falls to ``tol`` units or below — the convergence
+    check is a single 1-row max-agg per superstep (driver holds one
+    scalar, never data; PageRank contracts geometrically at 0.85^t so
+    the check fires in O(log(unit/tol)) steps).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if tol is not None and tol < 0:
+        raise ValueError("tol must be >= 0")
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = edges.join(deg, "src").persist()
     ed.count()  # materialize once; reused every iteration
@@ -76,9 +84,19 @@ def pagerank(
             .persist()
         )
         nxt.count()  # materialize: cuts lineage each superstep (LRU-1)
+        converged = False
+        if tol is not None:
+            delta = (
+                nxt.join(pr.withColumnRenamed("pr", "__prev"), "node")
+                .agg(F.max(F.abs(F.col("pr") - F.col("__prev"))))
+                .first()[0]
+            )
+            converged = delta is not None and delta <= tol
         if pr_is_cached:
             pr.unpersist()
         pr, pr_is_cached = nxt, True
+        if converged:
+            break
     out = pr.join(deg, pr.node == deg.src).select(
         "node", F.col("out_deg").alias("degree"), "pr"
     )

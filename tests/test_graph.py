@@ -79,3 +79,27 @@ def test_pagerank_validates_n_iter(spark):
     pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
     with pytest.raises(ValueError):
         pagerank(symmetric_edges(pairs, "a", "b"), n_iter=0)
+
+
+def test_pagerank_tol_early_stop_matches_fixed_depth(spark):
+    # ring graph converges after ONE step (uniform stays uniform):
+    # tol-mode must stop early yet return the same ranks as any deeper
+    # fixed-depth run
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], ["a", "b"]
+    )
+    edges = symmetric_edges(pairs, "a", "b")
+    deep = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=6).collect()}
+    early = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, n_iter=6, tol=0).collect()
+    }
+    assert early == deep
+
+
+def test_pagerank_tol_validation(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError):
+        pagerank(symmetric_edges(pairs, "a", "b"), n_iter=3, tol=-1)
