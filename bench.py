@@ -78,6 +78,12 @@ HEADLINE = [
     "x_hard_negatives",        # banded hard-negative mining argmax (r5)
     "x_session_features",      # session-grain feature table (r5)
     "w_active_streaks",        # gaps-and-islands per-user streaks (r5)
+    "w_daily_ohlc",            # single-agg OHLC bars (r5)
+    "w_forward_fill",          # LOCF over per-series date spines (r5)
+    "x_bigram_surprisal",      # bigram-LM typicality scoring (r5)
+    "x_weighted_sample",       # E-S weighted top-k sampling (r5)
+    "x_anomaly_zscore",        # exact-variance anomaly flags (r5)
+    "x_sample_exact_k",        # keep_count per-stratum sampler (r5)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more
