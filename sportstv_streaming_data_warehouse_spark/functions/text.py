@@ -389,3 +389,62 @@ def source_overlap_matrix(
         )
         .agg(F.count("*").alias("shared_fingerprints"))
     )
+
+
+def bigram_pairs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, w1, w2) rows for every consecutive token pair (docs with
+    fewer than two tokens contribute nothing)."""
+    from pyspark.sql import functions as F
+
+    tk = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return (
+        df.select(id_col, tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                        F.element_at(F.col("tk"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
+
+def bigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc cross-entropy under the corpus bigram LM (micro-nat
+    integer terms; see the x_bigram_surprisal catalog query, which calls
+    this — the one definition its planted tests exercise too)."""
+    from pyspark.sql import functions as F
+
+    tk = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    pairs = bigram_pairs(df, id_col, text_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
+    c1 = (
+        df.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f1"))
+    )
+    terms = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, pairs.w1 == c1.token)
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("f1").cast("double") / F.col("f2")) * 1000000.0, 0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("q") / 1000000.0 / F.count("*"), 4).alias(
+            "bigram_surprisal_nats"
+        ),
+    )

@@ -645,3 +645,74 @@ def survivor_manifest(
         F.col(size_col).alias("survivor_chars"),
         "cluster_size",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_tokens: int = 5,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs (doc-inside-doc detection):
+    |S(a)∩S(b)|/|S(a)| and /|S(b)| over ``shingle_tokens``-token shingle
+    sets, candidates from the shingle inverted index with a document-
+    frequency guard (``max_df`` — the max_token_docs pattern: boilerplate
+    shingles never pair-explode). The one definition behind the
+    x_containment_dedup catalog query and its planted tests."""
+    sh = (
+        df.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias(
+                "tk"
+            ),
+        )
+        .filter(F.size("tk") >= shingle_tokens)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (shingle_tokens - 1)),
+                    lambda i: F.array_join(
+                        F.slice(F.col("tk"), i, shingle_tokens), " "
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ok = sh.join(dfreq, "shingle").filter(F.col("df") <= max_df).select(
+        id_col, "shingle"
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (F.col("shared").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("shared").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
+    )

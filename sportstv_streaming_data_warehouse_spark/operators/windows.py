@@ -78,3 +78,33 @@ def with_session_ids(
     return df.withColumn("__new_session", new_session).withColumn(
         "session_id", F.sum("__new_session").over(run).cast("long")
     ).drop("__new_session")
+
+
+def forward_fill(
+    daily: DataFrame,
+    series_cols: Sequence[str],
+    days: DataFrame,
+    day_col: str = "d",
+    value_col: str = "v",
+) -> DataFrame:
+    """LOCF over a dense spine: observed ``daily`` rows at (series, day)
+    grain are expanded to every day in ``days`` per observed series,
+    missing days carrying the last observed ``value_col`` (null before
+    the first observation; ``is_filled`` flags synthesized cells). ONE
+    shuffle on the series key; per-partition window state is bounded by
+    the spine length. The one definition behind the w_forward_fill
+    catalog query and its planted tests."""
+    series = daily.select(*series_cols).distinct()
+    spine = series.crossJoin(F.broadcast(days))
+    j = spine.join(daily, [*series_cols, day_col], "left")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        *series_cols,
+        day_col,
+        F.last(value_col, ignorenulls=True).over(w).alias("filled_value"),
+        F.col(value_col).isNull().alias("is_filled"),
+    )

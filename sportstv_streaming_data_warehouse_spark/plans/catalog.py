@@ -75,6 +75,9 @@ def _dsum(col: str, scale: int = 2):
     """,
 )
 def flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship ETL rollup (SURVEY §2.4 A1+A2+A3): daily-grain fact
+    # with exact distinct orders, decimal-exact sums, and the guarded
+    # average — the reference's 50K-row batch loop as ONE groupBy.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         # group on the 4-byte date key (2.6x faster than a string key at
@@ -876,6 +879,8 @@ def u3_except_churned(spark, sf_dir):
     """,
 )
 def u4_intersect_retained(spark, sf_dir):
+    # INTERSECT: customers active in BOTH boundary years — the retained
+    # cohort (set-operator completion of u3_except_churned).
     od = load_table(spark, sf_dir, "orders").withColumn(
         "year", F.year(F.to_date("o_orderdate"))
     )
@@ -1687,6 +1692,9 @@ def x_top_bigrams(spark, sf_dir):
     """,
 )
 def x_doc_stats_by_lang(spark, sf_dir):
+    # Corpus composition report: per (lang, source) doc counts and
+    # decimal-exact length statistics — the first table a corpus
+    # datasheet shows.
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang", "source")
@@ -5202,58 +5210,8 @@ def x_containment_dedup(spark, sf_dir):
     # on rarer shingles (guard inactive at correctness SF, so the
     # oracle match stays exact).
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    sh = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 4),
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ok = sh.join(dfreq, "shingle").filter(F.col("df") <= 20).select(
-        "doc_id", "shingle"
-    )
-    a, b = ok.alias("a"), ok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "shared",
-            (F.col("shared").cast("double") / F.col("n_a")).alias(
-                "containment_a"
-            ),
-            (F.col("shared").cast("double") / F.col("n_b")).alias(
-                "containment_b"
-            ),
-        )
+    return D.containment_pairs(
+        docs, "doc_id", "text", shingle_tokens=5, max_df=20
     )
 
 
@@ -5293,6 +5251,8 @@ def w_forward_fill(spark, sf_dir):
     # observed-days (a broadcast of two tiny distincts), so absent
     # series don't materialize rows. Daily sums go through
     # DECIMAL(18,6) for order-independent float parity.
+    from ..operators.windows import forward_fill
+
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", "event_type", F.to_date("ts").alias("d")
@@ -5301,21 +5261,14 @@ def w_forward_fill(spark, sf_dir):
         .cast("double")
         .alias("v")
     )
-    series = daily.select("user_id", "event_type").distinct()
     days = ev.select(F.to_date("ts").alias("d")).distinct()
-    spine = series.crossJoin(F.broadcast(days))
-    j = spine.join(daily, ["user_id", "event_type", "d"], "left")
-    w = (
-        Window.partitionBy("user_id", "event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    filled = forward_fill(daily, ["user_id", "event_type"], days)
+    return filled.select(
         "user_id",
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("d"),
-        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
-        F.col("v").isNull().alias("is_filled"),
+        "filled_value",
+        "is_filled",
     )
 
 
@@ -5367,48 +5320,7 @@ def x_bigram_surprisal(spark, sf_dir):
     # hash-aggs (vocabulary-sized — broadcastable at scale), two
     # equi-joins back, one per-doc agg.
     docs = load_table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    pairs = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("tk"), i).alias("w1"),
-                        F.element_at(F.col("tk"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
-    c1 = (
-        docs.select(F.explode(tk).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("f1"))
-    )
-    terms = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, pairs.w1 == c1.token)
-        .select(
-            "doc_id",
-            F.round(
-                F.log(F.col("f1").cast("double") / F.col("f2")) * 1000000.0, 0
-            )
-            .cast("long")
-            .alias("q"),
-        )
-    )
-    return terms.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("q") / 1000000.0 / F.count("*"), 4).alias(
-            "bigram_surprisal_nats"
-        ),
-    )
+    return T.bigram_surprisal(docs, "doc_id", "text")
 
 
 @query(

@@ -258,22 +258,15 @@ def test_forward_fill_planted_gaps(spark):
         ],
         ["user_id", "event_type", "d", "v"],
     )
-    days = spark.createDataFrame([(d(i),) for i in range(1, 6)], ["d"])
-    series = daily.select("user_id", "event_type").distinct()
-    spine = series.crossJoin(F.broadcast(days))
-    j = spine.join(daily, ["user_id", "event_type", "d"], "left")
-    w = (
-        Window.partitionBy("user_id", "event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from sportstv_streaming_data_warehouse_spark.operators.windows import (
+        forward_fill,
     )
+
+    days = spark.createDataFrame([(d(i),) for i in range(1, 6)], ["d"])
     got = {
         (r["user_id"], r["d"].day): (r["filled_value"], r["is_filled"])
-        for r in j.select(
-            "user_id",
-            "d",
-            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
-            F.col("v").isNull().alias("is_filled"),
+        for r in forward_fill(
+            daily, ["user_id", "event_type"], days
         ).collect()
     }
     assert got[(1, 1)] == (5.0, False)
@@ -301,11 +294,14 @@ def test_forward_fill_catalog_contract(spark):
 
 
 def test_bigram_surprisal_word_salad_scores_higher(spark):
-    from pyspark.sql import functions as F
-
     # corpus: "a b" repeated (predictable) vs the same unigrams in a
     # never-seen order: bigram surprisal separates them even though
-    # unigram frequencies are identical
+    # unigram frequencies are identical — through THE shipped function
+    # (functions/text.bigram_surprisal, which the catalog query calls)
+    from sportstv_streaming_data_warehouse_spark.functions.text import (
+        bigram_surprisal,
+    )
+
     docs = spark.createDataFrame(
         [
             (1, "a b a b a b a b"),
@@ -313,49 +309,17 @@ def test_bigram_surprisal_word_salad_scores_higher(spark):
         ],
         ["doc_id", "text"],
     )
-    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    pairs = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("tk"), i).alias("w1"),
-                        F.element_at(F.col("tk"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("f2"))
-    c1 = (
-        docs.select(F.explode(tk).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("f1"))
-    )
     out = {
-        r["doc_id"]: r["s"]
-        for r in pairs.join(c2, ["w1", "w2"])
-        .join(c1, pairs.w1 == c1.token)
-        .select(
-            "doc_id",
-            F.round(
-                F.log(F.col("f1").cast("double") / F.col("f2")) * 1000000.0, 0
-            ).cast("long").alias("q"),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("q") / 1000000.0 / F.count("*"), 4).alias("s"))
-        .collect()
+        r["doc_id"]: r["bigram_surprisal_nats"]
+        for r in bigram_surprisal(docs, "doc_id", "text").collect()
     }
     assert out[2] > out[1]
 
 
 def test_containment_dedup_quote_inside_article(spark):
-    from pyspark.sql import functions as F
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+    )
 
     quote = "alpha beta gamma delta epsilon zeta"          # 6 tokens
     article = f"intro words here {quote} closing words after end"
@@ -363,53 +327,16 @@ def test_containment_dedup_quote_inside_article(spark):
         [(1, article), (2, quote), (3, "totally different content here now")],
         ["doc_id", "text"],
     )
-    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    sh = (
-        docs.select("doc_id", tk.alias("tk"))
-        .filter(F.size("tk") >= 5)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - 4),
-                    lambda i: F.array_join(F.slice(F.col("tk"), i, 5), " "),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
     got = {
         (r["id_a"], r["id_b"]): r
-        for r in pairs.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b", "shared",
-            (F.col("shared").cast("double") / F.col("n_a")).alias("ca"),
-            (F.col("shared").cast("double") / F.col("n_b")).alias("cb"),
-        )
-        .collect()
+        for r in containment_pairs(
+            docs, "doc_id", "text", shingle_tokens=5, max_df=20
+        ).collect()
     }
     # the quote (doc 2, 6 tokens -> 2 shingles) is FULLY contained in
     # the article: containment on the quote side is 1.0, article side
     # is small — exactly the asymmetry Jaccard cannot express
     r = got[(1, 2)]
-    assert r["cb"] == 1.0
-    assert r["ca"] < 0.5
+    assert r["containment_b"] == 1.0
+    assert r["containment_a"] < 0.5
     assert (1, 3) not in got and (2, 3) not in got

@@ -28,6 +28,7 @@ from sportstv_streaming_data_warehouse_spark.plans.catalog import (  # noqa: E40
     DRIVER_GREEN_ROUNDS,
     all_oracles,
 )
+from tools.update_ledger import collect as ledger_collect  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50
@@ -35,29 +36,22 @@ ANCHORS = ["flagship_daily_rollup", "star_fact_events"]
 
 
 def recorded_rounds() -> list[int]:
-    return [
-        r
-        for r in range(1, 21)
-        if os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))
-    ]
+    import re
+    from pathlib import Path
+
+    return sorted(
+        int(m.group(1))
+        for f in Path(REPO).glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name))
+    )
 
 
 def greens_from_files() -> dict[str, list[int]]:
-    greens: dict[str, list[int]] = {}
-    for r in recorded_rounds():
-        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
-        with open(path) as f:
-            data = json.load(f)
-        for name, row in data.items():
-            ok = (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match", True)
-                and row.get("hash_match", True)
-            )
-            if ok:
-                greens.setdefault(name, []).append(r)
-    return greens
+    """THE ledger green predicate — tools/update_ledger.collect() — so
+    this planner can never disagree with the ledger fold about which
+    rows were green (review finding: a duplicated, laxer predicate
+    here would inflate last_green and under-plan the rotation)."""
+    return ledger_collect()
 
 
 def main() -> None:
@@ -91,8 +85,7 @@ def main() -> None:
     missing = [
         n
         for n, rs in greens.items()
-        if n in DRIVER_GREEN_ROUNDS
-        and sorted(set(DRIVER_GREEN_ROUNDS[n])) != sorted(set(rs))
+        if sorted(set(DRIVER_GREEN_ROUNDS.get(n, []))) != sorted(set(rs))
     ]
     if missing:
         print(f"ledger out of date for {len(missing)} entries — run the "

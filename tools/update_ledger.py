@@ -28,10 +28,20 @@ TAIL = "}"
 
 def collect() -> dict[str, list[int]]:
     truth: dict[str, list[int]] = {}
-    for rnd in range(1, 21):
+    import re as _re
+
+    rounds = sorted(
+        int(m.group(1))
+        for f in REPO.glob("CORRECTNESS_r*.json")
+        if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name))
+    )
+    for rnd in rounds:
         path = REPO / f"CORRECTNESS_r{rnd:02d}.json"
-        if not path.exists():
-            continue
+        if not path.exists():  # unpadded names: re-glob exact file
+            path = next(
+                f for f in REPO.glob("CORRECTNESS_r*.json")
+                if _re.fullmatch(rf"CORRECTNESS_r0*{rnd}\.json", f.name)
+            )
         for name, row in json.loads(path.read_text()).items():
             if (
                 row.get("rows_match")
