@@ -6088,64 +6088,79 @@ def x_hard_negatives(spark, sf_dir):
 # green r4 and x_copurchase_pairs in-window exercise the same
 # TakeOrderedAndProject shape). Both displaced entries are r3-green
 # (policy-eligible) and queue for round 6.
+#
+# Round-6 rotation (the planned pay-down of the round-5 rotation debt —
+# tools/plan_rotation.py computed exactly this): the 48 round-5-green
+# non-anchor entries rotate OUT (all freshly green in CORRECTNESS_r05,
+# policy-safe through round 7); IN come the 37 r3-last queries that
+# tripped test_no_oracle_query_staler_than_two_rounds once r05 landed
+# (the full mandatory list, nothing staggered), plus 11 free slots spent
+# pre-paying the round-7 debt from the r4-last cohort — the judge-named
+# trio (x_bm25_topk, x_kmeans_lloyd, x_scd2_point_in_time) first, then
+# one pick per remaining machinery family (canonical dedup, incremental
+# dedup, embedding normalize/quantile paths, sessionize, global shuffle,
+# language-gated quality, user-trend windows, vocab coverage). The
+# steady-state cadence this establishes: ~45 rotations + 2 anchors per
+# round cycles all 133+ oracles through the driver every 3 rounds,
+# inside the 50-slot budget. Round-6 debuts displace r4-cohort picks
+# (never mandatory entries) as they land.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-5 re-verification of the cast-fixed oracles
-    "x_boilerplate_ngrams",
-    "x_domain_mix_plan",
-    # round-5 debuts: newly oracle-backed / new operators
-    "a2_approx_distinct_scale",
-    "x_passage_dedup",
-    "x_source_overlap",
-    "x_seq_length_histogram",
-    "a_cohort_retention",
-    "w_event_funnel",
-    "w_event_transitions",
-    "w_interarrival_stats",
-    "x_token_entropy",
-    "q_key_skew_report",
-    "a_pareto_abc",
-    "x_copurchase_pairs",
-    "w_rolling_distinct_7d",
-    "w_active_streaks",
-    "a_winsorized_stats",
-    "x_anomaly_zscore",
-    "x_fuzzy_match_names",
-    "x_split_leakage_audit",
-    "a_approx_quantile_audit",
-    "x_pagerank_step",
-    "x_weighted_sample",
-    "x_unigram_surprisal",
-    "x_hard_negatives",
-    "x_zorder_layout_audit",
-    "x_session_features",
-    "x_sample_exact_k",
-    "w_rfm_segmentation",
-    "x_shared_passage_flags",
-    "w_daily_ohlc",
-    "w_forward_fill",
-    "x_bigram_surprisal",
-    "x_containment_dedup",
-    # last driver-green row is round 2 (stalest; judge-named)
-    "x_dedup_exact",
-    "x_dedup_token_jaccard",
-    "x_asof_join_last_signup",
-    "u1_union_two_sources",
-    "s1_scan_pruned_projection",
-    # last driver-green row is round 3
-    "x_range_join_value_bands",
-    "a_rollup_hierarchy",
-    "w_moving_avg_7d",
-    "f_json_extract",
-    "x_dedup_clusters",
-    "x_dedup_embedding_cosine",
-    "x_text_profile",
-    "x_cdc_fact_diff",
-    "x_knn_ivf_ann",
+    # mandatory rotations: last driver-green row is round 3 (37 queries)
+    "a45_global_summary",
+    "a_cube_matrix",
+    "a_quantiles_by_flag",
+    "a_share_of_total",
+    "f_from_json_struct",
+    "h_monthly_from_daily",
+    "o1_top10_customers",
+    "p67_year_pruning",
+    "q_quality_audit",
+    "r2_unpivot_year_matrix",
+    "s45_source_stats",
+    "sql_surface_weekly_top",
+    "u34_set_ops",
+    "w2_peak_dow_per_flag",
+    "x_content_hash_split",
+    "x_decontamination",
+    "x_dedup_minhash_poly",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_poly",
+    "x_dedup_survivors",
+    "x_doc_chunking",
+    "x_doc_stats_by_lang",
+    "x_dupgraph_degree",
+    "x_embedding_quantize",
+    "x_fingerprint",
+    "x_knn_bruteforce",
+    "x_knn_lsh_poly",
+    "x_lang_id",
+    "x_pack_shards",
+    "x_quality_deciles",
+    "x_quality_score",
+    "x_repetition_filter",
+    "x_salted_skew_rollup",
+    "x_stratified_sample",
+    "x_text_stats",
+    "x_tfidf_top_terms",
+    "x_top_bigrams",
+    # free slots: round-7 pre-pay from the r4-last cohort (judge-named
+    # trio first); round-6 debuts displace from the BOTTOM of this list
+    "x_bm25_topk",
+    "x_kmeans_lloyd",
+    "x_scd2_point_in_time",
+    "x_dedup_canonical",
+    "x_dedup_incremental",
+    "x_user_value_trend",
+    "x_vocab_coverage",
+    "x_global_shuffle",
+    "x_quality_filter_by_lang",
+    "x_embedding_normalize",
+    "w_sessionize",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -6156,9 +6171,9 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4],
-    "star_fact_events": [1, 2, 3, 4],
-    "s1_scan_pruned_projection": [1, 2],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5],
+    "star_fact_events": [1, 2, 3, 4, 5],
+    "s1_scan_pruned_projection": [1, 2, 5],
     "s45_source_stats": [2, 3],
     "s4_source_date_bounds": [1, 4],
     "s5_row_counts": [1, 4],
@@ -6186,7 +6201,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a12_yearly_validation": [1, 4],
     "a13_avg_of_precomputed": [1, 4],
     "a_cube_matrix": [2, 3],
-    "a_rollup_hierarchy": [2, 3],
+    "a_rollup_hierarchy": [2, 3, 5],
     "h_monthly_from_daily": [2, 3],
     "a_quantiles_by_flag": [2, 3],
     "a_share_of_total": [2, 3],
@@ -6194,11 +6209,11 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "w2_peak_dow_per_flag": [1, 2, 3],
     "w3_yoy_order_growth": [1, 2, 4],
     "w_sessionize": [2, 3, 4],
-    "w_moving_avg_7d": [2, 3],
+    "w_moving_avg_7d": [2, 3, 5],
     "o1_top10_customers": [1, 2, 3],
     "o2_top_events_full_sort": [1, 4],
     "o5_distinct_years_sorted": [1, 4],
-    "u1_union_two_sources": [1, 2],
+    "u1_union_two_sources": [1, 2, 5],
     "u2_distinct_pairs": [1, 4],
     "u34_set_ops": [2, 3],
     "u3_except_churned": [1, 4],
@@ -6209,28 +6224,28 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "f6_date_spine": [1, 2, 4],
     "f7_regex_inference_precedence": [1, 2, 4],
     "f10_hours_arithmetic": [1, 4],
-    "f_json_extract": [2, 3],
+    "f_json_extract": [2, 3, 5],
     "f_from_json_struct": [2, 3],
     "sql_surface_weekly_top": [2, 3],
     "q_quality_audit": [2, 3],
-    "x_dedup_exact": [1, 2],
+    "x_dedup_exact": [1, 2, 5],
     "x_dedup_canonical": [1, 4],
-    "x_dedup_token_jaccard": [1, 2],
+    "x_dedup_token_jaccard": [1, 2, 5],
     "x_dedup_minhash_poly": [2, 3],
     "x_dedup_simhash_poly": [2, 3],
-    "x_dedup_clusters": [2, 3],
-    "x_dedup_embedding_cosine": [2, 3],
-    "x_asof_join_last_signup": [1, 2],
-    "x_range_join_value_bands": [1, 2, 3],
+    "x_dedup_clusters": [2, 3, 5],
+    "x_dedup_embedding_cosine": [2, 3, 5],
+    "x_asof_join_last_signup": [1, 2, 5],
+    "x_range_join_value_bands": [1, 2, 3, 5],
     "x_user_value_trend": [1, 2, 3, 4],
     "x_knn_bruteforce": [2, 3],
     "x_knn_lsh_poly": [2, 3],
-    "x_text_profile": [2, 3],
+    "x_text_profile": [2, 3, 5],
     "x_content_hash_split": [2, 3],
     "x_quality_deciles": [2, 3],
-    "x_cdc_fact_diff": [3],
+    "x_cdc_fact_diff": [3, 5],
     "x_salted_skew_rollup": [3],
-    "x_knn_ivf_ann": [3],
+    "x_knn_ivf_ann": [3, 5],
     "x_dedup_ngram_jaccard": [3],
     "x_decontamination": [3],
     "x_stratified_sample": [3],
@@ -6255,6 +6270,40 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_quality_filter_by_lang": [4],
     "x_scd2_point_in_time": [4],
     "x_vocab_coverage": [4],
+    "a2_approx_distinct_scale": [5],
+    "a_approx_quantile_audit": [5],
+    "a_cohort_retention": [5],
+    "a_pareto_abc": [5],
+    "a_winsorized_stats": [5],
+    "q_key_skew_report": [5],
+    "w_active_streaks": [5],
+    "w_daily_ohlc": [5],
+    "w_event_funnel": [5],
+    "w_event_transitions": [5],
+    "w_forward_fill": [5],
+    "w_interarrival_stats": [5],
+    "w_rfm_segmentation": [5],
+    "w_rolling_distinct_7d": [5],
+    "x_anomaly_zscore": [5],
+    "x_bigram_surprisal": [5],
+    "x_boilerplate_ngrams": [5],
+    "x_containment_dedup": [5],
+    "x_copurchase_pairs": [5],
+    "x_domain_mix_plan": [5],
+    "x_fuzzy_match_names": [5],
+    "x_hard_negatives": [5],
+    "x_pagerank_step": [5],
+    "x_passage_dedup": [5],
+    "x_sample_exact_k": [5],
+    "x_seq_length_histogram": [5],
+    "x_session_features": [5],
+    "x_shared_passage_flags": [5],
+    "x_source_overlap": [5],
+    "x_split_leakage_audit": [5],
+    "x_token_entropy": [5],
+    "x_unigram_surprisal": [5],
+    "x_weighted_sample": [5],
+    "x_zorder_layout_audit": [5],
 }
 
 

@@ -61,11 +61,13 @@ def main() -> None:
     greens = greens_from_files()
 
     last_green: dict[str, int] = {}
+    pending: set[str] = set()
     for name in all_oracles():
         rs = list(DRIVER_GREEN_ROUNDS.get(name, []))
         rs += greens.get(name, [])
         if name in CORRECTNESS_WINDOW:
             rs.append(current)  # pending this round's driver run
+            pending.add(name)
         last_green[name] = max(rs, default=0)
 
     mandatory = sorted(
@@ -77,6 +79,26 @@ def main() -> None:
     print(f"  mandatory rotations ({len(mandatory)}):")
     for n in mandatory:
         print(f"    {n}  (last green r{last_green[n]})")
+    # Review finding: window entries are credited r{current} before the
+    # driver run exists; if one FAILS its run it must join next round's
+    # mandatory list. Surface the at-risk subset so a failed entry is
+    # never silently dropped — re-run this tool after CORRECTNESS lands.
+    at_risk = sorted(
+        n for n in pending
+        if n not in ANCHORS
+        and max(
+            list(DRIVER_GREEN_ROUNDS.get(n, [])) + greens.get(n, []),
+            default=0,
+        ) < nxt - 2
+    )
+    if at_risk:
+        print(
+            f"  pending (assumed green r{current}, mandatory r{nxt} if the "
+            f"driver run fails — re-plan after CORRECTNESS_r{current:02d} "
+            f"lands) ({len(at_risk)}):"
+        )
+        for n in at_risk:
+            print(f"    {n}")
     free = WINDOW_SIZE - len(ANCHORS) - len(mandatory)
     print(f"  free slots for debuts/re-verification: {free}")
     if free < 0:
