@@ -1,0 +1,180 @@
+"""Streaming LOCF: append-mode finalized daily rows must match the batch
+forward_fill algebra on the same rows — including out-of-order arrival
+across micro-batches (a cross-batch row inside the watermark lands in
+the right day's sum before that day finalizes) and gap days for a series
+with NO rows in any batch (the case windowed aggregation cannot emit and
+only per-key state can)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.windows import (
+    forward_fill,
+)
+from sportstv_streaming_data_warehouse_spark.streaming.forward_fill import (
+    forward_fill_stream,
+)
+
+
+def _drop(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, in_path, out_path, ckpt):
+    stream = spark.readStream.schema(
+        "series_id string, ts timestamp, value double"
+    ).json(in_path)
+    q = (
+        forward_fill_stream(stream, series_cols=("series_id",))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _finalized(spark, outp):
+    return {
+        (r["series_id"], r["d"].isoformat()): (
+            r["filled_value"],
+            r["is_filled"],
+        )
+        for r in spark.read.parquet(outp).collect()
+    }
+
+
+def test_stream_locf_matches_batch_despite_arrival_order(spark, tmp_path):
+    inp, outp, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # batch 1: A observed Jan 1, Jan 4 (06:00) and Jan 5; B Jan 2 only.
+    # Watermark after batch 1 = Jan 5 12:00 - 1d = Jan 4 12:00.
+    _drop(inp, "b1.json", [
+        {"series_id": "A", "ts": "2024-01-01T10:00:00", "value": 2.5},
+        {"series_id": "A", "ts": "2024-01-04T06:00:00", "value": 3.0},
+        {"series_id": "A", "ts": "2024-01-05T12:00:00", "value": 7.0},
+        {"series_id": "B", "ts": "2024-01-02T09:00:00", "value": 4.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+    # batch 2: an OUT-OF-ORDER Jan 4 row (18:00 — newer than the Jan 4
+    # 12:00 watermark, older than the Jan 5 row batch 1 delivered). It
+    # must fold into Jan 4's pending sum before that day finalizes.
+    _drop(inp, "b2.json", [
+        {"series_id": "A", "ts": "2024-01-04T18:00:00", "value": 1.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+    # sentinel advances the watermark so everything through Jan 5 finals
+    _drop(inp, "b3.json", [
+        {"series_id": "C", "ts": "2024-02-01T00:00:00", "value": 0.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+
+    got = _finalized(spark, outp)
+    assert got[("A", "2024-01-01")] == (2.5, False)
+    assert got[("A", "2024-01-02")] == (2.5, True)
+    assert got[("A", "2024-01-03")] == (2.5, True)
+    # both batches' Jan 4 rows summed: 3.0 + 1.0
+    assert got[("A", "2024-01-04")] == (4.0, False)
+    assert got[("A", "2024-01-05")] == (7.0, False)
+    # series B: single observation, NO trailing fills past its last day
+    assert got[("B", "2024-01-02")] == (4.0, False)
+    assert ("B", "2024-01-03") not in got
+    # series C is still inside the watermark — not finalized yet
+    assert all(k[0] != "C" for k in got)
+
+
+def test_stream_gap_days_emitted_with_no_rows_in_any_batch(spark, tmp_path):
+    """The defining LOCF case: days with ZERO input rows anywhere still
+    produce output rows once the watermark passes them — via the
+    event-time timeout path, with no new data for the series at all."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _drop(inp, "b1.json", [
+        {"series_id": "A", "ts": "2024-01-01T00:00:00", "value": 3.0},
+        {"series_id": "A", "ts": "2024-01-04T00:00:00", "value": 9.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+    # watermark sentinel on a DIFFERENT series: series A's Jan 2-3 gap
+    # rows can only come from its state, not from any input row
+    _drop(inp, "b2.json", [
+        {"series_id": "Z", "ts": "2024-03-01T00:00:00", "value": 0.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+
+    got = _finalized(spark, outp)
+    assert got[("A", "2024-01-01")] == (3.0, False)
+    assert got[("A", "2024-01-02")] == (3.0, True)
+    assert got[("A", "2024-01-03")] == (3.0, True)
+    assert got[("A", "2024-01-04")] == (9.0, False)
+
+
+def test_stream_matches_batch_operator_on_same_rows(spark, tmp_path):
+    """Algebra parity: finalized streaming rows == the batch
+    forward_fill operator on the same rows, with the batch spine
+    restricted to the streaming contract (per-series days between first
+    and last observation; global spine days outside a series' observed
+    range are the documented semantic difference)."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = [
+        {"series_id": "A", "ts": "2024-01-01T05:00:00", "value": 1.25},
+        {"series_id": "A", "ts": "2024-01-01T06:00:00", "value": 0.75},
+        {"series_id": "A", "ts": "2024-01-03T07:00:00", "value": 2.0},
+        {"series_id": "A", "ts": "2024-01-06T01:00:00", "value": 5.5},
+        {"series_id": "B", "ts": "2024-01-02T00:00:00", "value": 8.0},
+        {"series_id": "B", "ts": "2024-01-05T00:00:00", "value": 6.0},
+        {"series_id": "C", "ts": "2024-01-04T00:00:00", "value": 1.0},
+    ]
+    # shuffled across batches; batch 1's max ts (Jan 2 00:00) keeps the
+    # watermark at Jan 1 00:00, so batch 2's Jan 1 05:00 row is still
+    # inside the watermark despite arriving after a newer same-day row
+    _drop(inp, "b1.json", [rows[1], rows[4]])
+    _run(spark, inp, outp, ckpt)
+    _drop(inp, "b2.json", [rows[0], rows[3], rows[6], rows[5], rows[2]])
+    _run(spark, inp, outp, ckpt)
+    _drop(inp, "b3.json", [
+        {"series_id": "Z", "ts": "2024-03-01T00:00:00", "value": 0.0},
+    ])
+    _run(spark, inp, outp, ckpt)
+
+    ev = spark.createDataFrame(
+        [(r["series_id"], r["ts"], r["value"]) for r in rows],
+        "series_id string, ts string, value double",
+    ).select("series_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    daily = ev.groupBy("series_id", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("v")
+    )
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    bounds = daily.groupBy("series_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    batch = (
+        forward_fill(daily, ["series_id"], days)
+        .join(bounds, "series_id")
+        .where(F.col("d").between(F.col("lo"), F.col("hi")))
+    )
+    expect = {
+        (r["series_id"], r["d"].isoformat()): (
+            r["filled_value"],
+            r["is_filled"],
+        )
+        for r in batch.collect()
+    }
+    got = {k: v for k, v in _finalized(spark, outp).items() if k[0] != "Z"}
+    assert got == expect
