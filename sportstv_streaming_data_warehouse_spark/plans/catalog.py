@@ -3132,6 +3132,50 @@ def x_salted_skew_rollup(spark, sf_dir):
 
 
 @query(
+    "x_salted_skew_join",
+    oracle="""
+    SELECT n_name AS country,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def x_salted_skew_join(spark, sf_dir):
+    # Skew-mitigated JOIN through the driver gate — the remaining
+    # scale-killer class after x_salted_skew_rollup covered hot-key
+    # aggregation. The J2 user-enrichment shape (etl.R:263-264) under a
+    # power-law user (cf. the reference's 17%-orphan NULL hot spot,
+    # etl.R:335): when the enrichment dim is too big to broadcast and
+    # one user dominates the fact, a plain shuffle join lands the whole
+    # hot key on ONE task. salted_join (operators/skew.py) re-keys to
+    # (user_id, salt-from-event_id) — the hot key spreads over n_salts
+    # tasks at the cost of replicating the dim n_salts times — and must
+    # be value-identical to the plain join the oracle runs. Decimal
+    # sums keep the post-join rollup association-order independent.
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast(DecimalType(18, 6)).alias("v"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("n_name").alias("country"),
+    )
+    joined = salted_join(ev, dim, on="user_id", salt_from="event_id", n_salts=16)
+    return joined.groupBy("country").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "x_cdc_fact_diff",
     oracle="""
     WITH o AS (
@@ -6160,7 +6204,8 @@ CORRECTNESS_WINDOW = [
     "x_global_shuffle",
     "x_quality_filter_by_lang",
     "x_embedding_normalize",
-    "w_sessionize",
+    # round-6 debuts (displaced w_sessionize — r4-green, round-7 queue)
+    "x_salted_skew_join",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
