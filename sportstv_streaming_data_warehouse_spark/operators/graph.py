@@ -60,8 +60,21 @@ def pagerank(
     ed = edges.join(deg, "src").persist()
     ed.count()  # materialize once; reused every iteration
 
+    # full node universe (src UNION dst): on a DIRECTED graph, seeding
+    # from out-degree nodes alone would drop sinks from the state, and
+    # rebuilding state from groupBy(dst) alone would silently drop
+    # source-only nodes (losing their base mass and all their later
+    # contributions) after one superstep — the round-5 advice finding.
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
     base = F.lit(round(0.15 * unit))
-    pr = deg.select(F.col("src").alias("node"), F.lit(unit).cast("long").alias("pr"))
+    pr = nodes.select("node", F.lit(unit).cast("long").alias("pr"))
     pr_is_cached = False
     for _ in range(n_iter):
         contrib = (
@@ -78,9 +91,25 @@ def pagerank(
             )
         )
         nxt = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("mass"))
-            .select("node", (base + F.col("mass")).cast("long").alias("pr"))
+            # left-join onto the node universe: nodes with no in-edges
+            # keep their 0.15*unit base mass instead of vanishing.
+            # (Mass arriving at out-degree-0 sinks is absorbed — the
+            # standard dangling-mass simplification; rankings among
+            # non-sink nodes are unaffected and the integer contract
+            # already leaks floor remainders by design.)
+            nodes.join(
+                contrib.groupBy(F.col("dst").alias("node")).agg(
+                    F.sum("c").alias("mass")
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                (base + F.coalesce(F.col("mass"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
             .persist()
         )
         nxt.count()  # materialize: cuts lineage each superstep (LRU-1)
@@ -97,8 +126,13 @@ def pagerank(
         pr, pr_is_cached = nxt, True
         if converged:
             break
-    out = pr.join(deg, pr.node == deg.src).select(
-        "node", F.col("out_deg").alias("degree"), "pr"
+    # LEFT join: sinks (no out-edges) report degree 0 instead of being
+    # silently excluded from the result
+    out = pr.join(deg, pr.node == deg.src, "left").select(
+        "node",
+        F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("degree"),
+        "pr",
     )
     ed.unpersist()
+    nodes.unpersist()
     return out

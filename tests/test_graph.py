@@ -103,3 +103,45 @@ def test_pagerank_tol_validation(spark):
     pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
     with pytest.raises(ValueError):
         pagerank(symmetric_edges(pairs, "a", "b"), n_iter=3, tol=-1)
+
+
+def _python_pagerank_directed(edge_list, n_iter, unit=DEFAULT_UNIT):
+    """Replica of the identical integer recurrence on a DIRECTED edge
+    list: full node universe (src | dst), base mass kept for nodes with
+    no in-edges, dangling mass absorbed by sinks."""
+    deg = defaultdict(int)
+    for s, _ in edge_list:
+        deg[s] += 1
+    nodes = {v for e in edge_list for v in e}
+    pr = {v: unit for v in nodes}
+    base = round(0.15 * unit)
+    for _ in range(n_iter):
+        mass = defaultdict(int)
+        for s, d in edge_list:
+            mass[d] += (85 * pr[s]) // (100 * deg[s])
+        pr = {v: base + mass[v] for v in nodes}
+    return pr, {v: deg.get(v, 0) for v in nodes}
+
+
+def test_pagerank_directed_keeps_sources_and_sinks(spark):
+    # chain 1 -> 2 -> 3 plus a feeder 4 -> 2: node 1 and 4 are
+    # source-only (no in-edges — must KEEP base mass every step, not
+    # vanish from the state), node 3 is a sink (no out-edges — must
+    # appear in the result with degree 0). The round-5 advice finding.
+    edge_list = [(1, 2), (2, 3), (4, 2)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    for n_iter in (1, 2, 4):
+        got = {
+            r["node"]: (r["degree"], r["pr"])
+            for r in pagerank(edges, n_iter=n_iter).collect()
+        }
+        exp_pr, exp_deg = _python_pagerank_directed(edge_list, n_iter)
+        assert set(got) == {1, 2, 3, 4}
+        for v in exp_pr:
+            assert got[v] == (exp_deg[v], exp_pr[v]), (v, n_iter)
+    # semantics at depth 4: the sink drains 85% of the hub's mass each
+    # step (deg(2)=1), so 3 > 2 > sources; sources hold exactly base
+    # mass after the first step
+    assert got[3][1] > got[2][1] > got[1][1]
+    assert got[1][1] == got[4][1] == round(0.15 * DEFAULT_UNIT)
+    assert got[3][0] == 0  # sink reports out-degree 0
