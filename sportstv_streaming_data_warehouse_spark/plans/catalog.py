@@ -3158,9 +3158,7 @@ def x_salted_skew_join(spark, sf_dir):
     from ..operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.col("value").cast(DecimalType(18, 6)).alias("v"),
+        "event_id", "user_id", "value"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -3171,7 +3169,7 @@ def x_salted_skew_join(spark, sf_dir):
     joined = salted_join(ev, dim, on="user_id", salt_from="event_id", n_salts=16)
     return joined.groupBy("country").agg(
         F.count("*").alias("n_events"),
-        F.sum("v").cast("double").alias("total_value"),
+        _dsum("value", 6).alias("total_value"),
     )
 
 

@@ -94,14 +94,15 @@ def forward_fill_stream(
     out_schema = _output_schema(series_cols)
     n_keys = len(series_cols)
     key_names = list(series_cols)
+    # captured as enclosing-scope ints (pickled by value): the closure
+    # stays executor-self-contained without shadowing the module constants
+    day_ms, micro = DAY_MS, _MICRO
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         # self-contained closure: stdlib/pandas only (no module globals)
         import pandas as _pd
-
-        day_ms, micro = 86_400_000, 1_000_000
 
         pending: dict[int, int] = {}
         last_day, last_micro = None, 0
@@ -154,8 +155,19 @@ def forward_fill_stream(
             )
         )
         if pending:
-            # wake when the earliest pending day becomes finalizable
-            state.setTimeoutTimestamp((min(pending) + 1) * day_ms)
+            # wake when the FIRST un-emitted day becomes finalizable:
+            # that is last_day+1 when it is a gap day strictly before the
+            # earliest pending observation (review finding: waking only
+            # at (min(pending)+1) would stall finalizable gap days for as
+            # long as the next observation is away — values stay correct
+            # but emission latency grows with the gap), else the earliest
+            # pending day itself. Always > the current watermark: after
+            # the emission loop last_day >= final_day or pending's
+            # minimum > final_day, so both candidates clear wm_ms.
+            next_day = min(pending)
+            if last_day is not None and last_day + 1 < next_day:
+                next_day = last_day + 1
+            state.setTimeoutTimestamp((next_day + 1) * day_ms)
 
         if rows_d:
             data = {name: rows_key[i] for i, name in enumerate(key_names)}

@@ -278,7 +278,8 @@ def test_rfm_no_single_partition_window(spark):
 def test_pareto_no_single_partition_window_and_broadcast_total(spark):
     # verdict-audited properties of a_pareto_abc: distributed two-phase
     # rank (never a SinglePartition window over the data) and the grand
-    # total composed as a 1-row broadcast, not a shuffled join
+    # total composed as exactly ONE 1-row broadcast loop join (the
+    # catalog-wide BNLJ_BUDGET pins the count; here we pin the window)
     plan = plan_of(spark, "a_pareto_abc")
     assert "CartesianProduct" not in plan
     lines = plan.splitlines()
@@ -286,9 +287,6 @@ def test_pareto_no_single_partition_window_and_broadcast_total(spark):
         if "Window" in line and "windowspecdefinition" in line.lower():
             ctx = "\n".join(lines[i : i + 6])
             assert "SinglePartition" not in ctx, ctx
-    for line in lines:
-        if "BroadcastNestedLoopJoin" in line:
-            assert "BuildRight" in line or "BuildLeft" in line, line
 
 
 def test_containment_dedup_stays_equi_shaped(spark):
@@ -310,31 +308,50 @@ def test_salted_join_spreads_hot_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-# Deliberate exceptions to the catalog-wide loop-join gate:
-LOOP_JOIN_OK = {
-    # the documented brute-force kNN baseline: doc x doc by construction
-    # (x_knn_ivf_ann / x_knn_lsh are its scale paths)
-    "x_knn_bruteforce",
-    "x_knn_bruteforce_threshold",
+# Queries whose plans legitimately contain BroadcastNestedLoopJoins,
+# pinned to the AUDITED count: every entry is either a 1-row /
+# metadata-sized broadcast composition join (grand totals, corpus-stat
+# scalars, day spines, zone maps) or the deliberate brute-force kNN
+# baseline. (A plain "every BNLJ must name a build side" check is
+# vacuous — this Spark version always prints BuildLeft/BuildRight — so
+# the gate instead budgets occurrences per query; review finding.)
+BNLJ_BUDGET = {
+    "a45_global_summary": 1,      # two global scalars composed, 1-row each
+    "a_pareto_abc": 1,            # grand-total 1-row broadcast
+    "q_key_skew_report": 1,       # corpus-level skew scalars, 1-row
+    "s45_source_stats": 3,        # per-source 1-row stat composition
+    "s5_row_counts": 2,           # three 1-row counts composed
+    "w_forward_fill": 1,          # observed-days spine broadcast
+    "w_rfm_segmentation": 2,      # NTILE boundary scalars per dimension
+    "x_bm25_topk": 1,             # 1-row corpus stats (avgdl, N)
+    "x_dedup_simhash": 3,         # pigeonhole recall-audit scalars
+    "x_domain_mix_plan": 1,       # 1-row corpus total
+    "x_kmeans_lloyd": 3,          # broadcast model (k centroids)
+    "x_knn_bruteforce": 1,        # the documented brute-force baseline
+    "x_knn_ivf_ann": 2,           # broadcast centroid table (probe+assign)
+    "x_knn_lsh_ann": 2,           # broadcast hyperplane set
+    "x_tfidf_top_terms": 1,       # 1-row corpus doc count
+    "x_unigram_surprisal": 1,     # 1-row corpus token total
+    "x_vocab_coverage": 1,        # 1-row vocab size
+    "x_zorder_layout_audit": 18,  # zone-map touch joins: values x file zones
 }
 
 
 def test_catalog_wide_no_accidental_loop_joins(spark):
-    """Every catalog query's physical plan: no CartesianProduct and no
-    non-broadcast nested-loop join, ever (except the explicit brute-force
-    baseline). 1-row composition crossJoins plan as BNLJ with a broadcast
-    build side, which passes; a data-sized loop join fails CI here
-    instead of surfacing as a judge perf finding."""
+    """Every catalog query's physical plan: no CartesianProduct, and no
+    BroadcastNestedLoopJoin beyond each query's audited budget (0 for
+    the unlisted majority). A new data-sized loop join — even in a query
+    that already composes 1-row scalars — fails CI here instead of
+    surfacing as a judge perf finding."""
     bad = []
     for name in QUERIES:
-        if name in LOOP_JOIN_OK:
-            continue
         plan = plan_of(spark, name)
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
-        for line in plan.splitlines():
-            if "BroadcastNestedLoopJoin" in line and not (
-                "BuildRight" in line or "BuildLeft" in line
-            ):
-                bad.append((name, line.strip()))
+        n = plan.count("BroadcastNestedLoopJoin")
+        if n > BNLJ_BUDGET.get(name, 0):
+            bad.append(
+                (name, f"BNLJ x{n} exceeds audited budget "
+                       f"{BNLJ_BUDGET.get(name, 0)}")
+            )
     assert not bad, bad

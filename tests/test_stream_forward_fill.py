@@ -178,3 +178,54 @@ def test_stream_matches_batch_operator_on_same_rows(spark, tmp_path):
     }
     got = {k: v for k, v in _finalized(spark, outp).items() if k[0] != "Z"}
     assert got == expect
+
+
+def test_gap_days_emit_promptly_before_next_observation_finalizes(
+    spark, tmp_path
+):
+    """Review finding: with the timeout aimed only at the next pending
+    OBSERVATION, finalizable gap days stalled until that observation's
+    day finalized. The timeout must target the first un-emitted day, so
+    a watermark advance between two distant observations emits the
+    elapsed gap days promptly."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def run(delay):
+        stream = spark.readStream.schema(
+            "series_id string, ts timestamp, value double"
+        ).json(inp)
+        q = (
+            forward_fill_stream(stream, series_cols=("series_id",), delay=delay)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # A observes Jan 1 and Jan 11; the 5-day delay holds the watermark at
+    # Jan 6 after batch 1, so days 1-5 finalize but Jan 11 stays pending
+    _drop(inp, "b1.json", [
+        {"series_id": "A", "ts": "2024-01-01T00:00:00", "value": 3.0},
+        {"series_id": "A", "ts": "2024-01-11T00:00:00", "value": 9.0},
+    ])
+    run("5 days")
+    # batch 2: ANOTHER series nudges the watermark to Jan 9 — A has no
+    # new data, so only the (re-aimed) timeout can emit its gap days
+    _drop(inp, "b2.json", [
+        {"series_id": "B", "ts": "2024-01-14T00:00:00", "value": 0.0},
+    ])
+    run("5 days")
+
+    got = _finalized(spark, outp)
+    # days 6-7 are finalizable (watermark Jan 9 ⇒ final day Jan 8 — and
+    # Jan 8 itself) and must ALREADY be out, well before Jan 11 finalizes
+    for d in ("2024-01-06", "2024-01-07", "2024-01-08"):
+        assert got[("A", d)] == (3.0, True), d
+    assert ("A", "2024-01-11") not in got  # still pending, correctly
