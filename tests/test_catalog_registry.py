@@ -133,3 +133,31 @@ def test_no_oracle_query_staler_than_two_rounds():
         and max(DRIVER_GREEN_ROUNDS.get(name, [0])) < current_round - 2
     ]
     assert not stale, f"queries overdue for driver re-verification: {stale}"
+
+
+def test_rotate_window_tool_plans_a_valid_window():
+    """tools/rotate_window.py must emit a window the registry invariants
+    accept: exactly the driver budget, anchors first, unique entries,
+    all oracle-backed, and EVERY stale query included (so applying the
+    tool can never fail the staleness gate for ledger-known queries)."""
+    import re as _re
+
+    from tools.plan_rotation import ANCHORS, WINDOW_SIZE
+    from tools.rotate_window import plan_window
+
+    window, current, last = plan_window()
+    assert len(window) == WINDOW_SIZE
+    assert len(set(window)) == WINDOW_SIZE
+    assert window[: len(ANCHORS)] == list(ANCHORS)
+    oracles = set(all_oracles())
+    assert set(window) <= oracles
+    stale = {
+        n for n, m in last.items() if m < current - 2 and n not in ANCHORS
+    }
+    assert stale <= set(window), stale - set(window)
+    recorded = sorted(
+        int(m.group(1))
+        for f in REPO.glob("CORRECTNESS_r*.json")
+        if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name))
+    )
+    assert current == (max(recorded) + 1 if recorded else 1)

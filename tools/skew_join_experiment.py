@@ -45,6 +45,10 @@ N_USERS = 15_000
 HOT_USER = 42
 HOT_SHARE = 0.4
 BASE_ROWS = 600_000
+# comma-separated replica multipliers, e.g. "1,10,100" for the 100x probe
+SCALES = [
+    int(s) for s in os.environ.get("SPARK_GRAFT_SKEW_SCALES", "1,10").split(",")
+]
 
 
 def build(spark, label: str, n_rows: int) -> None:
@@ -119,33 +123,33 @@ def main() -> None:
     if os.path.isdir(DST):
         shutil.rmtree(DST)
     os.makedirs(DST)
-    sizes = {"1x": BASE_ROWS, "10x": BASE_ROWS * 10}
+    sizes = {f"{m}x": BASE_ROWS * m for m in SCALES}
     for label, n in sizes.items():
         build(spark, label, n)
 
     print(
         f"hot-key join (user {HOT_USER} owns {HOT_SHARE:.0%}, dim not broadcastable)"
     )
-    print(f"{'variant':14} {'1x wall':>9} {'10x wall':>9} {'10x/1x':>7}")
+    header = " ".join(f"{label + ' wall':>10}" for label in sizes)
+    print(f"{'variant':14} {header} {'last/first':>10}")
     walls: dict[tuple[str, str], float] = {}
     values: dict[tuple[str, str], list] = {}
+    labels = list(sizes)
     for variant in ("plain+AQE", "plain-noAQE", "salted"):
-        for label in sizes:
+        for label in labels:
             walls[(variant, label)], values[(variant, label)] = run_variant(
                 spark, label, variant
             )
-        print(
-            f"{variant:14} {walls[(variant, '1x')]:8.2f}s "
-            f"{walls[(variant, '10x')]:8.2f}s "
-            f"{walls[(variant, '10x')] / walls[(variant, '1x')]:6.1f}x"
-        )
-    for label in sizes:
+        row = " ".join(f"{walls[(variant, l)]:9.2f}s" for l in labels)
+        ratio = walls[(variant, labels[-1])] / walls[(variant, labels[0])]
+        print(f"{variant:14} {row} {ratio:9.1f}x")
+    for label in labels:
         assert (
             values[("plain+AQE", label)]
             == values[("plain-noAQE", label)]
             == values[("salted", label)]
         ), f"variant outputs diverge at {label}"
-    print("all variants value-identical at both scales")
+    print("all variants value-identical at all scales")
     spark.stop()
 
 
