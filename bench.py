@@ -84,6 +84,7 @@ HEADLINE = [
     "x_weighted_sample",       # E-S weighted top-k sampling (r5)
     "x_anomaly_zscore",        # exact-variance anomaly flags (r5)
     "x_sample_exact_k",        # keep_count per-stratum sampler (r5)
+    "x_salted_skew_join",      # hot-key salted enrichment join (r6)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more
