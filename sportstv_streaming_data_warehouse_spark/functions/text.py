@@ -359,6 +359,78 @@ def dedup_passages(
     )
 
 
+def scrub_crossdoc_passages(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = 10,
+    max_df: int = 2,
+):
+    """CROSS-document duplicated-passage removal — CCNet's paragraph-hash
+    dedup re-expressed at passage grain, and the REWRITE counterpart of
+    x_shared_passage_flags: segment every document into non-overlapping
+    ``passage_tokens``-token passages, count each distinct passage's
+    document frequency across the corpus, and remove passages appearing
+    in MORE than ``max_df`` documents. Boilerplate (headers, navigation,
+    legal blurbs) vanishes from every copy; document-unique prose
+    survives. Completes the passage family: detect
+    (shared_passage_flags) → intra-doc rewrite (dedup_passages) →
+    cross-doc rewrite (this).
+
+    Returns (id_col, n_segments, n_kept, cleaned_text) with original
+    passage order preserved. Documents whose passages are ALL scrubbed
+    stay in the output with n_kept=0 and empty cleaned_text — the
+    all-boilerplate rows a downstream quality gate should drop, visible
+    rather than silently deleted. Rows with no tokens are dropped (the
+    sibling operators' convention).
+
+    Plan: one posexplode, one hash-agg on the passage string (the df
+    table is distinct-passage-sized, NOT corpus-sized), one equi-join
+    back, one per-doc agg — no loop joins at any scale; order rebuild is
+    array_sort over (pos, seg) structs inside the agg.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+        ),
+    )
+    base = df.filter(F.size(toks) > 0).select(
+        id_col, F.size(segs).alias("n_segments"), segs.alias("__segs")
+    )
+    e = base.select(
+        id_col, F.posexplode("__segs").alias("pos", "seg")
+    )
+    dfreq = e.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = (
+        e.join(dfreq, "seg")
+        .where(F.col("__df") <= max_df)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    return base.drop("__segs").join(kept, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def source_overlap_matrix(
     df,
     source_col: str = "source",

@@ -3969,6 +3969,53 @@ def x_passage_dedup(spark, sf_dir):
 
 
 @query(
+    "x_passage_scrub_crossdoc",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SEG_TOKS} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id,
+             list_transform(
+               range(CAST(ceil(len(toks) / 10.0) AS INT)),
+               i -> array_to_string(list_slice(toks, i * 10 + 1, (i + 1) * 10), ' ')
+             ) AS segs
+      FROM t WHERE len(toks) > 0
+    ),
+    e AS (SELECT doc_id, unnest(segs) AS seg,
+                 generate_subscripts(segs, 1) AS i
+          FROM seg),
+    dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY 1),
+    kept AS (
+      SELECT e.doc_id, e.seg, e.i
+      FROM e JOIN dfq USING (seg) WHERE dfq.df <= 2
+    )
+    SELECT s.doc_id,
+           CAST(len(s.segs) AS INTEGER) AS n_segments,
+           CAST(COUNT(k.seg) AS INTEGER) AS n_kept,
+           COALESCE(
+             array_to_string(list(k.seg ORDER BY k.i)
+                             FILTER (k.seg IS NOT NULL), ' '),
+             '') AS cleaned_text
+    FROM seg s LEFT JOIN kept k USING (doc_id)
+    GROUP BY s.doc_id, s.segs
+    """,
+)
+def x_passage_scrub_crossdoc(spark, sf_dir):
+    # CROSS-document duplicated-passage removal (CCNet's paragraph-hash
+    # dedup at passage grain) — the rewrite counterpart of
+    # x_shared_passage_flags and the cross-doc sibling of
+    # x_passage_dedup: passages whose corpus document frequency exceeds
+    # 2 are boilerplate and vanish from EVERY document; all-boilerplate
+    # docs stay visible with empty cleaned_text for the quality gate.
+    # Plan: one posexplode + distinct-passage-sized df hash-agg +
+    # equi-join back + per-doc agg; order rebuilt by array_sort over
+    # (pos, seg) structs — no loop joins at any corpus size.
+    docs = load_table(spark, sf_dir, "documents")
+    return T.scrub_crossdoc_passages(
+        docs, "doc_id", "text", passage_tokens=10, max_df=2
+    )
+
+
+@query(
     "x_source_overlap",
     oracle=f"""
     WITH h AS (SELECT DISTINCT source, {_FP} AS fp FROM documents)
@@ -6201,9 +6248,10 @@ CORRECTNESS_WINDOW = [
     "x_vocab_coverage",
     "x_global_shuffle",
     "x_quality_filter_by_lang",
-    "x_embedding_normalize",
-    # round-6 debuts (displaced w_sessionize — r4-green, round-7 queue)
+    # round-6 debuts (displaced w_sessionize and x_embedding_normalize —
+    # both r4-green, round-7 queue)
     "x_salted_skew_join",
+    "x_passage_scrub_crossdoc",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
