@@ -316,6 +316,26 @@ def chunk_documents(
     )
 
 
+def _segment_passages(text_col: str, passage_tokens: int):
+    """THE passage-segmentation expressions (tokens array + array of
+    non-overlapping ``passage_tokens``-token passages) shared by the
+    intra-doc (dedup_passages) and cross-doc (scrub_crossdoc_passages)
+    rewriters and mirrored by the _SEG_TOKS oracle convention. One
+    definition, per the round-5 review consolidation — a copy that
+    drifts would silently diverge the two rewrite siblings."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
+        ),
+    )
+    return toks, segs
+
+
 def dedup_passages(
     df,
     id_col: str = "doc_id",
@@ -336,14 +356,7 @@ def dedup_passages(
     """
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    n_seg = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
-        ),
-    )
+    toks, segs = _segment_passages(text_col, passage_tokens)
     kept = F.aggregate(
         segs,
         F.array().cast("array<string>"),
@@ -384,33 +397,32 @@ def scrub_crossdoc_passages(
     rather than silently deleted. Rows with no tokens are dropped (the
     sibling operators' convention).
 
-    Plan: one posexplode, one hash-agg on the passage string (the df
-    table is distinct-passage-sized, NOT corpus-sized), one equi-join
-    back, one per-doc agg — no loop joins at any scale; order rebuild is
+    Plan: the segment subtree evaluates twice (once aggregated into the
+    boilerplate set, once as the probe side) — both are NARROW
+    scan-speed passes with the pos column pruned off the aggregate side.
+    The join is a LEFT ANTI against only the passages whose df EXCEEDS
+    the threshold — the boilerplate set, a small fraction of the
+    distinct-passage table, broadcastable at any realistic corpus size —
+    then one per-doc agg. No loop joins at any scale; order rebuild is
     array_sort over (pos, seg) structs inside the agg.
     """
     from pyspark.sql import functions as F
 
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    n_seg = F.ceil(F.size(toks) / F.lit(float(passage_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * passage_tokens + 1, passage_tokens), " "
-        ),
-    )
+    toks, segs = _segment_passages(text_col, passage_tokens)
     base = df.filter(F.size(toks) > 0).select(
         id_col, F.size(segs).alias("n_segments"), segs.alias("__segs")
     )
     e = base.select(
         id_col, F.posexplode("__segs").alias("pos", "seg")
     )
-    dfreq = e.groupBy("seg").agg(
-        F.countDistinct(id_col).alias("__df")
+    boiler = (
+        e.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("seg")
     )
     kept = (
-        e.join(dfreq, "seg")
-        .where(F.col("__df") <= max_df)
+        e.join(boiler, "seg", "left_anti")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_kept"),

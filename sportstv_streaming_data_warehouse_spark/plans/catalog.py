@@ -4006,9 +4006,11 @@ def x_passage_scrub_crossdoc(spark, sf_dir):
     # x_passage_dedup: passages whose corpus document frequency exceeds
     # 2 are boilerplate and vanish from EVERY document; all-boilerplate
     # docs stay visible with empty cleaned_text for the quality gate.
-    # Plan: one posexplode + distinct-passage-sized df hash-agg +
-    # equi-join back + per-doc agg; order rebuilt by array_sort over
-    # (pos, seg) structs — no loop joins at any corpus size.
+    # Plan: the segment subtree evaluates twice (df-count side + probe
+    # side — both narrow scan-speed passes); the join is a LEFT ANTI
+    # against only the small df>threshold boilerplate set (broadcastable
+    # at any realistic corpus size), then one per-doc agg; order rebuilt
+    # by array_sort over (pos, seg) structs — no loop joins anywhere.
     docs = load_table(spark, sf_dir, "documents")
     return T.scrub_crossdoc_passages(
         docs, "doc_id", "text", passage_tokens=10, max_df=2

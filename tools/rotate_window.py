@@ -48,18 +48,39 @@ CATALOG = os.path.join(
 def plan_window() -> tuple[list[str], int, dict[str, int]]:
     rounds = recorded_rounds()
     current = max(rounds) + 1 if rounds else 1
-    last = {
-        n: max(DRIVER_GREEN_ROUNDS.get(n, [0])) for n in all_oracles()
-    }
-    missing_fold = [
-        n for n in all_oracles() if n not in DRIVER_GREEN_ROUNDS
+    # refuse to plan from a stale ledger (review finding: running this
+    # right after the driver writes CORRECTNESS_r{N}.json but BEFORE the
+    # update_ledger fold would misread every window entry as stale and
+    # blow the budget) — same source of truth the fold itself uses
+    from tools.update_ledger import collect as ledger_collect
+
+    recorded_greens = ledger_collect()
+    out_of_date = [
+        n
+        for n, rs in recorded_greens.items()
+        if sorted(set(DRIVER_GREEN_ROUNDS.get(n, []))) != sorted(set(rs))
     ]
-    if missing_fold:
+    if out_of_date:
+        raise SystemExit(
+            f"ledger out of date for {len(out_of_date)} queries — run "
+            "tools/update_ledger.py first"
+        )
+    # debuts (no ledger row yet) are NOT schedulable by this policy —
+    # they must displace a pre-pay pick by hand, per the docstring; with
+    # last=0 they would otherwise masquerade as mandatory rotations
+    debuts = sorted(n for n in all_oracles() if n not in DRIVER_GREEN_ROUNDS)
+    if debuts:
         print(
             "WARNING: oracle-backed queries with no ledger row (debuts?): "
-            + ", ".join(sorted(missing_fold))
-            + " — they must be slotted by hand if new this round"
+            + ", ".join(debuts)
+            + " — excluded from this plan; slot them by hand",
+            file=sys.stderr,
         )
+    last = {
+        n: max(DRIVER_GREEN_ROUNDS[n])
+        for n in all_oracles()
+        if n in DRIVER_GREEN_ROUNDS
+    }
     mandatory = sorted(
         n for n, m in last.items() if m < current - 2 and n not in ANCHORS
     )

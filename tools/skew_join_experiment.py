@@ -46,9 +46,14 @@ HOT_USER = 42
 HOT_SHARE = 0.4
 BASE_ROWS = 600_000
 # comma-separated replica multipliers, e.g. "1,10,100" for the 100x probe
-SCALES = [
-    int(s) for s in os.environ.get("SPARK_GRAFT_SKEW_SCALES", "1,10").split(",")
-]
+# (whitespace/empty segments tolerated; duplicates dropped, order kept)
+SCALES = list(
+    dict.fromkeys(
+        int(s.strip())
+        for s in os.environ.get("SPARK_GRAFT_SKEW_SCALES", "1,10").split(",")
+        if s.strip()
+    )
+)
 
 
 def build(spark, label: str, n_rows: int) -> None:
