@@ -85,6 +85,9 @@ HEADLINE = [
     "x_anomaly_zscore",        # exact-variance anomaly flags (r5)
     "x_sample_exact_k",        # keep_count per-stratum sampler (r5)
     "x_salted_skew_join",      # hot-key salted enrichment join (r6)
+    "x_heavy_hitters",         # two-round Misra-Gries exact heavy hitters (r6)
+    "h_sketch_rollup_hll",     # mergeable HLL weekly rollup (r6)
+    "w_event_sequences",       # per-user behavior trajectories (r6)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

@@ -1,0 +1,103 @@
+"""Mergeable-summary operators: Misra-Gries heavy hitters.
+
+The scale problem these solve: a plain ``explode -> groupBy(token)``
+frequency count shuffles EVERY distinct key — at 100 TB of text the
+n-gram vocabulary is billions of keys and the shuffle (not the scan) is
+the bottleneck. A Misra-Gries summary bounds per-partition state to
+``k`` counters and only the union of per-partition candidate keys (at
+most ``k x partitions`` rows, independent of vocabulary size) crosses
+the wire; a second exact pass recounts just those candidates.
+
+Guarantee (pigeonhole): any item with global count > N/k has
+count > N_p/k in at least one partition p, and a Misra-Gries summary
+with k counters retains every item whose partition-local count exceeds
+N_p/k. The union of partition summaries is therefore a SUPERSET of the
+true global heavy hitters, and the exact recount pass makes the final
+answer EXACT — this is the classic two-round distributed heavy-hitters
+algorithm (Misra & Gries 1982; Agarwal et al., "Mergeable Summaries",
+PODS 2012).
+
+Reference anchor: the reference has no sketch tier (its frequency
+queries are full MySQL GROUP BYs over a few-K-row fact,
+report.Rmd:355-375); this operator is the 100 TB re-expression of the
+same "most frequent values" question.
+
+The MG pass is an Arrow-batched ``mapInPandas`` (the one place Python
+is justified: memory-bounded per-partition state that Catalyst cannot
+express); the recount pass is a broadcast semi-join + hash aggregate,
+fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_candidates(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned and deduplicated.
+
+    Returns a DataFrame with one column ``col`` holding every candidate
+    key — a superset of all items with global frequency > N/k. State is
+    bounded at ``k`` counters per partition regardless of vocabulary
+    size (the decrement step evicts current keys instead of growing).
+    """
+    out_schema = f"{col} string"
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step: O(k) amortized over >=k arrivals
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        import pandas as pd
+
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return items.select(col).mapInPandas(summarize, schema=out_schema).distinct()
+
+
+def exact_heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Items with global frequency strictly greater than N/k, with exact
+    counts — two passes, no full-vocabulary shuffle.
+
+    Pass 1 (``mg_candidates``): narrow scan, bounded state, candidate
+    keys only cross the wire. Pass 2: broadcast the candidate set as a
+    semi-join filter, hash-aggregate exact counts for candidates only,
+    then apply the exact N/k threshold using the 1-row global total.
+
+    Output: ``col``, ``n_occurrences`` (exact), ``total_items``,
+    ``share`` — only true heavy hitters survive (false candidates are
+    filtered by the exact threshold).
+    """
+    cand = mg_candidates(items, col, k)
+    counts = (
+        items.select(col)
+        .join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    total = items.select(col).agg(F.count("*").alias("total_items"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("total_items") / float(k))
+        .select(
+            col,
+            "n_occurrences",
+            "total_items",
+            (F.col("n_occurrences") / F.col("total_items")).alias("share"),
+        )
+    )

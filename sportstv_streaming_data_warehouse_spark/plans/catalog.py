@@ -6039,6 +6039,259 @@ def x_hard_negatives(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-6 second batch: mergeable sketches, heavy hitters, drift, temporal
+# splits, behavior sequences.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "h_sketch_rollup_hll",
+    oracle="""
+    SELECT CAST(weekofyear(CAST(ts AS DATE)) AS INTEGER) AS week,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def h_sketch_rollup_hll(spark, sf_dir):
+    # Hypertable-style MERGEABLE-sketch rollup (the scale twin of
+    # h_monthly_from_daily): per-day HLL sketches of distinct users are
+    # unioned into weekly estimates WITHOUT rescanning the raw events —
+    # at 100 TB the daily sketch tier is what makes ad-hoc rollup
+    # windows (week/month/quarter) O(days), while exact countDistinct
+    # must re-shuffle every raw row per window. The reference's
+    # unique_user_count fact column (schema.R:137, etl.R:371) is exact
+    # at day grain and NOT summable across days — the HLL union is the
+    # standard re-aggregatable answer.
+    #
+    # Correctness contract: the oracle pins the EXACT weekly distinct
+    # (computed alongside); the sketch estimate is asserted in-band —
+    # `sketch_ok` = |est − exact| / exact ≤ 5% (HLL at lgK=12 gives
+    # ~1.6% RSE, and at test cardinalities the sparse mode is exact) —
+    # so a sketch regression flips a hash-compared boolean column.
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    weekly = daily.groupBy(
+        F.weekofyear("d").cast("int").alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    exact = ev.groupBy(
+        F.weekofyear(F.to_date("ts")).cast("int").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(weekly, "week").select(
+        "week",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("sketch_ok"),
+    )
+
+
+@query(
+    "x_heavy_hitters",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT toks[g.i] || ' ' || toks[g.i + 1] AS gram
+      FROM d, (SELECT CAST(generate_series AS INT) AS i
+               FROM generate_series(1, 10000)) g
+      WHERE g.i <= len(toks) - 1
+    ),
+    c AS (SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_items FROM g)
+    SELECT gram, n_occurrences, total_items,
+           CAST(n_occurrences AS DOUBLE) / total_items AS share
+    FROM c CROSS JOIN t
+    WHERE n_occurrences > total_items / 1024.0
+    """,
+)
+def x_heavy_hitters(spark, sf_dir):
+    # EXACT distributed heavy hitters (frequent-phrase extraction over
+    # word bigrams) via the two-round Misra-Gries algorithm
+    # (operators/sketches.py): per-partition MG summaries bound state at
+    # k=1024 counters and only candidate keys cross the wire — never the
+    # full n-gram vocabulary, which at 100 TB of text is billions of
+    # keys and makes the naive explode→groupBy shuffle the bottleneck.
+    # The exact recount pass (broadcast semi-join + hash agg) then makes
+    # the answer exact, so a plain SQL frequency query is a valid
+    # oracle. Threshold: global frequency > N/1024.
+    from ..operators.sketches import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.bigram_pairs(docs).select(
+        F.concat_ws(" ", "w1", "w2").alias("gram")
+    )
+    return exact_heavy_hitters(grams, "gram", 1024)
+
+
+@query(
+    "x_distribution_drift",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS weekday_n,
+             CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS weekend_n
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(weekday_n) AS BIGINT) AS wd_tot,
+             CAST(SUM(weekend_n) AS BIGINT) AS we_tot
+      FROM a
+    )
+    SELECT event_type, weekday_n, weekend_n,
+           CAST(weekday_n AS DOUBLE) / wd_tot AS weekday_share,
+           CAST(weekend_n AS DOUBLE) / we_tot AS weekend_share,
+           CASE WHEN weekday_n > 0 AND weekend_n > 0 THEN
+             CAST(ROUND(
+               (CAST(weekday_n AS DOUBLE) / wd_tot
+                - CAST(weekend_n AS DOUBLE) / we_tot)
+               * LN((CAST(weekday_n AS DOUBLE) / wd_tot)
+                    / (CAST(weekend_n AS DOUBLE) / we_tot))
+               * 1000000.0) AS BIGINT)
+           END AS psi_micronats
+    FROM a CROSS JOIN t
+    """,
+)
+def x_distribution_drift(spark, sf_dir):
+    # Population-stability-index (PSI) drift detection between two data
+    # slices — the training-pipeline gate that catches a shifted
+    # event-type mix before a model retrains on it. Slices here:
+    # weekday vs weekend traffic (the reference's own dow analysis axis,
+    # report.Rmd:355-375 / dim_date.day_of_week, schema.R:80). Per
+    # category: PSI term (p−q)·ln(p/q) in integer micro-nats (the
+    # x_token_entropy determinism trick — both engines compute the same
+    # IEEE double from the same integer ratios, then round once).
+    # Plan: ONE conditional-count hash-agg over the scan, a 1-row
+    # broadcast for the totals — no second pass over the raw data.
+    ev = load_table(spark, sf_dir, "events")
+    is_wend = F.dayofweek(F.col("ts")).isin(1, 7)  # Sun=1, Sat=7
+    a = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_wend, 0).otherwise(1)).cast("long").alias("weekday_n"),
+        F.sum(F.when(is_wend, 1).otherwise(0)).cast("long").alias("weekend_n"),
+    )
+    tot = a.agg(
+        F.sum("weekday_n").cast("long").alias("wd_tot"),
+        F.sum("weekend_n").cast("long").alias("we_tot"),
+    )
+    p = F.col("weekday_n") / F.col("wd_tot")
+    q = F.col("weekend_n") / F.col("we_tot")
+    return a.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "weekday_n",
+        "weekend_n",
+        p.alias("weekday_share"),
+        q.alias("weekend_share"),
+        F.when(
+            (F.col("weekday_n") > 0) & (F.col("weekend_n") > 0),
+            F.round((p - q) * F.log(p / q) * 1000000.0, 0).cast("long"),
+        ).alias("psi_micronats"),
+    )
+
+
+@query(
+    "x_temporal_split_purged",
+    oracle="""
+    WITH b AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+    e AS (
+      SELECT CASE WHEN CAST(ts AS DATE) > max_d - 7 THEN 'test'
+                  WHEN CAST(ts AS DATE) > max_d - 9 THEN 'embargo_dropped'
+                  ELSE 'train' END AS split,
+             user_id, CAST(ts AS DATE) AS d
+      FROM events CROSS JOIN b
+    )
+    SELECT split, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+           strftime(MIN(d), '%Y-%m-%d') AS min_date,
+           strftime(MAX(d), '%Y-%m-%d') AS max_date
+    FROM e GROUP BY 1
+    """,
+)
+def x_temporal_split_purged(spark, sf_dir):
+    # Purged temporal train/test split — the time-series counterpart of
+    # x_split_leakage_audit: test = last 7 days, a 2-day EMBARGO zone
+    # before it is dropped entirely (no event whose label window could
+    # straddle the boundary reaches either split — the standard purged
+    # split from financial ML), train = everything earlier. Output is
+    # the per-split audit manifest (rows, users, date bounds) that a
+    # pipeline pins before training. Boundary dates derive from the
+    # 1-row max-date aggregate broadcast against the scan — integer
+    # date arithmetic, deterministic in both engines.
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "d", F.to_date("ts")
+    )
+    b = ev.agg(F.max("d").alias("max_d"))
+    split = (
+        F.when(F.col("d") > F.date_sub(F.col("max_d"), 7), "test")
+        .when(F.col("d") > F.date_sub(F.col("max_d"), 9), "embargo_dropped")
+        .otherwise("train")
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("max_date"),
+        )
+    )
+
+
+@query(
+    "w_event_sequences",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS steps,
+           STRING_AGG(event_type, '>' ORDER BY rn) AS seq
+    FROM r WHERE rn <= 12 GROUP BY 1
+    """,
+)
+def w_event_sequences(spark, sf_dir):
+    # Behavior-sequence assembly for sequence-model training data: each
+    # user's first 12 events as an ordered event-type trajectory string
+    # (the per-user timeline the reference's fact grain implies,
+    # schema.R:126, ordered like the funnel stages of w_event_funnel).
+    # Plan: the row_number window and the groupBy share ONE user_id
+    # exchange; ordering inside the aggregate is reconstructed
+    # deterministically via array_sort over (rn, event_type) structs —
+    # collect_list alone has no order guarantee across partitions.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 12)
+    return r.groupBy("user_id").agg(
+        F.count("*").alias("steps"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
 # oracle-backed queries chosen to cover every operator family of SURVEY §2
@@ -6245,15 +6498,17 @@ CORRECTNESS_WINDOW = [
     "x_kmeans_lloyd",
     "x_scd2_point_in_time",
     "x_dedup_canonical",
-    "x_dedup_incremental",
-    "x_user_value_trend",
-    "x_vocab_coverage",
-    "x_global_shuffle",
-    "x_quality_filter_by_lang",
-    # round-6 debuts (displaced w_sessionize and x_embedding_normalize —
-    # both r4-green, round-7 queue)
+    # round-6 debuts (displaced w_sessionize, x_embedding_normalize,
+    # x_dedup_incremental, x_user_value_trend, x_vocab_coverage,
+    # x_global_shuffle, x_quality_filter_by_lang — all r4-green,
+    # round-7 queue)
     "x_salted_skew_join",
     "x_passage_scrub_crossdoc",
+    "h_sketch_rollup_hll",
+    "x_heavy_hitters",
+    "x_distribution_drift",
+    "x_temporal_split_purged",
+    "w_event_sequences",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -324,6 +324,9 @@ BNLJ_BUDGET = {
     "w_forward_fill": 1,          # observed-days spine broadcast
     "w_rfm_segmentation": 2,      # NTILE boundary scalars per dimension
     "x_bm25_topk": 1,             # 1-row corpus stats (avgdl, N)
+    "x_distribution_drift": 1,    # 1-row weekday/weekend totals
+    "x_heavy_hitters": 1,         # 1-row exact global item total
+    "x_temporal_split_purged": 1, # 1-row max-date boundary
     "x_dedup_simhash": 3,         # pigeonhole recall-audit scalars
     "x_domain_mix_plan": 1,       # 1-row corpus total
     "x_kmeans_lloyd": 3,          # broadcast model (k centroids)
