@@ -118,23 +118,24 @@ def heavy_hitters_stream(
                 )
             return
 
+        # vectorized MG merge-compress (same as operators/sketches.py):
+        # exact batch value_counts merged in, then the (k+1)-th largest
+        # count subtracted and non-positives dropped — the mergeable-
+        # summaries MERGE, error <= N/(k+1), state <= k between batches
+        import heapq
+
         for pdf in pdfs:
-            for v in pdf[item_col]:
-                if v is None:
-                    continue
-                n_items += 1
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for ckey in counters:
-                        counters[ckey] -= 1
-                        if counters[ckey] == 0:
-                            dead.append(ckey)
-                    for ckey in dead:
-                        del counters[ckey]
+            vc = pdf[item_col].value_counts(dropna=True)
+            n_items += int(vc.sum())
+            for v, w in vc.items():
+                counters[v] = counters.get(v, 0) + int(w)
+            if len(counters) > k:
+                thresh = heapq.nlargest(k + 1, counters.values())[-1]
+                counters = {
+                    ckey: c - thresh
+                    for ckey, c in counters.items()
+                    if c > thresh
+                }
 
         state.update(
             (list(counters.keys()), list(counters.values()), n_items)

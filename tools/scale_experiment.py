@@ -99,6 +99,15 @@ QUERY_SET = [
     "w_forward_fill",
     "x_bigram_surprisal",
     "x_containment_dedup",
+    # round-6 second batch: sketches + pipeline gates over replicated
+    # events/documents (fixed 150 users / 30 days / 31-token vocab —
+    # grain-constant aggregates; the heavy-hitter SHUFFLE claim is
+    # measured separately on the zipf corpus, see --heavy)
+    "x_heavy_hitters",
+    "h_sketch_rollup_hll",
+    "x_distribution_drift",
+    "x_temporal_split_purged",
+    "w_event_sequences",
 ]
 # x_dedup_incremental is measured in the ZIPF experiment below, not on
 # the fixture replicas: replicas carry IDENTICAL texts, so every batch
@@ -280,6 +289,76 @@ def fuzzy_dedup_experiment(spark) -> None:
         )
 
 
+def heavy_hitters_experiment(spark) -> None:
+    """Misra-Gries vs naive full-vocabulary groupBy on the zipfian
+    corpus at 1x/10x — the evidence behind x_heavy_hitters' scale claim.
+
+    The claim is about SHUFFLE VOLUME, not local wall: the naive plan
+    shuffles one row per distinct bigram (vocabulary grows with the
+    corpus under a Zipf tail), while the two-round plan shuffles only
+    the MG candidate union (bounded by k x partitions, independent of
+    vocabulary). Both walls and both shuffled-row counts are printed;
+    at local[32] scale the Python MG pass costs more wall than the JVM
+    hash-agg saves — the crossover is where the vocabulary no longer
+    fits the shuffle (billions of keys), which a 50K-doc corpus cannot
+    reproduce. Report the volume ratio; claim wall only at cluster
+    scale.
+    """
+    import time as _time
+
+    from sportstv_streaming_data_warehouse_spark.functions.text import (
+        bigram_pairs,
+    )
+    from sportstv_streaming_data_warehouse_spark.operators.sketches import (
+        exact_heavy_hitters,
+        mg_candidates,
+    )
+
+    k = 1024
+    n1 = 5000
+    sizes = {"1x": n1, "10x": n1 * 10}
+    print(
+        f"\n{'heavy hitters (zipf corpus)':28} {'naive':>7} {'2-round':>8} "
+        f"{'vocab(shuffled)':>15} {'cands(shuffled)':>15}  hh rows"
+    )
+    for label, n in sizes.items():
+        path = f"{DST}/zipf_docs_{label}.parquet"
+        if not os.path.isdir(path):
+            zipf_documents(spark, n).write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        grams = bigram_pairs(docs).select(
+            F.concat_ws(" ", "w1", "w2").alias("gram")
+        )
+        total = grams.count()
+
+        def naive():
+            c = grams.groupBy("gram").agg(F.count("*").alias("c"))
+            return c.filter(F.col("c") > total / float(k))
+
+        naive().count()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            hh_naive = naive().count()
+            ts.append(_time.perf_counter() - t0)
+        w_naive = min(ts)
+        vocab = grams.distinct().count()  # rows the naive plan shuffles
+
+        exact_heavy_hitters(grams, "gram", k).count()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            hh_tr = exact_heavy_hitters(grams, "gram", k).count()
+            ts.append(_time.perf_counter() - t0)
+        w_tr = min(ts)
+        cands = mg_candidates(grams, "gram", k).count()
+        assert hh_tr == hh_naive, (hh_tr, hh_naive)
+        print(
+            f"{label:28} {w_naive:6.2f}s {w_tr:7.2f}s "
+            f"{vocab:15,} {cands:15,}  {hh_tr}"
+        )
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -300,6 +379,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--guards" in sys.argv:
         guard_histogram_experiment(spark)
+        spark.stop()
+        return
+    if "--heavy" in sys.argv:
+        heavy_hitters_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
