@@ -88,6 +88,8 @@ HEADLINE = [
     "x_heavy_hitters",         # two-round Misra-Gries exact heavy hitters (r6)
     "h_sketch_rollup_hll",     # mergeable HLL weekly rollup (r6)
     "w_event_sequences",       # per-user behavior trajectories (r6)
+    "q_out_of_order_audit",    # distributed running-max lateness audit (r6)
+    "x_cascade_delete_plan",   # GDPR cascade impact manifest (r6)
 ]
 
 # Queries whose history shows multi-second shared-box variance get more

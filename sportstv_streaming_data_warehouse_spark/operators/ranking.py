@@ -247,6 +247,56 @@ def with_running_total(
     ).drop("__bkt")
 
 
+def with_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max",
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact distributed running max: MAX(value) OVER (ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING) with no single-partition
+    window — same two-phase shape as ``with_running_total``, except the
+    cross-bucket combine is an exclusive prefix-MAX folded on the
+    driver (n_buckets scalars) and applied via ``greatest`` (which
+    skips the NULL offset of the first bucket).
+
+    The primitive behind the out-of-order-arrival audit
+    (q_out_of_order_audit): running max of event time over the global
+    ingest sequence."""
+    bucketed, maxes = _stats(
+        df, order_cols, n_buckets, accuracy, F.max(value_col)
+    )
+    # exclusive prefix-max over bucket maxima; buckets whose every
+    # predecessor is empty get no map entry -> element_at yields NULL
+    offsets: dict[int, object] = {}
+    acc: object = None
+    for b in sorted(maxes):
+        if acc is not None:
+            offsets[b] = acc
+        v = maxes[b]
+        if v is not None and (acc is None or v > acc):
+            acc = v
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.max(value_col).over(w)
+    if offsets:
+        prefix = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("__bkt"),
+        )
+        run = F.greatest(within, prefix)
+    else:
+        run = within
+    return bucketed.withColumn(out_col, run).drop("__bkt")
+
+
 def grouped_top_fraction(
     df: DataFrame,
     group_col: str,

@@ -6291,6 +6291,117 @@ def w_event_sequences(spark, sf_dir):
     )
 
 
+@query(
+    "x_cascade_delete_plan",
+    oracle="""
+    WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM f)
+    )
+    SELECT 'customer' AS table_name, (SELECT COUNT(*) FROM f) AS n_rows
+    UNION ALL
+    SELECT 'orders', (SELECT COUNT(*) FROM o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o))
+    """,
+)
+def x_cascade_delete_plan(spark, sf_dir):
+    # Right-to-be-forgotten impact manifest: given a forget-set of
+    # customers (deterministic fixture: c_custkey % 97 == 0), count the
+    # rows a cascading delete would remove from each table of the
+    # customer→orders→lineitem chain — the audit a pipeline pins BEFORE
+    # running GDPR deletes against a 100 TB store. The forget keys
+    # broadcast (small by contract); the orders→lineitem hop is a plain
+    # equi semi-join AQE sizes at runtime (the order-key set grows with
+    # the forget set, so it must never be force-broadcast). The
+    # reference's subscriber-keyed chain (subscribers→streaming_txns,
+    # etl.R:253-258, 322-326) is the same shape.
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    f = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    fo = orders.join(
+        F.broadcast(f),
+        orders["o_custkey"] == f["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    fl = li.join(
+        fo, li["l_orderkey"] == fo["o_orderkey"], "left_semi"
+    )
+
+    def manifest(df, name):
+        return df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+
+    return (
+        manifest(f, "customer")
+        .unionByName(manifest(fo, "orders"))
+        .unionByName(manifest(fl, "lineitem"))
+    )
+
+
+@query(
+    "q_out_of_order_audit",
+    oracle="""
+    WITH r AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_max
+      FROM events
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts < run_max THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(SUM(CASE WHEN ts < run_max THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS late_share,
+           CAST(MAX(CASE WHEN ts < run_max
+                    THEN epoch(run_max) - epoch(ts) ELSE 0 END) AS BIGINT)
+             AS max_lateness_s
+    FROM r GROUP BY 1
+    """,
+)
+def q_out_of_order_audit(spark, sf_dir):
+    # Out-of-order-arrival audit — the diagnostic that picks a streaming
+    # watermark delay: treating event_id as the global ingest sequence
+    # (the reference's transaction_id arrival order, etl.R:322), an
+    # event is LATE if some earlier-ingested event carries a later
+    # event time. Per event-day: late count, share, and the maximum
+    # lateness in whole seconds (= the minimum watermark delay that
+    # would have captured every row). The running max over the ingest
+    # sequence uses the two-phase distributed primitive
+    # (operators/ranking.with_running_max) — never a single-partition
+    # window.
+    from ..operators.ranking import with_running_max
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    r = with_running_max(ev, ["event_id"], "ts", out_col="run_max")
+    late = F.col("ts") < F.col("run_max")
+    return (
+        r.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            (
+                F.sum(F.when(late, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("late_share"),
+            F.max(
+                F.when(
+                    late,
+                    F.unix_timestamp("run_max") - F.unix_timestamp("ts"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_lateness_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -6494,11 +6605,10 @@ CORRECTNESS_WINDOW = [
     "x_top_bigrams",
     # free slots: round-7 pre-pay from the r4-last cohort (judge-named
     # trio first); round-6 debuts displace from the BOTTOM of this list
-    "x_bm25_topk",
     "x_kmeans_lloyd",
     "x_scd2_point_in_time",
-    "x_dedup_canonical",
     # round-6 debuts (displaced w_sessionize, x_embedding_normalize,
+    # x_bm25_topk, x_dedup_canonical,
     # x_dedup_incremental, x_user_value_trend, x_vocab_coverage,
     # x_global_shuffle, x_quality_filter_by_lang — all r4-green,
     # round-7 queue)
@@ -6509,6 +6619,8 @@ CORRECTNESS_WINDOW = [
     "x_distribution_drift",
     "x_temporal_split_purged",
     "w_event_sequences",
+    "x_cascade_delete_plan",
+    "q_out_of_order_audit",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

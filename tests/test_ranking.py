@@ -130,3 +130,55 @@ def test_date_leading_order_column_buckets_natively(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_running_max_matches_global_window(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        with_running_max,
+    )
+
+    # sawtooth values: the running max advances and plateaus across
+    # bucket boundaries (the cross-bucket prefix-max path)
+    df = spark.range(500).select(
+        "id", ((F.col("id") * 37) % 113).cast("long").alias("v")
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in with_running_max(
+            df, ["id"], "v", out_col="m", n_buckets=16
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_max_on_timestamps(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        with_running_max,
+    )
+
+    df = spark.range(300).select(
+        "id",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ).alias("base"),
+    ).select(
+        "id",
+        (F.col("base") + F.make_interval(secs=((F.col("id") * 7919) % 1000).cast("double"))).alias("ts"),
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in with_running_max(
+            df, ["id"], "ts", out_col="m", n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["m"]
+        for r in df.withColumn("m", F.max("ts").over(w)).collect()
+    }
+    assert got == want

@@ -147,3 +147,30 @@ def test_event_sequences_caps_at_12_steps(spark):
     out = QUERIES["w_event_sequences"](spark, SF01).collect()
     assert out and all(r["steps"] <= 12 for r in out)
     assert all(len(r["seq"].split(">")) == r["steps"] for r in out)
+
+
+def test_cascade_delete_plan_subset_relations(spark):
+    rows = {
+        r["table_name"]: r["n_rows"]
+        for r in QUERIES["x_cascade_delete_plan"](spark, SF01).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    # the forget set is non-empty and strictly smaller than each table
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import (
+        load_table,
+    )
+
+    assert 0 < rows["customer"] < load_table(spark, SF01, "customer").count()
+    # orders-per-customer and lines-per-order fan out
+    assert rows["orders"] >= rows["customer"] // 97  # some customers order
+    assert rows["lineitem"] >= rows["orders"]  # >=1 line per order in TPC-H
+
+
+def test_out_of_order_audit_semantics(spark):
+    out = {r["event_day"]: r for r in QUERIES["q_out_of_order_audit"](spark, SF01).collect()}
+    assert sum(r["n_events"] for r in out.values()) == 10000
+    for r in out.values():
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert (r["max_lateness_s"] > 0) == (r["n_late"] > 0) or r["n_late"] == 0
+        # late_share is exactly the ratio
+        assert r["late_share"] == r["n_late"] / r["n_events"]
