@@ -6359,9 +6359,10 @@ def x_cascade_delete_plan(spark, sf_dir):
              AS n_late,
            CAST(SUM(CASE WHEN ts < run_max THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS late_share,
-           CAST(MAX(CASE WHEN ts < run_max
-                    THEN epoch(run_max) - epoch(ts) ELSE 0 END) AS BIGINT)
-             AS max_lateness_s
+           MAX(CASE WHEN ts < run_max
+               THEN CAST(FLOOR(epoch(run_max)) AS BIGINT)
+                    - CAST(FLOOR(epoch(ts)) AS BIGINT)
+               ELSE 0 END) AS max_lateness_s
     FROM r GROUP BY 1
     """,
 )
