@@ -34,79 +34,134 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def make_merge_compress(k: int):
+    """Factory for the mergeable-summaries MERGE + COMPRESS step at
+    ``k`` counters (Agarwal et al., PODS 2012): add exact batch counts
+    into the summary, then — if it exceeds ``k`` entries — subtract the
+    (k+1)-th largest count and drop non-positives. Error stays
+    <= N/(k+1), so every item with count > N/k survives.
+
+    Returned as a NESTED closure (not a module-level function) so
+    cloudpickle serializes it BY VALUE into mapInPandas /
+    applyInPandasWithState closures — executors never need to import
+    this package (the self-containment property the /tmp verify probe
+    checks). One implementation shared by the batch MG pass and the
+    streaming twin (streaming/heavy_hitters.py) so the two summaries
+    cannot drift apart.
+    """
+
+    def merge_compress(counters: dict, batch_counts) -> dict:
+        import heapq
+
+        for v, w in batch_counts:
+            counters[v] = counters.get(v, 0) + int(w)
+        if len(counters) > k:
+            thresh = heapq.nlargest(k + 1, counters.values())[-1]
+            counters = {
+                key: c - thresh for key, c in counters.items() if c > thresh
+            }
+        return counters
+
+    return merge_compress
+
+
+def mg_summaries(
+    items: DataFrame, col: str, k: int, key_type: str = "string"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries with exact partition totals.
+
+    One output row per surviving counter — (``col``, ``__part_n`` NULL)
+    — plus exactly one SENTINEL row per partition (``col`` NULL,
+    ``__part_n`` = the partition's exact non-null item count), so the
+    caller can reconstruct N without another pass over the input. State
+    is bounded at ``k`` counters per partition (plus one Arrow batch's
+    distinct keys transiently) regardless of vocabulary size.
+
+    Vectorized: exact per-batch counts via pandas value_counts (C
+    speed), merged through ``make_merge_compress`` — a per-token Python
+    loop measured identical wall here (the mapInPandas stage overhead
+    dominates), but the vectorized form keeps per-row Python work out
+    of the 100 TB path.
+    """
+    out_schema = f"{col} {key_type}, __part_n long"
+    mc = make_merge_compress(k)
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts(dropna=True)
+            n += int(vc.sum())
+            counters = mc(counters, vc.items())
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                # object dtype: holds str or int keys plus the sentinel
+                # None; Arrow infers the declared schema type
+                col: pd.Series(keys + [None], dtype="object"),
+                "__part_n": pd.array([None] * len(keys) + [n], dtype="Int64"),
+            }
+        )
+
+    return items.select(col).mapInPandas(summarize, schema=out_schema)
+
+
 def mg_candidates(
     items: DataFrame, col: str, k: int, key_type: str = "string"
 ) -> DataFrame:
-    """Per-partition Misra-Gries summaries, unioned and deduplicated.
-
-    Returns a DataFrame with one column ``col`` holding every candidate
-    key — a superset of all items with global frequency > N/k. State is
-    bounded at ``k`` counters per partition (plus one Arrow batch's
-    distinct keys transiently) regardless of vocabulary size — the
-    compress step evicts low-count keys instead of growing.
-    """
-    out_schema = f"{col} {key_type}"
-
-    def summarize(batches):
-        # Vectorized MG via the MERGE operation of Agarwal et al.
-        # ("Mergeable Summaries", PODS 2012): an exact per-batch count
-        # (pandas value_counts, C speed) is itself a valid MG summary;
-        # merging = adding counts, then compressing to k entries by
-        # subtracting the (k+1)-th largest count and dropping
-        # non-positives. Error stays <= N/(k+1), so every item with
-        # count > N/k still survives. Peak state: k + distinct-per-
-        # Arrow-batch entries — bounded by the batch size, never by the
-        # partition's vocabulary. ~50x faster than a per-token Python
-        # loop (the measured difference at 500K tokens/partition).
-        import heapq
-
-        import pandas as pd
-
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for v, w in pdf[col].value_counts(dropna=True).items():
-                counters[v] = counters.get(v, 0) + int(w)
-            if len(counters) > k:
-                thresh = heapq.nlargest(k + 1, counters.values())[-1]
-                counters = {
-                    key: c - thresh
-                    for key, c in counters.items()
-                    if c > thresh
-                }
-        yield pd.DataFrame({col: list(counters.keys())})
-
-    return items.select(col).mapInPandas(summarize, schema=out_schema).distinct()
+    """Deduplicated union of the per-partition MG candidate keys — a
+    superset of all items with global frequency > N/k (see module
+    docstring for the pigeonhole argument)."""
+    return (
+        mg_summaries(items, col, k, key_type)
+        .filter(F.col(col).isNotNull())
+        .select(col)
+        .distinct()
+    )
 
 
 def exact_heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
     """Items with global frequency strictly greater than N/k, with exact
-    counts — two passes, no full-vocabulary shuffle.
+    counts — two passes over the input, no full-vocabulary shuffle.
 
-    Pass 1 (``mg_candidates``): narrow scan, bounded state, candidate
-    keys only cross the wire. Pass 2: broadcast the candidate set as a
+    Pass 1 (``mg_summaries``): narrow scan, bounded state; candidate
+    keys AND per-partition totals come back in one summary (persisted —
+    it is k x partitions rows — so the candidate and total branches do
+    not re-run the pass). Pass 2: broadcast the candidate set as a
     semi-join filter, hash-aggregate exact counts for candidates only,
-    then apply the exact N/k threshold using the 1-row global total.
+    then apply the exact N/k threshold using the summary's total.
 
-    Output: ``col``, ``n_occurrences`` (exact), ``total_items``,
-    ``share`` — only true heavy hitters survive (false candidates are
-    filtered by the exact threshold).
+    Output: ``col``, ``n_occurrences`` (exact), ``total_items``
+    (non-null items), ``share`` — only true heavy hitters survive
+    (false candidates are filtered by the exact threshold).
     """
     # The MG pass runs over 64-bit xxhash64 keys, not the raw strings:
-    # the Arrow transfer (8 bytes/item vs the raw text) is the measured
-    # local bottleneck, and numpy value_counts over int64 is faster
-    # still. A hash collision merges two items' counts, which can only
-    # ADD a candidate (counts only grow — no true heavy hitter can be
-    # lost), and the exact recount filters any collision-borne false
-    # positive by its true count.
+    # the Arrow transfer (8 bytes/item vs the raw text) shrinks, and
+    # value_counts over int64 is faster still. A hash collision merges
+    # two items' counts, which can only ADD a candidate (counts only
+    # grow — no true heavy hitter can be lost), and the exact recount
+    # filters any collision-borne false positive by its true count.
+    from .ranking import _retain
+
+    items = items.filter(F.col(col).isNotNull())
     hashed = items.select(F.xxhash64(col).alias("__h"))
-    cand = mg_candidates(hashed, "__h", k, key_type="long")
+    # persist the tiny summary (k x partitions rows, LRU-1 like the
+    # ranking caches) so the candidate and total branches don't re-run
+    # the MG pass
+    summ = mg_summaries(hashed, "__h", k, key_type="long").persist()
+    _retain(summ)
+    cand = summ.filter(F.col("__h").isNotNull()).select("__h").distinct()
+    total = summ.filter(F.col("__h").isNull()).agg(
+        F.sum("__part_n").alias("total_items")
+    )
     counts = (
         items.select(col, F.xxhash64(col).alias("__h"))
         .join(F.broadcast(cand), "__h", "left_semi")
         .groupBy(col)
         .agg(F.count("*").alias("n_occurrences"))
     )
-    total = items.select(col).agg(F.count("*").alias("total_items"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("n_occurrences") > F.col("total_items") / float(k))

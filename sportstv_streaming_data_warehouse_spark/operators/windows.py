@@ -108,3 +108,44 @@ def forward_fill(
         F.last(value_col, ignorenulls=True).over(w).alias("filled_value"),
         F.col(value_col).isNull().alias("is_filled"),
     )
+
+
+def out_of_order_stats(
+    df: DataFrame, seq_col: str = "event_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-day late-arrival statistics over a global ingest sequence —
+    the body of the q_out_of_order_audit catalog query, extracted so the
+    planted-disorder tests drive THE SAME code path (the fixture events
+    are perfectly ordered, so the catalog data alone would leave the
+    lateness branch unexercised).
+
+    A row is LATE if some earlier-``seq_col`` row carries a later
+    ``ts_col``; lateness is the whole-second gap to the running maximum
+    (floored per operand, matching unix_timestamp), i.e. the minimum
+    watermark delay that would have captured the row. The running max
+    rides the two-phase distributed primitive (ranking.with_running_max)
+    — no single-partition window.
+    """
+    from .ranking import with_running_max
+
+    r = with_running_max(
+        df.select(seq_col, ts_col), [seq_col], ts_col, out_col="__run_max"
+    )
+    late = F.col(ts_col) < F.col("__run_max")
+    return r.groupBy(
+        F.date_format(F.to_date(ts_col), "yyyy-MM-dd").alias("event_day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        (
+            F.sum(F.when(late, 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("late_share"),
+        F.max(
+            F.when(
+                late,
+                F.unix_timestamp("__run_max") - F.unix_timestamp(ts_col),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("max_lateness_s"),
+    )

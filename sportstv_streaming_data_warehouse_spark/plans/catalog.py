@@ -6376,31 +6376,14 @@ def q_out_of_order_audit(spark, sf_dir):
     # would have captured every row). The running max over the ingest
     # sequence uses the two-phase distributed primitive
     # (operators/ranking.with_running_max) — never a single-partition
-    # window.
-    from ..operators.ranking import with_running_max
+    # window. NOTE the fixture events are perfectly ordered (a correct
+    # all-zeros answer), so the lateness branch is additionally pinned
+    # by planted-disorder tests driving the SAME extracted body
+    # (operators/windows.out_of_order_stats; tests/test_round6b_ops).
+    from ..operators.windows import out_of_order_stats
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    r = with_running_max(ev, ["event_id"], "ts", out_col="run_max")
-    late = F.col("ts") < F.col("run_max")
-    return (
-        r.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_day"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
-            (
-                F.sum(F.when(late, 1).otherwise(0)).cast("double")
-                / F.count("*")
-            ).alias("late_share"),
-            F.max(
-                F.when(
-                    late,
-                    F.unix_timestamp("run_max") - F.unix_timestamp("ts"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("max_lateness_s"),
-        )
-    )
+    return out_of_order_stats(ev, "event_id", "ts")
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,6 @@ at job build time.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -69,13 +68,30 @@ OUT_SCHEMA = StructType(
 )
 
 
-def psi_micronats(share: float, base_share: float) -> int | None:
-    """One PSI term in integer micro-nats — the exact formula of the
-    batch x_distribution_drift query: round((p−q)·ln(p/q)·1e6). None
-    when either share is 0 (the batch query's NULL guard)."""
-    if share <= 0.0 or base_share <= 0.0:
-        return None
-    return int(round((share - base_share) * math.log(share / base_share) * 1e6))
+def make_psi_term():
+    """Factory for the PSI micro-nat term — the exact formula of the
+    batch x_distribution_drift query: HALF-AWAY-FROM-ZERO
+    round((p−q)·ln(p/q)·1e6) (Spark F.round / DuckDB ROUND semantics;
+    Python's built-in round() is half-to-even and would diverge by 1 on
+    an exact .5 double). None when either share is 0 (the batch query's
+    NULL guard). Returned as a nested closure so cloudpickle ships it
+    BY VALUE into the stateful function — executors never import this
+    package."""
+
+    def term(share: float, base_share: float) -> int | None:
+        import math as _m
+
+        if share <= 0.0 or base_share <= 0.0:
+            return None
+        x = (share - base_share) * _m.log(share / base_share) * 1e6
+        return int(_m.floor(x + 0.5)) if x >= 0 else int(_m.ceil(x - 0.5))
+
+    return term
+
+
+# module-level instance: the single source of truth the parity tests and
+# batch consumers use
+psi_micronats = make_psi_term()
 
 
 def distribution_drift_stream(
@@ -98,12 +114,11 @@ def distribution_drift_stream(
     base = dict(baseline)
     day_ms = DAY_MS
     alert = psi_alert_micronats
+    term_fn = make_psi_term()  # by-value closure: see factory docstring
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import math as _math
-
         import pandas as _pd
 
         counts: dict[str, int] = {}
@@ -125,13 +140,7 @@ def distribution_drift_stream(
                 n = counts.get(cat, 0)
                 p = n / total
                 q = float(base.get(cat, 0.0))
-                if p > 0.0 and q > 0.0:
-                    term = int(
-                        round((p - q) * _math.log(p / q) * 1e6)
-                    )
-                else:
-                    term = None
-                rows.append([day, cat, n, total, p, q, term])
+                rows.append([day, cat, n, total, p, q, term_fn(p, q)])
             psi_total = sum(abs(r[6]) for r in rows if r[6] is not None)
             yield _pd.DataFrame(
                 {

@@ -84,9 +84,14 @@ def heavy_hitters_stream(
     """stream(ts, item) → append-mode per-day Misra-Gries summaries.
 
     One finalized batch of rows per (day, shard) when the watermark
-    passes the day: (obs_day, shard, item, count_lb, n_items).
+    passes the day: (obs_day, shard, item, count_lb, n_items). A shard
+    whose summary compressed to empty emits one sentinel row with item
+    NULL so its n_items is never lost.
     """
+    from ..operators.sketches import make_merge_compress
+
     day_ms = DAY_MS
+    mc = make_merge_compress(k)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -100,42 +105,38 @@ def heavy_hitters_stream(
             counters = dict(zip(items, counts))
 
         if state.hasTimedOut:
-            # the watermark passed the day's end: flush and drop state
+            # the watermark passed the day's end: flush and drop state.
+            # A compress can legally EMPTY the counters (all-distinct
+            # uniform input: nothing exceeds n/k) — emit a single
+            # sentinel row (item NULL, count_lb 0) so the shard's exact
+            # n_items still reaches the output and the documented
+            # day-total reconstruction never loses a shard.
             day_epoch, shard = int(key[0]), int(key[1])
             state.remove()
-            if counters:
+            if n_items > 0:
+                items = list(counters.keys()) or [None]
+                lbs = list(counters.values()) or [0]
                 yield _pd.DataFrame(
                     {
                         "obs_day": [
                             _pd.Timestamp(day_epoch * day_ms, unit="ms").date()
                         ]
-                        * len(counters),
+                        * len(items),
                         "shard": shard,
-                        "item": list(counters.keys()),
-                        "count_lb": list(counters.values()),
+                        "item": _pd.Series(items, dtype="object"),
+                        "count_lb": lbs,
                         "n_items": n_items,
                     }
                 )
             return
 
-        # vectorized MG merge-compress (same as operators/sketches.py):
-        # exact batch value_counts merged in, then the (k+1)-th largest
-        # count subtracted and non-positives dropped — the mergeable-
-        # summaries MERGE, error <= N/(k+1), state <= k between batches
-        import heapq
-
+        # vectorized MG merge-compress — the ONE shared implementation
+        # (operators/sketches.make_merge_compress, captured by value at
+        # job build time so executors need no package import)
         for pdf in pdfs:
             vc = pdf[item_col].value_counts(dropna=True)
             n_items += int(vc.sum())
-            for v, w in vc.items():
-                counters[v] = counters.get(v, 0) + int(w)
-            if len(counters) > k:
-                thresh = heapq.nlargest(k + 1, counters.values())[-1]
-                counters = {
-                    ckey: c - thresh
-                    for ckey, c in counters.items()
-                    if c > thresh
-                }
+            counters = mc(counters, vc.items())
 
         state.update(
             (list(counters.keys()), list(counters.values()), n_items)

@@ -171,6 +171,59 @@ def test_out_of_order_audit_semantics(spark):
     assert sum(r["n_events"] for r in out.values()) == 10000
     for r in out.values():
         assert 0 <= r["n_late"] <= r["n_events"]
-        assert (r["max_lateness_s"] > 0) == (r["n_late"] > 0) or r["n_late"] == 0
+        assert r["max_lateness_s"] >= 0
+        if r["n_late"] == 0:
+            assert r["max_lateness_s"] == 0
         # late_share is exactly the ratio
         assert r["late_share"] == r["n_late"] / r["n_events"]
+
+
+def test_out_of_order_audit_planted_disorder(spark):
+    """The fixture events are perfectly ordered, so q_out_of_order_audit
+    legitimately answers all-zeros there — this planted case drives the
+    SAME extracted body (operators/windows.out_of_order_stats) through
+    real disorder with hand-computed truth."""
+    from sportstv_streaming_data_warehouse_spark.operators.windows import (
+        out_of_order_stats,
+    )
+
+    rows = [
+        # seq, ts — two late rows on day 1 (180 s and 360 s behind the
+        # running max), day 2 fully ordered
+        (1, "2024-05-01 10:00:00"),
+        (2, "2024-05-01 10:05:00"),
+        (3, "2024-05-01 10:02:00"),   # late by 180 s vs seq-2
+        (4, "2024-05-01 10:07:00"),
+        (5, "2024-05-01 10:01:00"),   # late by 360 s vs seq-4
+        (6, "2024-05-01 10:10:00"),
+        (7, "2024-05-02 09:00:00"),
+        (8, "2024-05-02 09:30:00"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["event_day"]: r for r in out_of_order_stats(df).collect()}
+    d1, d2 = got["2024-05-01"], got["2024-05-02"]
+    assert d1["n_events"] == 6 and d1["n_late"] == 2
+    assert d1["max_lateness_s"] == 360
+    assert d1["late_share"] == 2 / 6
+    assert d2["n_events"] == 2 and d2["n_late"] == 0
+    assert d2["max_lateness_s"] == 0
+
+
+def test_out_of_order_audit_sub_second_lateness_floors_to_zero(spark):
+    # a row late by under one second: n_late counts it, but the
+    # floored-seconds gap is 0 — the documented whole-second contract
+    from sportstv_streaming_data_warehouse_spark.operators.windows import (
+        out_of_order_stats,
+    )
+
+    rows = [
+        (1, "2024-05-01 10:00:00.900"),
+        (2, "2024-05-01 10:00:00.400"),  # late by 0.5 s
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = out_of_order_stats(df).collect()[0]
+    assert r["n_late"] == 1 and r["max_lateness_s"] == 0

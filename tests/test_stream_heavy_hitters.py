@@ -141,3 +141,33 @@ def test_stream_mg_is_idempotent_on_restart(spark, tmp_path):
     _run(spark, in_path, out_path, ckpt)  # no new input
     n2 = spark.read.parquet(out_path).count()
     assert n1 == n2
+
+
+def test_stream_mg_compress_empty_shard_keeps_totals(spark, tmp_path):
+    """All-distinct uniform input can legally compress a shard's summary
+    to EMPTY (nothing exceeds n/k) — the flush must still emit a
+    sentinel row so the shard's exact n_items survives and day totals
+    reconstruct (review finding: the old `if counters:` guard silently
+    dropped the whole shard)."""
+    in_path, out_path, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = [
+        {"item": f"u{i}", "ts": f"2024-03-05 03:00:{i:02d}"} for i in range(12)
+    ]
+    _drop(in_path, "b0.json", rows)
+    _drop(in_path, "b1.json", [{"item": "wm", "ts": "2024-03-12 00:00:00"}])
+    _run(spark, in_path, out_path, ckpt)
+
+    out = spark.read.parquet(out_path).filter(
+        "obs_day = DATE'2024-03-05'"
+    ).collect()
+    assert out, "the day must flush even if every summary compressed away"
+    per_shard = {r["shard"]: r["n_items"] for r in out}
+    assert sum(per_shard.values()) == 12
+    # no surviving counter may overstate a singleton
+    for r in out:
+        if r["item"] is not None:
+            assert r["count_lb"] <= 1
