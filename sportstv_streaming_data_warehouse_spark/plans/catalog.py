@@ -6386,6 +6386,23 @@ def q_out_of_order_audit(spark, sf_dir):
     return out_of_order_stats(ev, "event_id", "ts")
 
 
+@query("x_compaction_plan")
+def x_compaction_plan(spark, sf_dir):
+    # Small-file compaction planner over the fixture directory's data
+    # files (plans/layout.compaction_plan): deterministic first-fit
+    # size-binning on the distributed prefix-sum primitive. Rows-only:
+    # the plan derives from FILE METADATA (names + byte sizes), which
+    # the driver's DuckDB view harness cannot see — the bin-assignment
+    # algebra itself is oracle-verified through x_pack_shards (same
+    # exclusive-prefix contract) and the planted small-file pytest
+    # (tests/test_layout.py) pins bin fill, determinism, and rollups.
+    from . import layout as L
+
+    # fixture tables are single files; a 256 KB target yields multi-file
+    # bins at every SF, exercising both fill and overflow
+    return L.compaction_plan(spark, sf_dir, target_bytes=256 << 10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on

@@ -130,3 +130,62 @@ def compact(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int
     os.rename(staging, base)
     shutil.rmtree(retired, ignore_errors=True)
     return len(glob.glob(f"{base}/*.parquet"))
+
+
+def compaction_plan(
+    spark, table_dir: str, target_bytes: int = 128 << 20
+) -> DataFrame:
+    """Small-file compaction planner: bin the data files of a table
+    directory into ~``target_bytes`` merge groups.
+
+    The small-files problem is THE silent scan killer at 100 TB — a
+    table written by a 10K-task job carries 10K files, and every scan
+    pays per-file open/footer costs plus a scheduler task per file.
+    This audit lists the table's data files (metadata only — the local
+    listing stands in for the catalog/FS listing a cluster deployment
+    reads; no data is scanned) and assigns each file a compaction bin
+    by its EXCLUSIVE cumulative-size prefix, the same deterministic
+    first-fit contract as x_pack_shards: a file lands in the bin where
+    its prefix sum falls, so bins fill to ~target_bytes in name order
+    and the plan is reproducible run-over-run.
+
+    Output: (file_name, bytes, bin, files_in_bin, bin_bytes) — one row
+    per file plus the per-bin rollup columns a compaction job consumes.
+    Reference anchor: the reference's MySQL tier has no file layout (a
+    server owns storage); this is the lakehouse-side operation OPTIMIZE
+    / bin-packing compaction re-expressed on the two-phase prefix-sum
+    primitive (operators/ranking.with_running_total — no
+    single-partition window even over a million-file listing).
+    """
+    import os
+
+    from ..operators.ranking import with_running_total
+
+    names = sorted(
+        n
+        for n in os.listdir(table_dir)
+        if n.endswith(".parquet") and not n.startswith("_")
+    )
+    listing = [
+        (i, n, os.path.getsize(os.path.join(table_dir, n)))
+        for i, n in enumerate(names)
+    ]
+    # numeric ordinal (name order) as the ranking key — the two-phase
+    # primitive range-buckets on its leading column, which must be
+    # numeric/date/timestamp
+    df = spark.createDataFrame(
+        listing, "__ord long, file_name string, bytes long"
+    )
+    p = with_running_total(df, ["__ord"], "bytes", out_col="__run")
+    binned = p.withColumn(
+        "bin",
+        F.floor((F.col("__run") - F.col("bytes")) / F.lit(float(target_bytes)))
+        .cast("long"),
+    ).drop("__run", "__ord")
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("files_in_bin"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+    )
+    return binned.join(per_bin, "bin").select(
+        "file_name", "bytes", "bin", "files_in_bin", "bin_bytes"
+    )

@@ -13,7 +13,7 @@ from sportstv_streaming_data_warehouse_spark.plans.layout import (
 )
 from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
 
-from .conftest import SF01
+from .conftest import SF001, SF01
 
 
 def _file_spans(path: str, col: str) -> list[float]:
@@ -62,3 +62,47 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
         # only shrink one); sqrt(16)=4 is the theoretical factor, assert
         # a conservative 2x
         assert z_avg < base_avg / 2, (col, z_avg, base_avg)
+
+
+def test_compaction_plan_bins_small_files(spark, tmp_path):
+    from sportstv_streaming_data_warehouse_spark.plans.layout import (
+        compaction_plan,
+    )
+
+    # plant a many-small-files table (the 10K-task-job symptom)
+    d = str(tmp_path / "smalls")
+    load_table(spark, SF01, "lineitem").repartition(20).write.parquet(d)
+    # spark writes part-*.parquet inside d
+    import os
+
+    files = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    assert len(files) == 20
+    total = sum(os.path.getsize(os.path.join(d, n)) for n in files)
+    target = total // 4  # aim for ~4 bins
+    rows = compaction_plan(spark, d, target_bytes=target).collect()
+    assert {r["file_name"] for r in rows} == set(files)
+    bins = {}
+    for r in rows:
+        bins.setdefault(r["bin"], []).append(r)
+    # every bin except possibly the last fills to >= target (first-fit
+    # on the exclusive prefix: a file whose prefix falls in bin b starts
+    # there, so b's content reaches at least target before b+1 opens)
+    last = max(bins)
+    for b, rs in bins.items():
+        byt = sum(r["bytes"] for r in rs)
+        assert all(r["bin_bytes"] == byt and r["files_in_bin"] == len(rs) for r in rs)
+        if b != last:
+            assert byt >= target * 0.5  # conservative: files are chunky
+    # deterministic: second run produces the identical plan
+    rows2 = compaction_plan(spark, d, target_bytes=target).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_compaction_plan_single_bin_when_under_target(spark, tmp_path):
+    from sportstv_streaming_data_warehouse_spark.plans.layout import (
+        compaction_plan,
+    )
+
+    rows = compaction_plan(spark, SF001, target_bytes=1 << 30).collect()
+    assert rows and all(r["bin"] == 0 for r in rows)
+    assert rows[0]["files_in_bin"] == len(rows)
