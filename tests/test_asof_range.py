@@ -133,3 +133,53 @@ def test_asof_values_come_from_single_latest_row(spark):
     assert row["asof_tag"] == "b"
     assert row["asof_price"] is None  # NOT 100.0 from the older row
     assert row["asof_ts"] == _ts("2024-01-01T11:00:00")
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    """Randomized interval×interval workload vs the naive overlap theta
+    join — exactly-once per pair (the canonical-bucket rule needs no
+    distinct), including pairs sharing many buckets and touching
+    endpoints (inclusive overlap)."""
+    from sportstv_streaming_data_warehouse_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    left = spark.range(0, 300).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 7 % 211).alias("ls"),
+        ((F.col("id") * 7 % 211) + (F.col("id") % 23)).alias("le"),
+    )
+    right = spark.range(0, 80).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 13 % 199).alias("rs"),
+        ((F.col("id") * 13 % 199) + (F.col("id") % 37)).alias("re_"),
+    )
+    fast = interval_overlap_join(left, right, "ls", "le", "rs", "re_", 10)
+    slow = left.join(
+        right, (F.col("ls") <= F.col("re_")) & (F.col("rs") <= F.col("le"))
+    )
+    a = sorted((r["lid"], r["rid"]) for r in fast.collect())
+    b = sorted((r["lid"], r["rid"]) for r in slow.collect())
+    assert a == b
+    assert len(a) == len(set(a))  # exactly once, not deduped-after
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_touching_endpoints_inclusive(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.ranges import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0, 10)], ["lid", "ls", "le"])
+    right = spark.createDataFrame(
+        [(1, 10, 20), (2, 11, 20), (3, -5, 0), (4, -5, -1)],
+        ["rid", "rs", "re_"],
+    )
+    got = sorted(
+        r["rid"]
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re_", 7
+        ).collect()
+    )
+    assert got == [1, 3]  # touching at 10 and at 0 match; disjoint do not

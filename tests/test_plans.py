@@ -298,6 +298,18 @@ def test_containment_dedup_stays_equi_shaped(spark):
     assert "HashAggregate" in plan
 
 
+def test_interval_overlap_join_is_banded_equi(spark):
+    # both interval sides explode to bucket ids and the join is a hash
+    # equi-join on the bucket — the naive overlap theta join would plan
+    # a data-sized nested loop
+    plan = plan_of(spark, "x_interval_overlap_join")
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_salted_join_spreads_hot_key(spark):
     # the salt replication is a Generate(explode) on the dim side and
     # the join is an equi-join on (key, salt) — no loop joins, and no
@@ -329,6 +341,9 @@ BNLJ_BUDGET = {
     "x_temporal_split_purged": 1, # 1-row max-date boundary
     "x_dedup_simhash": 3,         # pigeonhole recall-audit scalars
     "x_domain_mix_plan": 1,       # 1-row corpus total
+    "x_interval_overlap_join": 2, # 1-row min-day scalar inside the 20-row
+                                  # campaign dim (printed on both sides of
+                                  # the AQE reuse)
     "x_kmeans_lloyd": 3,          # broadcast model (k centroids)
     "x_knn_bruteforce": 1,        # the documented brute-force baseline
     "x_knn_ivf_ann": 2,           # broadcast centroid table (probe+assign)
