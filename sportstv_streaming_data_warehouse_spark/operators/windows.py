@@ -110,6 +110,68 @@ def forward_fill(
     )
 
 
+def interpolate_linear(
+    daily: DataFrame,
+    series_cols: Sequence[str],
+    day_col: str = "d",
+    value_col: str = "v",
+) -> DataFrame:
+    """Linear interpolation across gap days, exact to the milli-unit.
+
+    ``daily`` holds observed (series, day, LONG value) rows — callers
+    pass values in integer milli-units so the interpolation arithmetic
+    is exact and engine-portable (no IEEE rounding divergence). Each
+    series is densified over its OWN [min(day), max(day)] span — a
+    per-series ``sequence`` explode, so the spine is narrow per series
+    and absent series never materialize (no global cross join). Gap
+    cells get
+
+        prev + floor((next - prev) * (d - d_prev) / (d_next - d_prev))
+
+    with an explicit pmod-based floor division (Spark's integral ``div``
+    truncates toward zero, which diverges from floor on decreasing
+    segments; the pmod form is floor in both Spark and DuckDB, keeping
+    the SQL oracle bit-identical). ONE shuffle on the series key;
+    window state is bounded by the span length, never event volume.
+    Complements :func:`forward_fill` (LOCF) — this fills with the
+    straight line between the surrounding observations instead of a
+    step function.
+    """
+    bounds = daily.groupBy(*series_cols).agg(
+        F.min(day_col).alias("__lo"), F.max(day_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *series_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(day_col),
+    )
+    j = spine.join(daily, [*series_cols, day_col], "left")
+    w_prev = (
+        Window.partitionBy(*series_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*series_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col(value_col).isNotNull(), F.col(day_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(w_prev)
+    prev_d = F.last(obs_day, ignorenulls=True).over(w_prev)
+    next_v = F.first(value_col, ignorenulls=True).over(w_next)
+    next_d = F.first(obs_day, ignorenulls=True).over(w_next)
+    num = (next_v - prev_v) * F.datediff(F.col(day_col), prev_d)
+    den = F.datediff(next_d, prev_d)
+    pmod = ((num % den) + den) % den
+    interp = prev_v + ((num - pmod) / den).cast("long")
+    return j.select(
+        *series_cols,
+        day_col,
+        F.coalesce(F.col(value_col), interp).alias("filled_value"),
+        F.col(value_col).isNull().alias("is_interpolated"),
+    )
+
+
 def out_of_order_stats(
     df: DataFrame, seq_col: str = "event_id", ts_col: str = "ts"
 ) -> DataFrame:

@@ -6477,6 +6477,87 @@ def x_interval_overlap_join(spark, sf_dir):
     )
 
 
+@query(
+    "w_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    b AS (SELECT user_id, event_type, MIN(d) AS lo, MAX(d) AS hi
+          FROM daily GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, event_type,
+             CAST(UNNEST(range(lo, hi + INTERVAL 1 DAY, INTERVAL 1 DAY))
+                  AS DATE) AS d
+      FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.event_type, s.d, daily.v
+      FROM spine s LEFT JOIN daily USING (user_id, event_type, d)
+    ),
+    w AS (
+      SELECT user_id, event_type, d, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id, event_type ORDER BY d
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id, event_type ORDER BY d
+          ROWS UNBOUNDED PRECEDING) AS pd,
+        FIRST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id, event_type ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id, event_type ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, event_type, strftime(d, '%Y-%m-%d') AS d,
+      CAST(CASE WHEN v IS NOT NULL THEN v
+           ELSE pv + ((nv - pv) * date_diff('day', pd, d)
+                      - ((((nv - pv) * date_diff('day', pd, d))
+                          % date_diff('day', pd, nd))
+                         + date_diff('day', pd, nd))
+                        % date_diff('day', pd, nd))
+                // date_diff('day', pd, nd)
+           END AS BIGINT) AS filled_milli,
+      v IS NULL AS is_interpolated
+    FROM w
+    """,
+)
+def w_interpolate_linear(spark, sf_dir):
+    # Linear interpolation across time-series gaps
+    # (operators/windows.interpolate_linear): per-(user, event_type)
+    # daily milli-unit sums, densified over each series' own
+    # [first, last] observed span (per-series sequence explode — no
+    # global cross join, absent days synthesize locally), gap cells
+    # filled with the exact straight line between the surrounding
+    # observations. All arithmetic is integer milli-units with an
+    # explicit pmod floor-division (truncating `div` would diverge from
+    # the oracle on DECREASING segments), so Spark and DuckDB agree
+    # bit-for-bit. Complements w_forward_fill: LOCF steps, this ramps.
+    from ..operators.windows import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            (F.col("value").cast(DecimalType(18, 3)) * 1000).cast("long")
+        ).alias("v")
+    )
+    filled = interpolate_linear(daily, ["user_id", "event_type"])
+    return filled.select(
+        "user_id",
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("filled_value").alias("filled_milli"),
+        "is_interpolated",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
