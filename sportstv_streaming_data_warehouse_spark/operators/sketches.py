@@ -172,3 +172,51 @@ def exact_heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
             (F.col("n_occurrences") / F.col("total_items")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-bucket quantile sketch (DDSketch-family, integer-exact).
+# ---------------------------------------------------------------------------
+
+QSKETCH_SUBBUCKETS = 16  # per power-of-two octave => relative error <= 1/32
+
+
+def qsketch_bucket(milli: Column) -> Column:
+    """Bucket id of a POSITIVE integer milli-unit value in the
+    log-bucket quantile sketch: 16 sub-buckets per power-of-two octave,
+    so every value in a bucket is within 1/32 relative error of the
+    bucket midpoint.
+
+    All arithmetic is integer-exact and engine-portable:
+    ``floor(log2(m))`` is ``length(bin(m)) - 1`` (no floating log at a
+    power-of-two boundary), the sub-bucket index is an exact integer
+    division of ``m*16`` by ``2^e`` (both well inside 2^53, so the
+    double division is exact), and the same expressions replay
+    bit-for-bit in the DuckDB oracle. Non-positive values map to
+    bucket -1 (a dedicated underflow cell, like DDSketch's zero
+    bucket).
+
+    Mergeability is the point: per-partition / per-day sketches are
+    plain (bucket, count) rows, merged by ADDING counts — the property
+    that makes the sketch a re-aggregatable tier (day -> week -> month)
+    exactly like the HLL rollup, but for quantiles. (DDSketch: Masson,
+    Rim & Lee, VLDB 2019 — "DDSketch: a fast and fully-mergeable
+    quantile sketch with relative-error guarantees".)
+    """
+    e = (F.length(F.bin(milli)) - 1).cast("long")
+    p2 = F.pow(F.lit(2.0), e.cast("double")).cast("long")
+    sub = F.floor(milli * 16 / p2).cast("long") - 16
+    return F.when(milli <= 0, F.lit(-1)).otherwise(e * 16 + sub)
+
+
+def qsketch_bucket_estimate(bucket: Column) -> Column:
+    """Midpoint milli-unit estimate of a sketch bucket: for bucket
+    ``b = e*16 + sub`` the bucket covers ``[2^e*(16+sub)/16,
+    2^e*(17+sub)/16)`` and the midpoint is ``2^e*(33+2*sub)/32``,
+    floored to an integer milli (exact: the double products stay far
+    inside 2^53). Bucket -1 (underflow) estimates 0."""
+    e = F.floor(bucket / 16).cast("long")
+    sub = (bucket % 16).cast("long")
+    p2 = F.pow(F.lit(2.0), e.cast("double")).cast("long")
+    est = F.floor(p2 * (33 + 2 * sub) / 32).cast("long")
+    return F.when(bucket < 0, F.lit(0).cast("long")).otherwise(est)

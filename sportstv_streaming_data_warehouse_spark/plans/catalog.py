@@ -6558,6 +6558,165 @@ def w_interpolate_linear(spark, sf_dir):
     )
 
 
+@query(
+    "h_sketch_rollup_quantile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        / 7) AS BIGINT) AS wk,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS m
+      FROM events
+    ),
+    bk AS (
+      SELECT event_type, wk, d, m,
+             CASE WHEN m <= 0 THEN -1
+                  ELSE (length(bin(m)) - 1) * 16
+                       + CAST(FLOOR(m * 16
+                              / POWER(2.0, length(bin(m)) - 1)) AS BIGINT)
+                       - 16
+             END AS bucket
+      FROM base
+    ),
+    day_sk AS (SELECT event_type, wk, d, bucket, COUNT(*) AS c
+               FROM bk GROUP BY 1, 2, 3, 4),
+    wk_sk AS (SELECT event_type, wk, bucket, CAST(SUM(c) AS BIGINT) AS c
+              FROM day_sk GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT event_type, wk, bucket, c,
+             SUM(c) OVER (PARTITION BY event_type, wk ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type, wk) AS n
+      FROM wk_sk
+    ),
+    est AS (
+      SELECT *, CASE WHEN bucket < 0 THEN 0
+                     ELSE CAST(FLOOR(POWER(2.0, FLOOR(bucket / 16))
+                               * (33 + 2 * (bucket % 16)) / 32) AS BIGINT)
+                END AS est
+      FROM cum
+    ),
+    sk AS (
+      SELECT event_type, wk, CAST(MIN(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN cum >= FLOOR((n + 1) / 2) THEN est END)
+                  AS BIGINT) AS p50_est_milli,
+             CAST(MIN(CASE WHEN cum >= FLOOR((95 * n + 99) / 100) THEN est
+                      END) AS BIGINT) AS p95_est_milli
+      FROM est GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, wk, m,
+             ROW_NUMBER() OVER (PARTITION BY event_type, wk ORDER BY m)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, wk) AS n
+      FROM base
+    ),
+    ex AS (
+      SELECT event_type, wk,
+             CAST(MIN(CASE WHEN rn = FLOOR((n + 1) / 2) THEN m END)
+                  AS BIGINT) AS p50_exact_milli,
+             CAST(MIN(CASE WHEN rn = FLOOR((95 * n + 99) / 100) THEN m END)
+                  AS BIGINT) AS p95_exact_milli
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT sk.event_type, sk.wk, sk.n,
+           sk.p50_est_milli, sk.p95_est_milli,
+           ex.p50_exact_milli, ex.p95_exact_milli,
+           ABS(sk.p50_est_milli - ex.p50_exact_milli) * 32
+             <= ex.p50_exact_milli + 32 AS p50_ok,
+           ABS(sk.p95_est_milli - ex.p95_exact_milli) * 32
+             <= ex.p95_exact_milli + 32 AS p95_ok
+    FROM sk JOIN ex USING (event_type, wk)
+    """,
+)
+def h_sketch_rollup_quantile(spark, sf_dir):
+    # Mergeable QUANTILE-sketch rollup tier (DDSketch-family —
+    # operators/sketches.qsketch_bucket): per-day log-bucket histograms
+    # of the milli-unit value, merged to weekly sketches by ADDING
+    # bucket counts (the same re-aggregatable day→week→month property
+    # as the HLL rollup h_sketch_rollup_hll, but for p50/p95), then
+    # quantile extraction via a per-group cumulative sum over bucket
+    # ids. At 100 TB the sketch tier is the point: a weekly sketch is
+    # O(buckets) rows (~300/octave-range) regardless of event volume,
+    # so month/quarter quantiles come from re-merging tiny sketch
+    # tables, never re-scanning the fact. Every step is integer-exact
+    # (floor(log2) via bin-string length, exact double divisions far
+    # inside 2^53) so the DuckDB oracle replays the ENTIRE pipeline
+    # bit-for-bit, and the output carries its own audit: exact weekly
+    # p50/p95 via distributed rank-selection plus in-band booleans
+    # pinning the sketch's ≤1/32 relative-error contract.
+    from ..operators.sketches import qsketch_bucket, qsketch_bucket_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "d"
+        ),
+        (F.col("value").cast(DecimalType(18, 3)) * 1000)
+        .cast("long")
+        .alias("m"),
+    ).withColumn("wk", F.floor(F.col("d") / 7).cast("long"))
+    day_sk = base.groupBy(
+        "event_type", "wk", "d", qsketch_bucket(F.col("m")).alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    wk_sk = day_sk.groupBy("event_type", "wk", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "wk")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type", "wk")
+    est = (
+        wk_sk.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("est", qsketch_bucket_estimate(F.col("bucket")))
+    )
+    r50 = F.floor((F.col("n") + 1) / 2)
+    r95 = F.floor((95 * F.col("n") + 99) / 100)
+    sk = est.groupBy("event_type", "wk").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(F.col("cum") >= r50, F.col("est"))).alias(
+            "p50_est_milli"
+        ),
+        F.min(F.when(F.col("cum") >= r95, F.col("est"))).alias(
+            "p95_est_milli"
+        ),
+    )
+    w_rank = Window.partitionBy("event_type", "wk").orderBy("m")
+    ranked = base.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    ex = ranked.groupBy("event_type", "wk").agg(
+        F.min(F.when(F.col("rn") == r50, F.col("m"))).alias(
+            "p50_exact_milli"
+        ),
+        F.min(F.when(F.col("rn") == r95, F.col("m"))).alias(
+            "p95_exact_milli"
+        ),
+    )
+    return sk.join(ex, ["event_type", "wk"]).select(
+        "event_type",
+        "wk",
+        "n",
+        "p50_est_milli",
+        "p95_est_milli",
+        "p50_exact_milli",
+        "p95_exact_milli",
+        (
+            F.abs(F.col("p50_est_milli") - F.col("p50_exact_milli")) * 32
+            <= F.col("p50_exact_milli") + 32
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("p95_est_milli") - F.col("p95_exact_milli")) * 32
+            <= F.col("p95_exact_milli") + 32
+        ).alias("p95_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
