@@ -6717,6 +6717,92 @@ def h_sketch_rollup_quantile(spark, sf_dir):
     )
 
 
+@query(
+    "x_domain_mix_apply",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_FP} AS fp, {_Q_NTOK} AS ntok
+               FROM documents),
+    per AS (SELECT source, COUNT(*) AS docs,
+                   CAST(SUM(ntok) AS BIGINT) AS tokens FROM d GROUP BY 1),
+    wt AS (
+      SELECT *, CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                            THEN 3.0
+                          WHEN source IN ('src5','src6','src7','src8','src9')
+                            THEN 2.0
+                          ELSE 1.0 END AS DOUBLE) AS weight
+      FROM per
+    ),
+    tot AS (SELECT SUM(weight) AS sum_w FROM wt),
+    plan AS (
+      SELECT source,
+             least(1.0, (10000.0 * weight / sum_w) / CAST(tokens AS DOUBLE))
+               AS sample_rate
+      FROM wt, tot
+    ),
+    kept AS (
+      SELECT d.source, d.ntok, p.sample_rate
+      FROM d JOIN plan p USING (source)
+      WHERE d.fp % 10000 < CAST(FLOOR(p.sample_rate * 10000.0) AS BIGINT)
+    )
+    SELECT source, sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def x_domain_mix_apply(spark, sf_dir):
+    # Materialize the training mix that x_domain_mix_plan only PLANS:
+    # each document is kept iff ``fingerprint(text) % 10000 <
+    # floor(rate_source * 10000)`` — deterministic content-keyed
+    # sampling (the same engine-portable polynomial fingerprint as the
+    # split/decontamination family), so the selected corpus is
+    # reproducible run-to-run, byte-identical across engines, and
+    # duplicate documents sample identically (no dup-driven mix drift).
+    # Plan shape: the fact scans ONCE into a doc-grain frame reused by
+    # both the per-source stats and the keep-filter; the 20-row plan
+    # joins back broadcast, so applying the mix is scan-bound at any
+    # corpus size — no shuffle of the corpus at all.
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("ntok"),
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum("ntok").alias("tokens")
+    )
+    tier3 = [f"src{i}" for i in range(5)]
+    tier2 = [f"src{i}" for i in range(5, 10)]
+    wt = per.withColumn(
+        "weight",
+        F.when(F.col("source").isin(tier3), 3.0)
+        .when(F.col("source").isin(tier2), 2.0)
+        .otherwise(1.0),
+    )
+    tot = wt.agg(F.sum("weight").alias("sum_w"))
+    plan = (
+        wt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "sample_rate",
+            F.least(
+                F.lit(1.0),
+                (F.lit(10000.0) * F.col("weight") / F.col("sum_w"))
+                / F.col("tokens").cast("double"),
+            ),
+        )
+        .select("source", "sample_rate")
+    )
+    kept = d.join(F.broadcast(plan), "source").filter(
+        F.col("fp") % 10000
+        < F.floor(F.col("sample_rate") * 10000.0).cast("long")
+    )
+    return kept.groupBy("source", "sample_rate").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("ntok").alias("tokens_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on

@@ -341,6 +341,7 @@ BNLJ_BUDGET = {
     "x_temporal_split_purged": 1, # 1-row max-date boundary
     "x_dedup_simhash": 3,         # pigeonhole recall-audit scalars
     "x_domain_mix_plan": 1,       # 1-row corpus total
+    "x_domain_mix_apply": 1,      # same 1-row weight-total broadcast
     "x_interval_overlap_join": 2, # 1-row min-day scalar inside the 20-row
                                   # campaign dim (printed on both sides of
                                   # the AQE reuse)
