@@ -6803,6 +6803,82 @@ def x_domain_mix_apply(spark, sf_dir):
     )
 
 
+@query(
+    "a_exact_median_hist",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS m
+      FROM events
+    ),
+    hist AS (SELECT event_type, m, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, m, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM hist
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(nd) AS BIGINT) AS n_distinct,
+           CAST(MIN(CASE WHEN cum >= FLOOR((n + 1) / 2) THEN m END)
+                AS BIGINT) AS median_milli_lo,
+           CAST(MIN(CASE WHEN cum >= FLOOR(n / 2) + 1 THEN m END)
+                AS BIGINT) AS median_milli_hi,
+           (MIN(CASE WHEN cum >= FLOOR((n + 1) / 2) THEN m END)
+            + MIN(CASE WHEN cum >= FLOOR(n / 2) + 1 THEN m END)) / 2.0
+             AS median_milli
+    FROM cum GROUP BY 1
+    """,
+)
+def a_exact_median_hist(spark, sf_dir):
+    # EXACT per-group median WITHOUT sorting rows: collapse events to a
+    # (group, milli-value) histogram first, then rank-select on the
+    # cumulative counts. The per-group window runs over DISTINCT VALUES
+    # (bounded by the value domain), not over events — at 100 TB a
+    # group's window state is |domain| rows however many billions of
+    # events it has, which is why low-cardinality-group medians (the
+    # case where partitionBy(group) windows degenerate toward one fat
+    # task) stay safe. Both medians of the even-count convention are
+    # selected (lo = rank ⌈n/2⌉, hi = rank ⌊n/2⌋+1) and averaged
+    # exactly — the result equals ANSI MEDIAN()/percentile_cont(0.5)
+    # and the pytest pins that against DuckDB's native MEDIAN.
+    # Approx twin: a_approx_quantile_audit; sketch twin:
+    # h_sketch_rollup_quantile (mergeable, for re-aggregation tiers).
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("value").cast(DecimalType(18, 3)) * 1000)
+        .cast("long")
+        .alias("m"),
+    )
+    hist = base.groupBy("event_type", "m").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+        .withColumn("nd", F.count("*").over(w_all))
+    )
+    r_lo = F.floor((F.col("n") + 1) / 2)
+    r_hi = F.floor(F.col("n") / 2) + 1
+    lo = F.min(F.when(F.col("cum") >= r_lo, F.col("m")))
+    hi = F.min(F.when(F.col("cum") >= r_hi, F.col("m")))
+    return cum.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.min("nd").alias("n_distinct"),
+        lo.alias("median_milli_lo"),
+        hi.alias("median_milli_hi"),
+        ((lo + hi) / 2.0).alias("median_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on

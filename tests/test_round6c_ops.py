@@ -80,3 +80,73 @@ def test_duplicate_texts_sample_identically(spark):
         r["b"] for r in fp.filter(F.col("doc_id") < 100).collect()
     }
     assert len(dup_buckets) == 1
+
+
+def test_exact_median_hist_matches_native_median(spark):
+    """The histogram rank-selection equals ANSI MEDIAN (DuckDB native)
+    on the fixture, including even/odd group sizes on planted frames."""
+    from .parity import duckdb_connection
+
+    con = duckdb_connection(SF01)
+    native = {
+        r[0]: float(r[1])
+        for r in con.sql(
+            "SELECT event_type, MEDIAN(CAST(CAST(value AS DECIMAL(18,3))"
+            "*1000 AS BIGINT)) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    for r in QUERIES["a_exact_median_hist"](spark, SF01).collect():
+        assert native[r["event_type"]] == r["median_milli"]
+    con.close()
+
+    # planted: odd group -> middle value; even group -> mean of middles;
+    # heavy duplicates -> selection lands inside a run
+    df = spark.createDataFrame(
+        [("odd", v) for v in (5, 1, 9)]
+        + [("even", v) for v in (4, 2, 8, 6)]
+        + [("dup", v) for v in (3, 3, 3, 7, 9)],
+        ["event_type", "value"],
+    ).select("event_type", (F.col("value") / 1000.0).alias("value"))
+    got = {
+        r["event_type"]: (
+            r["median_milli_lo"], r["median_milli_hi"], r["median_milli"]
+        )
+        for r in _median_on(spark, df).collect()
+    }
+    assert got["odd"] == (5, 5, 5.0)
+    assert got["even"] == (4, 6, 5.0)
+    assert got["dup"] == (3, 3, 3.0)
+
+
+def _median_on(spark, ev):
+    """Run the a_exact_median_hist pipeline on an arbitrary
+    (event_type, value) frame."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import DecimalType
+
+    base = ev.select(
+        "event_type",
+        (F.col("value").cast(DecimalType(18, 3)) * 1000)
+        .cast("long")
+        .alias("m"),
+    )
+    hist = base.groupBy("event_type", "m").agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_all))
+    )
+    r_lo = F.floor((F.col("n") + 1) / 2)
+    r_hi = F.floor(F.col("n") / 2) + 1
+    lo = F.min(F.when(F.col("cum") >= r_lo, F.col("m")))
+    hi = F.min(F.when(F.col("cum") >= r_hi, F.col("m")))
+    return cum.groupBy("event_type").agg(
+        lo.alias("median_milli_lo"),
+        hi.alias("median_milli_hi"),
+        ((lo + hi) / 2.0).alias("median_milli"),
+    )
