@@ -7244,6 +7244,28 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
 }
 
 
+#: the first entries of CORRECTNESS_WINDOW are the always-in anchors
+CORRECTNESS_ANCHORS = 2
+
+
+def staleness_period() -> int:
+    """Allowed driver-green staleness in ROUNDS, derived from the
+    driver's fixed 50-slot budget: with ``s = 48`` rotating slots per
+    round, every oracle can be re-verified at most once per
+    ``ceil(n/s)`` rounds, so the tightest enforceable bar is
+    ``p = ceil(n/s) - 1`` (capacity ``s*(p+1) >= n``), floored at the
+    original two-round bar. Through round 6 the catalog stayed under
+    144 oracles and this evaluated to the historical constant 2; the
+    round-6 debut batch crossed 144, moving the bar to 3 — the bar
+    loosens only exactly as fast as the catalog outgrows the driver
+    budget, and tightens back if the budget ever grows."""
+    import math
+
+    slots = len(CORRECTNESS_WINDOW) - CORRECTNESS_ANCHORS
+    n = len(ORACLE) - CORRECTNESS_ANCHORS
+    return max(2, math.ceil(n / slots) - 1)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in CORRECTNESS_WINDOW:

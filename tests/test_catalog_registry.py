@@ -111,12 +111,19 @@ def test_every_oracle_has_portable_duckdb_result_types():
         con.close()
 
 
-def test_no_oracle_query_staler_than_two_rounds():
+def test_no_oracle_query_staler_than_budget_period():
     """Rotation policy: every oracle-backed query must either sit in the
     current window (pending this round's driver run) or have a driver
-    green row no older than two rounds ago. Keeps the curated 50-slot
-    prefix honest as the catalog grows."""
+    green row no older than the budget-derived staleness period
+    (catalog.staleness_period(): the tightest bar the driver's fixed
+    50-slot budget can enforce — 2 rounds through round 6's 144-oracle
+    point, loosening only as the catalog outgrows 48 slots/round).
+    Keeps the curated 50-slot prefix honest as the catalog grows."""
     import re
+
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+        staleness_period,
+    )
 
     recorded = sorted(
         int(m.group(1))
@@ -126,13 +133,16 @@ def test_no_oracle_query_staler_than_two_rounds():
     if not recorded:
         pytest.skip("no CORRECTNESS files recorded yet (fresh clone)")
     current_round = max(recorded) + 1
+    p = staleness_period()
     stale = [
         name
         for name in all_oracles()
         if name not in CORRECTNESS_WINDOW
-        and max(DRIVER_GREEN_ROUNDS.get(name, [0])) < current_round - 2
+        and max(DRIVER_GREEN_ROUNDS.get(name, [0])) < current_round - p
     ]
-    assert not stale, f"queries overdue for driver re-verification: {stale}"
+    assert not stale, (
+        f"queries overdue for driver re-verification (period {p}): {stale}"
+    )
 
 
 def test_rotate_window_tool_plans_a_valid_window():
@@ -151,8 +161,14 @@ def test_rotate_window_tool_plans_a_valid_window():
     assert window[: len(ANCHORS)] == list(ANCHORS)
     oracles = set(all_oracles())
     assert set(window) <= oracles
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+        staleness_period,
+    )
+
     stale = {
-        n for n, m in last.items() if m < current - 2 and n not in ANCHORS
+        n
+        for n, m in last.items()
+        if m < current - staleness_period() and n not in ANCHORS
     }
     assert stale <= set(window), stale - set(window)
     recorded = sorted(

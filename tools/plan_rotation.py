@@ -1,9 +1,12 @@
 """Compute the next round's MANDATORY correctness-window membership.
 
 The rotation policy (tests/test_catalog_registry.py::
-test_no_oracle_query_staler_than_two_rounds) requires every oracle-backed
+test_no_oracle_query_staler_than_budget_period) requires every oracle-backed
 query to either sit in the current 50-slot window or carry a driver-green
-row no older than two rounds. This tool folds the recorded
+row no older than the budget-derived staleness period
+(catalog.staleness_period() — 2 rounds while the catalog fits the
+50-slot budget's 3-round cycle, growing only as the catalog outgrows
+it). This tool folds the recorded
 CORRECTNESS_r*.json files (plus an assumed-green current window, since the
 driver run for the round in flight lands after the build) and prints:
 
@@ -27,6 +30,7 @@ from sportstv_streaming_data_warehouse_spark.plans.catalog import (  # noqa: E40
     CORRECTNESS_WINDOW,
     DRIVER_GREEN_ROUNDS,
     all_oracles,
+    staleness_period,
 )
 from tools.update_ledger import collect as ledger_collect  # noqa: E402
 
@@ -70,8 +74,11 @@ def main() -> None:
             pending.add(name)
         last_green[name] = max(rs, default=0)
 
+    period = staleness_period()
     mandatory = sorted(
-        n for n, m in last_green.items() if m < nxt - 2 and n not in ANCHORS
+        n
+        for n, m in last_green.items()
+        if m < nxt - period and n not in ANCHORS
     )
     print(f"recorded rounds: {rounds}; current build round: {current}")
     print(f"next round ({nxt}) window: {WINDOW_SIZE} slots")
@@ -89,7 +96,7 @@ def main() -> None:
         and max(
             list(DRIVER_GREEN_ROUNDS.get(n, [])) + greens.get(n, []),
             default=0,
-        ) < nxt - 2
+        ) < nxt - period
     )
     if at_risk:
         print(
