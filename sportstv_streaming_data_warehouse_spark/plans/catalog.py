@@ -7042,62 +7042,73 @@ CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # mandatory rotations: last driver-green row is round 3 (37 queries)
-    "a45_global_summary",
-    "a_cube_matrix",
-    "a_quantiles_by_flag",
-    "a_share_of_total",
-    "f_from_json_struct",
-    "h_monthly_from_daily",
-    "o1_top10_customers",
-    "p67_year_pruning",
-    "q_quality_audit",
-    "r2_unpivot_year_matrix",
-    "s45_source_stats",
-    "sql_surface_weekly_top",
-    "u34_set_ops",
-    "w2_peak_dow_per_flag",
-    "x_content_hash_split",
-    "x_decontamination",
-    "x_dedup_minhash_poly",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_poly",
-    "x_dedup_survivors",
-    "x_doc_chunking",
-    "x_doc_stats_by_lang",
-    "x_dupgraph_degree",
-    "x_embedding_quantize",
-    "x_fingerprint",
-    "x_knn_bruteforce",
-    "x_knn_lsh_poly",
-    "x_lang_id",
-    "x_pack_shards",
-    "x_quality_deciles",
-    "x_quality_score",
-    "x_repetition_filter",
-    "x_salted_skew_rollup",
-    "x_stratified_sample",
-    "x_text_stats",
-    "x_tfidf_top_terms",
-    "x_top_bigrams",
-    # free slots: round-7 pre-pay from the r4-last cohort (judge-named
-    # trio first); round-6 debuts displace from the BOTTOM of this list
-    "x_kmeans_lloyd",
-    "x_scd2_point_in_time",
-    # round-6 debuts (displaced w_sessionize, x_embedding_normalize,
-    # x_bm25_topk, x_dedup_canonical,
-    # x_dedup_incremental, x_user_value_trend, x_vocab_coverage,
-    # x_global_shuffle, x_quality_filter_by_lang — all r4-green,
-    # round-7 queue)
-    "x_salted_skew_join",
-    "x_passage_scrub_crossdoc",
-    "h_sketch_rollup_hll",
-    "x_heavy_hitters",
-    "x_distribution_drift",
-    "x_temporal_split_purged",
-    "w_event_sequences",
-    "x_cascade_delete_plan",
-    "q_out_of_order_audit",
+    # round-6 debuts: oracle-backed but never driver-scheduled (round-6
+    # verdict task #2) — head of the window so a CORRECTNESS_r07 row
+    # upgrades them from `weak` to `done`
+    "a_exact_median_hist",
+    "h_sketch_rollup_quantile",
+    "w_interpolate_linear",
+    "x_domain_mix_apply",
+    "x_interval_overlap_join",
+    # round-8 pre-pay from the r4-last cohort (44 members; nothing is
+    # MANDATORY for round 7 under staleness_period()=3, so every free
+    # slot drains next round's debt — oldest-first, name-ordered).
+    # Capacity note: greening 39 of 44 here leaves 5 r4 stragglers
+    # mandatory in r8 (48-slot budget absorbs them with 43 free), the
+    # 48-member r5 cohort pre-pays across r8 and lands mandatory in r9
+    # (fits exactly), so the rotation is solvent at 147 oracles/period 3.
+    "a11_type_dow_matrix",
+    "a12_yearly_validation",
+    "a13_avg_of_precomputed",
+    "a4_global_summary",
+    "a5_year_bounds",
+    "a6_growth_by_year_priority",
+    "a7_weekly_latest_year",
+    "a8_ratio_of_sums_by_type",
+    "f10_hours_arithmetic",
+    "f6_date_spine",
+    "f7_regex_inference_precedence",
+    "f_calendar_keys",
+    "j1_snowflake_flatten_distinct",
+    "j2_broadcast_user_enrichment",
+    "j5_fact_by_country",
+    "j6_fact_by_dow_via_date_dim",
+    "j7_enrich_with_fallback",
+    "ja_orphan_anti_join",
+    "js_semi_active_customers",
+    "o2_top_events_full_sort",
+    "o5_distinct_years_sorted",
+    "p2_filter_notnull_nonempty",
+    "p3_p4_p5_quality_clean",
+    "p6_year_equality_prune",
+    "p7_year_range_prune",
+    "p8_guarded_ratio",
+    "p9_null_audit",
+    "r1_pivot_year_matrix",
+    "s4_source_date_bounds",
+    "s5_row_counts",
+    "u2_distinct_pairs",
+    "u3_except_churned",
+    "u4_intersect_retained",
+    "w1_peak_week",
+    "w3_yoy_order_growth",
+    "w_sessionize",
+    "x_bm25_topk",
+    "x_dedup_canonical",
+    "x_dedup_incremental",
+    # (r4 stragglers deferred to r8 mandatory: x_embedding_normalize,
+    # x_global_shuffle, x_quality_filter_by_lang, x_user_value_trend,
+    # x_vocab_coverage)
+    # rows-only smoke tail (round-6 verdict tasks #3/#7): one-time slots
+    # so every catalog entry owns at least one driver record; these have
+    # no oracle BY DESIGN (hash-family fast paths / plan-shaped output)
+    # and the driver records a rows/err smoke row for them. They borrow
+    # 4 oracle slots this round only — staleness_period() counts them
+    # out of the rotating budget, so the bar stays honest.
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_knn_lsh_ann",
+    "x_compaction_plan",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -7108,15 +7119,15 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4, 5],
-    "star_fact_events": [1, 2, 3, 4, 5],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6],
+    "star_fact_events": [1, 2, 3, 4, 5, 6],
     "s1_scan_pruned_projection": [1, 2, 5],
-    "s45_source_stats": [2, 3],
+    "s45_source_stats": [2, 3, 6],
     "s4_source_date_bounds": [1, 4],
     "s5_row_counts": [1, 4],
     "p2_filter_notnull_nonempty": [1, 2, 4],
     "p3_p4_p5_quality_clean": [1, 2, 4],
-    "p67_year_pruning": [2, 3],
+    "p67_year_pruning": [2, 3, 6],
     "p6_year_equality_prune": [1, 4],
     "p7_year_range_prune": [1, 4],
     "p8_guarded_ratio": [1, 2, 4],
@@ -7128,7 +7139,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "j7_enrich_with_fallback": [1, 2, 4],
     "ja_orphan_anti_join": [1, 2, 4],
     "js_semi_active_customers": [1, 4],
-    "a45_global_summary": [2, 3],
+    "a45_global_summary": [2, 3, 6],
     "a4_global_summary": [1, 4],
     "a5_year_bounds": [1, 4],
     "a6_growth_by_year_priority": [1, 2, 4],
@@ -7137,75 +7148,75 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a11_type_dow_matrix": [1, 4],
     "a12_yearly_validation": [1, 4],
     "a13_avg_of_precomputed": [1, 4],
-    "a_cube_matrix": [2, 3],
+    "a_cube_matrix": [2, 3, 6],
     "a_rollup_hierarchy": [2, 3, 5],
-    "h_monthly_from_daily": [2, 3],
-    "a_quantiles_by_flag": [2, 3],
-    "a_share_of_total": [2, 3],
+    "h_monthly_from_daily": [2, 3, 6],
+    "a_quantiles_by_flag": [2, 3, 6],
+    "a_share_of_total": [2, 3, 6],
     "w1_peak_week": [1, 4],
-    "w2_peak_dow_per_flag": [1, 2, 3],
+    "w2_peak_dow_per_flag": [1, 2, 3, 6],
     "w3_yoy_order_growth": [1, 2, 4],
     "w_sessionize": [2, 3, 4],
     "w_moving_avg_7d": [2, 3, 5],
-    "o1_top10_customers": [1, 2, 3],
+    "o1_top10_customers": [1, 2, 3, 6],
     "o2_top_events_full_sort": [1, 4],
     "o5_distinct_years_sorted": [1, 4],
     "u1_union_two_sources": [1, 2, 5],
     "u2_distinct_pairs": [1, 4],
-    "u34_set_ops": [2, 3],
+    "u34_set_ops": [2, 3, 6],
     "u3_except_churned": [1, 4],
     "u4_intersect_retained": [1, 4],
     "r1_pivot_year_matrix": [1, 4],
-    "r2_unpivot_year_matrix": [1, 2, 3],
+    "r2_unpivot_year_matrix": [1, 2, 3, 6],
     "f_calendar_keys": [1, 2, 4],
     "f6_date_spine": [1, 2, 4],
     "f7_regex_inference_precedence": [1, 2, 4],
     "f10_hours_arithmetic": [1, 4],
     "f_json_extract": [2, 3, 5],
-    "f_from_json_struct": [2, 3],
-    "sql_surface_weekly_top": [2, 3],
-    "q_quality_audit": [2, 3],
+    "f_from_json_struct": [2, 3, 6],
+    "sql_surface_weekly_top": [2, 3, 6],
+    "q_quality_audit": [2, 3, 6],
     "x_dedup_exact": [1, 2, 5],
     "x_dedup_canonical": [1, 4],
     "x_dedup_token_jaccard": [1, 2, 5],
-    "x_dedup_minhash_poly": [2, 3],
-    "x_dedup_simhash_poly": [2, 3],
+    "x_dedup_minhash_poly": [2, 3, 6],
+    "x_dedup_simhash_poly": [2, 3, 6],
     "x_dedup_clusters": [2, 3, 5],
     "x_dedup_embedding_cosine": [2, 3, 5],
     "x_asof_join_last_signup": [1, 2, 5],
     "x_range_join_value_bands": [1, 2, 3, 5],
     "x_user_value_trend": [1, 2, 3, 4],
-    "x_knn_bruteforce": [2, 3],
-    "x_knn_lsh_poly": [2, 3],
+    "x_knn_bruteforce": [2, 3, 6],
+    "x_knn_lsh_poly": [2, 3, 6],
     "x_text_profile": [2, 3, 5],
-    "x_content_hash_split": [2, 3],
-    "x_quality_deciles": [2, 3],
+    "x_content_hash_split": [2, 3, 6],
+    "x_quality_deciles": [2, 3, 6],
     "x_cdc_fact_diff": [3, 5],
-    "x_salted_skew_rollup": [3],
+    "x_salted_skew_rollup": [3, 6],
     "x_knn_ivf_ann": [3, 5],
-    "x_dedup_ngram_jaccard": [3],
-    "x_decontamination": [3],
-    "x_stratified_sample": [3],
-    "x_pack_shards": [3],
-    "x_repetition_filter": [3],
-    "x_fingerprint": [3],
-    "x_top_bigrams": [3],
-    "x_doc_stats_by_lang": [3],
-    "x_text_stats": [3],
-    "x_lang_id": [3],
-    "x_quality_score": [3],
-    "x_doc_chunking": [3],
-    "x_tfidf_top_terms": [3],
-    "x_embedding_quantize": [3],
-    "x_dupgraph_degree": [3],
-    "x_dedup_survivors": [3],
+    "x_dedup_ngram_jaccard": [3, 6],
+    "x_decontamination": [3, 6],
+    "x_stratified_sample": [3, 6],
+    "x_pack_shards": [3, 6],
+    "x_repetition_filter": [3, 6],
+    "x_fingerprint": [3, 6],
+    "x_top_bigrams": [3, 6],
+    "x_doc_stats_by_lang": [3, 6],
+    "x_text_stats": [3, 6],
+    "x_lang_id": [3, 6],
+    "x_quality_score": [3, 6],
+    "x_doc_chunking": [3, 6],
+    "x_tfidf_top_terms": [3, 6],
+    "x_embedding_quantize": [3, 6],
+    "x_dupgraph_degree": [3, 6],
+    "x_dedup_survivors": [3, 6],
     "x_bm25_topk": [4],
     "x_dedup_incremental": [4],
     "x_embedding_normalize": [4],
     "x_global_shuffle": [4],
-    "x_kmeans_lloyd": [4],
+    "x_kmeans_lloyd": [4, 6],
     "x_quality_filter_by_lang": [4],
-    "x_scd2_point_in_time": [4],
+    "x_scd2_point_in_time": [4, 6],
     "x_vocab_coverage": [4],
     "a2_approx_distinct_scale": [5],
     "a_approx_quantile_audit": [5],
@@ -7241,26 +7252,53 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_unigram_surprisal": [5],
     "x_weighted_sample": [5],
     "x_zorder_layout_audit": [5],
+    "h_sketch_rollup_hll": [6],
+    "q_out_of_order_audit": [6],
+    "w_event_sequences": [6],
+    "x_cascade_delete_plan": [6],
+    "x_distribution_drift": [6],
+    "x_heavy_hitters": [6],
+    "x_passage_scrub_crossdoc": [6],
+    "x_salted_skew_join": [6],
+    "x_temporal_split_purged": [6],
 }
 
 
 #: the first entries of CORRECTNESS_WINDOW are the always-in anchors
 CORRECTNESS_ANCHORS = 2
 
+#: Signed-off staleness bar. staleness_period() derives the bar from
+#: catalog size vs driver budget, which means the correctness policy
+#: would LOOSEN silently as queries are added (round-6 advisor finding).
+#: This constant makes every change a reviewed event: if the derived
+#: period moves, tests/test_catalog_registry.py fails until a human
+#: updates this constant alongside a rationale here.
+#: History: 2 (rounds 1-5, <=144 oracles) -> 3 (round 6 crossed 144
+#: oracles; 48 slots * 4-round cycle = 192 capacity >= 147, reviewed
+#: and accepted round 7 — the driver's 50-slot budget is fixed by the
+#: harness, so growing the window was not an option).
+EXPECTED_STALENESS_PERIOD = 3
+
 
 def staleness_period() -> int:
     """Allowed driver-green staleness in ROUNDS, derived from the
-    driver's fixed 50-slot budget: with ``s = 48`` rotating slots per
-    round, every oracle can be re-verified at most once per
+    driver's fixed 50-slot budget: with ``s`` rotating slots per round
+    (window minus anchors), every oracle can be re-verified at most once per
     ``ceil(n/s)`` rounds, so the tightest enforceable bar is
     ``p = ceil(n/s) - 1`` (capacity ``s*(p+1) >= n``), floored at the
     original two-round bar. Through round 6 the catalog stayed under
     144 oracles and this evaluated to the historical constant 2; the
     round-6 debut batch crossed 144, moving the bar to 3 — the bar
     loosens only exactly as fast as the catalog outgrows the driver
-    budget, and tightens back if the budget ever grows."""
+    budget, and tightens back if the budget ever grows. Any move is
+    gated on EXPECTED_STALENESS_PERIOD above being updated in review."""
     import math
 
+    # Budget slots = the window's steady-state oracle capacity (full
+    # non-anchor width). Rows-only smoke entries are a one-round borrow
+    # and deliberately do NOT shrink the denominator: letting them would
+    # loosen the bar further in the very round that borrows — the
+    # opposite of the intent.
     slots = len(CORRECTNESS_WINDOW) - CORRECTNESS_ANCHORS
     n = len(ORACLE) - CORRECTNESS_ANCHORS
     return max(2, math.ceil(n / slots) - 1)

@@ -22,20 +22,35 @@ def test_window_is_the_registry_prefix():
     assert names[: len(CORRECTNESS_WINDOW)] == CORRECTNESS_WINDOW
 
 
-def test_window_entries_all_have_oracles():
+def test_window_oracle_entries_first_rows_only_smoke_tail():
+    """Oracle-backed entries fill the window head; rows-only entries are
+    permitted ONLY as a contiguous smoke tail (round-7 policy change:
+    rows-only queries get one driver rows/err record each, per the
+    round-6 verdict, by borrowing window slots for a round)."""
     oracles = all_oracles()
-    missing = [n for n in CORRECTNESS_WINDOW if n not in oracles]
-    assert not missing, f"window entries without oracle: {missing}"
+    tail_start = min(
+        (i for i, n in enumerate(CORRECTNESS_WINDOW) if n not in oracles),
+        default=len(CORRECTNESS_WINDOW),
+    )
+    offenders = [n for n in CORRECTNESS_WINDOW[tail_start:] if n in oracles]
+    assert not offenders, (
+        f"oracle-backed window entries after the rows-only smoke tail: {offenders}"
+    )
 
 
 def test_rows_only_queries_come_last():
+    """Rows-only queries NOT borrowed into the window must form a
+    contiguous tail of the registry, so the driver's oracle-compare
+    prefix and oracle-backed overflow stay contiguous."""
     names = list(all_queries())
     oracles = all_oracles()
+    overflow = names[len(CORRECTNESS_WINDOW):]
     tail_start = min(
-        (i for i, n in enumerate(names) if n not in oracles), default=len(names)
+        (i for i, n in enumerate(overflow) if n not in oracles),
+        default=len(overflow),
     )
-    assert all(n not in oracles for n in names[tail_start:]), (
-        "rows-only queries must form a contiguous tail"
+    assert all(n not in oracles for n in overflow[tail_start:]), (
+        "rows-only queries must form a contiguous registry tail"
     )
 
 
@@ -109,6 +124,23 @@ def test_every_oracle_has_portable_duckdb_result_types():
             assert_oracle_types_portable(con, sql, name)
     finally:
         con.close()
+
+
+def test_staleness_period_change_is_signed_off():
+    """The derived staleness bar may only move together with the
+    signed-off constant (round-6 advisor finding: a correctness-policy
+    invariant must not weaken silently as the catalog grows)."""
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+        EXPECTED_STALENESS_PERIOD,
+        staleness_period,
+    )
+
+    assert staleness_period() == EXPECTED_STALENESS_PERIOD, (
+        f"staleness_period() moved to {staleness_period()} but the "
+        f"signed-off constant is {EXPECTED_STALENESS_PERIOD} — review the "
+        "capacity math in catalog.py and update EXPECTED_STALENESS_PERIOD "
+        "with a rationale"
+    )
 
 
 def test_no_oracle_query_staler_than_budget_period():
