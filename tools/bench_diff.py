@@ -39,6 +39,12 @@ def main() -> None:
               "the METHODOLOGY change (count() under-measures pruned "
               "expressions by up to ~6x), not performance. Compare only "
               "same-probe entries.")
+    if prev.get("stat", "median") != cur.get("stat", "median"):
+        print("WARNING: summary statistics differ between runs "
+              f"({prev.get('stat', 'median')} vs {cur.get('stat', 'median')}) "
+              "— min3-median (round 7+) reads systematically FASTER than "
+              "the full-sample median on a noisy box. For a like-for-like "
+              "diff use queries_median_all from the detail record.")
     print(f"{'query':28} {'prev':>7} {'cur':>7} {'ratio':>6}")
     flagged = []
     for name, t in cur["queries"].items():
