@@ -310,6 +310,63 @@ def test_interval_overlap_join_is_banded_equi(spark):
     )
 
 
+def test_exact_median_windows_over_value_grain(spark):
+    # the rank-selection window must run over the (group, value)
+    # HISTOGRAM — two exchanges total (hash-agg to value grain, then
+    # repartition by group for the cumulative window); a window straight
+    # over raw events would be a per-event sort that degenerates into
+    # one fat task per low-cardinality group at scale
+    plan = plan_of(spark, "a_exact_median_hist")
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    # only the 2 needed columns are read
+    assert "value" in scans[0] and "event_type" in scans[0]
+    assert "user_id" not in scans[0] and "props" not in scans[0]
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_rollup_plan_shape(spark):
+    # sketch side: day-histogram hash-agg merged to weekly by ADDING
+    # counts — all hash aggregations, no sort-agg; the exact-audit side
+    # re-reads the fact once (in-band ≤1/32-error booleans are part of
+    # the output contract). Budget: ≤2 fact scans, both pruned to the 3
+    # needed columns, ≤5 exchanges, and the sk⋈ex join at weekly grain
+    # must never loop
+    plan = plan_of(spark, "h_sketch_rollup_quantile")
+    scans = scan_lines(plan)
+    assert len(scans) <= 2
+    for s in scans:
+        assert "props" not in s and "user_id" not in s
+    assert plan.count("Exchange") <= 5, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_interpolation_densifies_per_series(spark):
+    # gap densification must be a PER-SERIES sequence explode
+    # (Generate) joined back equi on (series, day) — a global date-spine
+    # cross join would be |series| x |days| at any scale
+    plan = plan_of(spark, "w_interpolate_linear")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_domain_mix_apply_broadcasts_plan(spark):
+    # the 20-row sampling plan must come back to the corpus as a
+    # broadcast hash join — any shuffle of the corpus for a 20-row dim
+    # is wrong at 100 TB; the single BNLJ is the audited 1-row
+    # weight-total broadcast (BNLJ_BUDGET)
+    plan = plan_of(spark, "x_domain_mix_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_spreads_hot_key(spark):
     # the salt replication is a Generate(explode) on the dim side and
     # the join is an equi-join on (key, salt) — no loop joins, and no
