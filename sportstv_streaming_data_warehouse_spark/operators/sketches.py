@@ -187,14 +187,18 @@ def qsketch_bucket(milli: Column) -> Column:
     so every value in a bucket is within 1/32 relative error of the
     bucket midpoint.
 
-    All arithmetic is integer-exact and engine-portable:
-    ``floor(log2(m))`` is ``length(bin(m)) - 1`` (no floating log at a
-    power-of-two boundary), the sub-bucket index is an exact integer
-    division of ``m*16`` by ``2^e`` (both well inside 2^53, so the
-    double division is exact), and the same expressions replay
-    bit-for-bit in the DuckDB oracle. Non-positive values map to
-    bucket -1 (a dedicated underflow cell, like DDSketch's zero
-    bucket).
+    All arithmetic is integer-exact and engine-portable over the FULL
+    long domain: ``floor(log2(m))`` is ``length(bin(m)) - 1`` (no
+    floating log at a power-of-two boundary), and the sub-bucket index
+    ``floor(m*16 / 2^e)`` is computed as ``shiftright(m, e-4)`` for
+    ``e >= 4`` (identical because 16 divides 2^e) and
+    ``shiftright(m*16, e)`` for ``e < 4`` (where ``m <= 15``) —
+    never a long multiply that wraps past 2^59 nor a double division
+    that rounds past 2^53 (round-6 advisor finding; DECIMAL(18,3)
+    milli-values legitimately reach ~1e18). The DuckDB oracle replays
+    the same split via exact BIGINT ``//`` by a power of two.
+    Non-positive values map to bucket -1 (a dedicated underflow cell,
+    like DDSketch's zero bucket).
 
     Mergeability is the point: per-partition / per-day sketches are
     plain (bucket, count) rows, merged by ADDING counts — the property
@@ -204,19 +208,31 @@ def qsketch_bucket(milli: Column) -> Column:
     quantile sketch with relative-error guarantees".)
     """
     e = (F.length(F.bin(milli)) - 1).cast("long")
-    p2 = F.pow(F.lit(2.0), e.cast("double")).cast("long")
-    sub = F.floor(milli * 16 / p2).cast("long") - 16
+    sub16 = F.when(
+        e >= 4, F.call_function("shiftright", milli, (e - 4).cast("int"))
+    ).otherwise(
+        F.call_function("shiftright", milli * 16, e.cast("int"))
+    ).cast("long")
+    sub = sub16 - 16
     return F.when(milli <= 0, F.lit(-1)).otherwise(e * 16 + sub)
 
 
 def qsketch_bucket_estimate(bucket: Column) -> Column:
     """Midpoint milli-unit estimate of a sketch bucket: for bucket
     ``b = e*16 + sub`` the bucket covers ``[2^e*(16+sub)/16,
-    2^e*(17+sub)/16)`` and the midpoint is ``2^e*(33+2*sub)/32``,
-    floored to an integer milli (exact: the double products stay far
-    inside 2^53). Bucket -1 (underflow) estimates 0."""
+    2^e*(17+sub)/16)`` and the midpoint is ``floor(2^e*(33+2*sub)/32)``.
+    Computed exactly over the full bucket range as
+    ``(33+2*sub) * 2^(e-5)`` for ``e >= 5`` (max value 63*2^57 < 2^63,
+    no wrap even for the top octave e=62 — the round-6 advisor's
+    overflow case) and ``((33+2*sub) * 2^e) // 32`` for ``e < 5``
+    (tiny). The powers of two come via pow(2.0, k) cast to long, exact
+    for every k <= 62. Bucket -1 (underflow) estimates 0."""
     e = F.floor(bucket / 16).cast("long")
     sub = (bucket % 16).cast("long")
-    p2 = F.pow(F.lit(2.0), e.cast("double")).cast("long")
-    est = F.floor(p2 * (33 + 2 * sub) / 32).cast("long")
+    odd = 33 + 2 * sub
+    p2_hi = F.pow(F.lit(2.0), (e - 5).cast("double")).cast("long")
+    p2_lo = F.pow(F.lit(2.0), e.cast("double")).cast("long")
+    est = F.when(e >= 5, odd * p2_hi).otherwise(
+        F.floor(odd * p2_lo / 32).cast("long")
+    )
     return F.when(bucket < 0, F.lit(0).cast("long")).otherwise(est)

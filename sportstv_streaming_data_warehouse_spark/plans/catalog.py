@@ -6570,11 +6570,17 @@ def w_interpolate_linear(spark, sf_dir):
       FROM events
     ),
     bk AS (
+      -- exact shiftright twin of operators/sketches.qsketch_bucket:
+      -- BIGINT // by a power of two, no long wrap / double rounding
       SELECT event_type, wk, d, m,
              CASE WHEN m <= 0 THEN -1
                   ELSE (length(bin(m)) - 1) * 16
-                       + CAST(FLOOR(m * 16
-                              / POWER(2.0, length(bin(m)) - 1)) AS BIGINT)
+                       + CASE WHEN length(bin(m)) - 1 >= 4
+                              THEN m // CAST(POWER(2.0,
+                                   length(bin(m)) - 5) AS BIGINT)
+                              ELSE (m * 16) // CAST(POWER(2.0,
+                                   length(bin(m)) - 1) AS BIGINT)
+                         END
                        - 16
              END AS bucket
       FROM base
@@ -6591,9 +6597,14 @@ def w_interpolate_linear(spark, sf_dir):
       FROM wk_sk
     ),
     est AS (
+      -- exact midpoint twin of qsketch_bucket_estimate: integer product
+      -- with 2^(e-5) for e>=5, BIGINT // 32 below — no top-octave wrap
       SELECT *, CASE WHEN bucket < 0 THEN 0
-                     ELSE CAST(FLOOR(POWER(2.0, FLOOR(bucket / 16))
-                               * (33 + 2 * (bucket % 16)) / 32) AS BIGINT)
+                     WHEN bucket // 16 >= 5
+                       THEN (33 + 2 * (bucket % 16))
+                            * CAST(POWER(2.0, bucket // 16 - 5) AS BIGINT)
+                     ELSE ((33 + 2 * (bucket % 16))
+                           * CAST(POWER(2.0, bucket // 16) AS BIGINT)) // 32
                 END AS est
       FROM cum
     ),

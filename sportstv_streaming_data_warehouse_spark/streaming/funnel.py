@@ -25,8 +25,16 @@ streaming aggregate over these per-user rows — the heavy lifting
 (ordered, per-user, exactly-once stage detection) happens here.
 
 Scale posture: state per user is three nullable longs + the pending
-events inside the watermark horizon — bounded by per-user event rate ×
-horizon, never by stream lifetime. Users shuffle once on user_id (the
+events inside the watermark horizon — the BUFFER is bounded by
+per-user event rate × horizon. Total state is bounded by users active
+within the ``state_ttl`` horizon (round-6 advisor finding: without a
+TTL the per-user slot lived for the stream lifetime): a user with no
+pending events whose last activity is ``state_ttl`` behind the
+watermark has their slot dropped on an event-time timeout. The
+documented trade-off: a user returning after a TTL eviction restarts
+the funnel machine and re-emits stages (a per-dormancy-epoch funnel);
+set ``state_ttl=None`` to keep the exact stream-lifetime semantics
+where state truly never expires. Users shuffle once on user_id (the
 same single-exchange key the batch funnel reuses across stages).
 
 Reference anchor: the reference's event stream feeds exactly this
@@ -76,17 +84,34 @@ OUT_SCHEMA = StructType(
 )
 
 
+def _duration_us(text: str) -> int:
+    """Parse "N days|hours|minutes|seconds" to microseconds."""
+    n, unit = text.split()
+    per = {
+        "day": 86_400_000_000, "days": 86_400_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "second": 1_000_000, "seconds": 1_000_000,
+    }[unit]
+    return int(n) * per
+
+
 def funnel_stream(
     stream: DataFrame,
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
     delay: str = "1 day",
+    state_ttl: str | None = "30 days",
 ) -> DataFrame:
     """stream(ts, user, event_type) → append-mode (user_id, stage,
     stage_ts) rows, one per completed funnel stage, exact under any
-    arrival order within the watermark ``delay``."""
+    arrival order within the watermark ``delay``. Per-user state is
+    evicted once the user has no pending events and the watermark is
+    ``state_ttl`` past their last activity (None disables eviction —
+    see the module docstring for the returning-user trade-off)."""
     stage_idx = {s: i for i, s in enumerate(STAGES)}
+    ttl_us = _duration_us(state_ttl) if state_ttl is not None else None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -121,12 +146,23 @@ def funnel_stream(
             elif t[si - 1] >= 0 and ts_us > t[si - 1] and t[si] < 0:
                 t[si] = ts_us
 
+        if state.hasTimedOut and not pending and not ready:
+            # TTL eviction: nothing buffered and nothing to flush —
+            # drop the slot so total state tracks ACTIVE users, not
+            # every user ever seen (round-6 advisor finding)
+            state.remove()
+            return
+
         state.update(
             (t[0], t[1], t[2], [e[0] for e in pending],
              [e[1] for e in pending])
         )
         if pending:
             state.setTimeoutTimestamp(min(e[0] for e in pending) // 1_000 + 1)
+        elif ttl_us is not None:
+            # schedule the dormancy eviction: ttl of event time past the
+            # current watermark with no pending events
+            state.setTimeoutTimestamp(wm_us // 1_000 + ttl_us // 1_000)
 
         newly = [
             (STAGES[i], t[i]) for i in range(3) if before[i] < 0 <= t[i]

@@ -57,6 +57,27 @@ def test_relative_error_contract_randomized(spark):
         assert b == e * 16 + sub, (m, b)
 
 
+def test_full_long_domain_no_overflow(spark):
+    """Round-6 advisor finding: the old multiply-then-divide bucket
+    wrapped for m > 2^59 and rounded past 2^53; the shiftright form
+    must match the arbitrary-precision python replica up to Long.MAX,
+    and the midpoint estimate must stay positive (no wrap) and inside
+    the 1/32 relative-error band at the top octaves."""
+    vals = sorted(
+        {2**k + off for k in range(45, 63) for off in (-1, 0, 1, 12345)}
+        | {2**63 - 1, 10**18, 10**18 + 7}
+    )
+    got = _buckets(spark, vals)
+    for m, (b, est) in got.items():
+        e = m.bit_length() - 1
+        sub = (m * 16) // (1 << e) - 16
+        assert b == e * 16 + sub, (m, b)
+        gt_est = ((33 + 2 * sub) << e) >> 5
+        assert est == gt_est, (m, est, gt_est)
+        assert est > 0
+        assert abs(est - m) * 32 <= m + 32, (m, b, est)
+
+
 def test_merge_of_partial_sketches_is_sketch_of_union(spark):
     rng = random.Random(7)
     part_a = [(1, rng.randint(1, 10**6)) for _ in range(300)]

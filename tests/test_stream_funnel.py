@@ -19,12 +19,12 @@ def _drop(path, name, rows):
             f.write(json.dumps(r) + "\n")
 
 
-def _run(spark, in_path, out_path, ckpt):
+def _run(spark, in_path, out_path, ckpt, state_ttl="30 days"):
     stream = spark.readStream.schema(
         "user_id long, event_type string, ts timestamp"
     ).json(in_path)
     q = (
-        funnel_stream(stream, delay="2 days")
+        funnel_stream(stream, delay="2 days", state_ttl=state_ttl)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_path)
@@ -175,3 +175,60 @@ def test_stream_funnel_parity_with_catalog_batch(spark, tmp_path):
         if r["user_id"] != 10**9
     }
     assert got == want
+
+
+def _ttl_scenario(spark, tmp_path, sub, state_ttl):
+    """Shared drops for the TTL tests: user 9's view finalizes, the user
+    then goes dormant while the watermark advances, and a fresh view
+    arrives after the dormancy gap. Returns user 9's emitted view rows."""
+    in_path, out_path, ckpt = (
+        str(tmp_path / sub / "in"),
+        str(tmp_path / sub / "out"),
+        str(tmp_path / sub / "ckpt"),
+    )
+    _drop(in_path, "b0.json", [
+        {"user_id": 9, "event_type": "view", "ts": "2024-06-01 00:00:00"},
+        {"user_id": 99, "event_type": "view", "ts": "2024-06-05 00:00:00"},
+    ])
+    _run(spark, in_path, out_path, ckpt, state_ttl=state_ttl)
+    # dormancy: only a sentinel advances the watermark far past
+    # (last-activity watermark + ttl), so user 9's slot times out in a
+    # batch where they have no data
+    _drop(in_path, "b1.json", [
+        {"user_id": 98, "event_type": "view", "ts": "2024-06-20 00:00:00"},
+    ])
+    _run(spark, in_path, out_path, ckpt, state_ttl=state_ttl)
+    # the user returns; another sentinel finalizes their new view
+    _drop(in_path, "b2.json", [
+        {"user_id": 9, "event_type": "view", "ts": "2024-06-21 00:00:00"},
+    ])
+    _run(spark, in_path, out_path, ckpt, state_ttl=state_ttl)
+    _drop(in_path, "b3.json", [
+        {"user_id": 97, "event_type": "view", "ts": "2024-06-25 00:00:00"},
+    ])
+    _run(spark, in_path, out_path, ckpt, state_ttl=state_ttl)
+    return sorted(
+        r["stage_ts"].strftime("%Y-%m-%d")
+        for r in spark.read.parquet(out_path).collect()
+        if r["user_id"] == 9 and r["stage"] == "view"
+    )
+
+
+def test_state_ttl_evicts_dormant_user_and_funnel_restarts(
+    spark, tmp_path
+):
+    """Round-6 advisor finding: per-user state must not live for the
+    stream lifetime. With a 3-day TTL the dormant user's slot is
+    evicted, so the returning view starts a FRESH funnel and re-emits —
+    the documented per-dormancy-epoch trade-off that proves the state
+    was actually dropped."""
+    views = _ttl_scenario(spark, tmp_path, "short", state_ttl="3 days")
+    assert views == ["2024-06-01", "2024-06-21"]
+
+
+def test_long_ttl_keeps_state_and_suppresses_reemission(spark, tmp_path):
+    """Control: with a TTL longer than the dormancy gap the slot
+    survives, the machine remembers view is already completed, and the
+    returning view emits nothing."""
+    views = _ttl_scenario(spark, tmp_path, "long", state_ttl="300 days")
+    assert views == ["2024-06-01"]
