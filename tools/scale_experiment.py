@@ -108,6 +108,16 @@ QUERY_SET = [
     "x_distribution_drift",
     "x_temporal_split_purged",
     "w_event_sequences",
+    # round-6 debuts (measured round 7): the sketch/median pair must
+    # stay grain-bounded under 10x events (value-domain histogram, not
+    # per-event window state); the interval join's banded explode grows
+    # with spans but the bucket equi-join never degenerates; the mix
+    # apply is scan-bound with a broadcast 20-row plan
+    "a_exact_median_hist",
+    "h_sketch_rollup_quantile",
+    "w_interpolate_linear",
+    "x_domain_mix_apply",
+    "x_interval_overlap_join",
 ]
 # x_dedup_incremental is measured in the ZIPF experiment below, not on
 # the fixture replicas: replicas carry IDENTICAL texts, so every batch
