@@ -220,8 +220,16 @@ def banded_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs via sign-LSH banding + exact refine.
+
+    ``payload_cols`` rides extra per-vector columns through the refine
+    joins the pipeline ALREADY makes (the vector re-attach), surfacing
+    them as ``<col>_a`` / ``<col>_b`` on each pair — so a consumer that
+    needs per-side attributes (hard-negative mining needs labels) pays
+    zero additional shuffles of the pair table instead of two
+    full-width joins after the fact.
 
     ``max_bucket_size`` skips (band, signature) buckets larger than the
     cap — the quadratic-blowup guard for dup-heavy corpora, analogous to
@@ -283,13 +291,16 @@ def banded_cosine_pairs(
     )
     # refine: re-attach vectors (+ precomputed norms — one per vector
     # instead of one per pair) and keep exact-cosine >= threshold
+    payload = list(payload_cols or [])
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__ea"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
     ).withColumn("__na", norm(F.col("__ea")))
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__eb"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
     ).withColumn("__nb", norm(F.col("__eb")))
     return (
         cand.join(va, "id_a")
@@ -299,7 +310,13 @@ def banded_cosine_pairs(
             dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        .select(
+            "id_a",
+            "id_b",
+            "cosine_sim",
+            *[f"{c}_a" for c in payload],
+            *[f"{c}_b" for c in payload],
+        )
     )
 
 

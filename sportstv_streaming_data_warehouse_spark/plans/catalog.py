@@ -5971,10 +5971,14 @@ def x_hard_negatives(spark, sf_dir):
     # all-pairs argmax is corpus² and x_knn_bruteforce's deliberate
     # baseline covers the exact path). Reuses banded_cosine_pairs in
     # the capped configuration with NO cosine threshold (every bucket
-    # candidate competes), unfolds to both orientations, drops
-    # same-label pairs, and takes the per-anchor argmax via max(struct)
-    # — a hash-agg, no per-anchor sort. Cosine values are the same
-    # fold-pinned doubles the cosine-dedup oracle already hash-matches.
+    # candidate competes), rides the labels through the pipeline's OWN
+    # vector-refine joins (payload_cols — round-7 plan fix: the previous
+    # version re-joined the pair table against the label table twice,
+    # two extra shuffles of the largest intermediate), drops same-label
+    # pairs BEFORE the orientation unfold, and takes the per-anchor
+    # argmax via max(struct) — a hash-agg, no per-anchor sort. Cosine
+    # values are the same fold-pinned doubles the cosine-dedup oracle
+    # already hash-matches.
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.banded_cosine_pairs(
         emb,
@@ -5984,41 +5988,30 @@ def x_hard_negatives(spark, sf_dir):
         n_bands=_EC["n_bands"],
         seed=_EC["seed"],
         max_bucket_size=_EC["cap"],
-    )
+        payload_cols=["label"],
+    ).filter(F.col("label_a") != F.col("label_b"))
     # both orientations via ONE explode — a unionAll of two selects would
     # re-evaluate the whole banded pipeline (pandas-UDF signatures,
     # bucket join, cosine refine) once per branch
-    sym = pairs.select(
+    j = pairs.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("id_a").alias("anchor"), F.col("id_b").alias("neg")
+                    F.col("id_a").alias("anchor"),
+                    F.col("label_a").alias("anchor_label"),
+                    F.col("id_b").alias("neg"),
+                    F.col("label_b").alias("neg_label"),
                 ),
                 F.struct(
-                    F.col("id_b").alias("anchor"), F.col("id_a").alias("neg")
+                    F.col("id_b").alias("anchor"),
+                    F.col("label_b").alias("anchor_label"),
+                    F.col("id_a").alias("neg"),
+                    F.col("label_a").alias("neg_label"),
                 ),
             )
         ).alias("p"),
         F.col("cosine_sim").alias("cos"),
-    ).select(F.col("p.anchor").alias("anchor"), F.col("p.neg").alias("neg"), "cos")
-    lbl = emb.select("vec_id", "label")
-    j = (
-        sym.join(
-            lbl.select(
-                F.col("vec_id").alias("anchor"),
-                F.col("label").alias("anchor_label"),
-            ),
-            "anchor",
-        )
-        .join(
-            lbl.select(
-                F.col("vec_id").alias("neg"),
-                F.col("label").alias("neg_label"),
-            ),
-            "neg",
-        )
-        .filter(F.col("anchor_label") != F.col("neg_label"))
-    )
+    ).select("p.anchor", "p.anchor_label", "p.neg", "p.neg_label", "cos")
     best = j.groupBy("anchor", "anchor_label").agg(
         F.max(
             F.struct(
