@@ -12,8 +12,11 @@ the previous round's CORRECTNESS file:
 Window policy (the same one every manual rotation followed):
   1. the two ANCHORS stay, always;
   2. every oracle whose last driver-green row is older than
-     current_round - 2 is MANDATORY (the staleness gate in
-     tests/test_catalog_registry.py fires otherwise);
+     current_round - staleness_period() is MANDATORY (the staleness
+     gate in tests/test_catalog_registry.py fires otherwise; the
+     period is the signed-off budget-derived bar from catalog.py —
+     round 7 aligned this tool with it, the hard-coded 2 would have
+     declared a false OVER BUDGET once the r5 cohort came due);
   3. remaining free slots pre-pay the NEXT round's debt: oldest
      last-green first, name-ordered within a round cohort.
 New debuts are NOT scheduled here — a debut displaces the newest
@@ -36,6 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sportstv_streaming_data_warehouse_spark.plans.catalog import (  # noqa: E402
     DRIVER_GREEN_ROUNDS,
     all_oracles,
+    staleness_period,
 )
 from tools.plan_rotation import ANCHORS, WINDOW_SIZE, recorded_rounds  # noqa: E402
 
@@ -81,8 +85,9 @@ def plan_window() -> tuple[list[str], int, dict[str, int]]:
         for n in all_oracles()
         if n in DRIVER_GREEN_ROUNDS
     }
+    period = staleness_period()
     mandatory = sorted(
-        n for n, m in last.items() if m < current - 2 and n not in ANCHORS
+        n for n, m in last.items() if m < current - period and n not in ANCHORS
     )
     free = WINDOW_SIZE - len(ANCHORS) - len(mandatory)
     if free < 0:
@@ -105,10 +110,10 @@ def render(window: list[str], current: int, last: dict[str, int]) -> str:
     lines += [f'    "{n}",' for n in ANCHORS]
     lines.append(
         f"    # round-{current} mandatory rotations "
-        f"(last green < r{current - 2}) — tools/rotate_window.py"
+        f"(last green < r{current - staleness_period()}) — tools/rotate_window.py"
     )
     body = window[len(ANCHORS):]
-    n_mand = sum(1 for n in body if last[n] < current - 2)
+    n_mand = sum(1 for n in body if last[n] < current - staleness_period())
     lines += [f'    "{n}",' for n in body[:n_mand]]
     lines.append(
         f"    # round-{current + 1} pre-pay (oldest last-green first); "
@@ -132,7 +137,7 @@ def main() -> None:
     open(CATALOG, "w").write(src[: m.start()] + block + src[m.end():])
     print(
         f"window rewritten for round {current}: {len(window)} slots "
-        f"({sum(1 for n in window if n not in ANCHORS and last[n] < current - 2)}"
+        f"({sum(1 for n in window if n not in ANCHORS and last[n] < current - staleness_period())}"
         f" mandatory). Run: python -m pytest tests/test_catalog_registry.py -q"
     )
 
