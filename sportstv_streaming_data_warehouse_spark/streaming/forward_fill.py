@@ -29,6 +29,17 @@ Semantics vs the batch twin (pinned by tests/test_stream_forward_fill):
 Scale posture: state per series is two scalars plus the pending days
 still inside the watermark horizon — bounded by series-count x horizon,
 never by stream history. The grouped shuffle is on the series key only.
+Series-count itself is the residual growth term: LOCF's contract keeps
+the carry value alive for however long the next observation takes, so a
+DEAD series (decommissioned device) otherwise leaks its slot forever.
+``state_ttl`` bounds that: a series with no pending days whose last
+emission is ``state_ttl`` behind the watermark is evicted on an
+event-time timeout. The trade-off is explicit data loss relative to the
+batch twin — a series returning after eviction restarts its spine at
+the new observation and the dormancy gap is NOT backfilled — which is
+why the DEFAULT is None (exact batch parity; funnel's eviction merely
+re-emits, LOCF's suppresses fills, so the defaults differ). Production
+deployments with churning series should set it (e.g. "365 days").
 """
 
 from __future__ import annotations
@@ -84,15 +95,21 @@ def forward_fill_stream(
     ts_col: str = "ts",
     value_col: str = "value",
     delay: str = "1 day",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """events(ts, series..., value) → append-mode LOCF daily series.
 
     Returns one row per (series, day) from the series' first observed
     day through its last, finalized as the watermark passes each day:
     (series..., d DATE, filled_value DOUBLE, is_filled BOOLEAN).
+    ``state_ttl`` evicts dormant series slots (module docstring) —
+    None, the default, keeps exact batch-twin parity.
     """
+    from .util import duration_ms
+
     out_schema = _output_schema(series_cols)
     n_keys = len(series_cols)
+    ttl_ms = duration_ms(state_ttl) if state_ttl is not None else None
     key_names = list(series_cols)
     # captured as enclosing-scope ints (pickled by value): the closure
     # stays executor-self-contained without shadowing the module constants
@@ -146,6 +163,20 @@ def forward_fill_stream(
                 rows_f.append(filled)
                 last_day = d
 
+        if (
+            ttl_ms is not None
+            and state.hasTimedOut
+            and not pending
+            and not rows_d
+        ):
+            # TTL eviction: the DORMANCY timeout fired (a flush timeout
+            # always emits or leaves pending, so an empty invocation
+            # means nothing has happened for a full TTL) — drop the
+            # slot so state tracks LIVE series, not every series ever
+            # seen (see the module docstring for the restart trade-off)
+            state.remove()
+            return
+
         state.update(
             (
                 -1 if last_day is None else last_day,
@@ -168,6 +199,19 @@ def forward_fill_stream(
             if last_day is not None and last_day + 1 < next_day:
                 next_day = last_day + 1
             state.setTimeoutTimestamp((next_day + 1) * day_ms)
+        elif ttl_ms is not None:
+            # dormancy eviction clock: ttl of EVENT TIME past the
+            # series' own last emitted day (not the invocation-time
+            # watermark — a flush that runs after a big watermark jump
+            # would otherwise restart the clock from the jump and keep
+            # an already-dormant series alive a full extra TTL); clamped
+            # above the current watermark because past timestamps are
+            # rejected — an overdue series then times out on the next
+            # no-data batch
+            anchor = (
+                (last_day + 1) * day_ms if last_day is not None else wm_ms
+            )
+            state.setTimeoutTimestamp(max(wm_ms + 1, anchor + ttl_ms))
 
         if rows_d:
             data = {name: rows_key[i] for i, name in enumerate(key_names)}

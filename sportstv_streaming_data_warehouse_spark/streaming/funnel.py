@@ -84,18 +84,6 @@ OUT_SCHEMA = StructType(
 )
 
 
-def _duration_us(text: str) -> int:
-    """Parse "N days|hours|minutes|seconds" to microseconds."""
-    n, unit = text.split()
-    per = {
-        "day": 86_400_000_000, "days": 86_400_000_000,
-        "hour": 3_600_000_000, "hours": 3_600_000_000,
-        "minute": 60_000_000, "minutes": 60_000_000,
-        "second": 1_000_000, "seconds": 1_000_000,
-    }[unit]
-    return int(n) * per
-
-
 def funnel_stream(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -110,8 +98,10 @@ def funnel_stream(
     evicted once the user has no pending events and the watermark is
     ``state_ttl`` past their last activity (None disables eviction —
     see the module docstring for the returning-user trade-off)."""
+    from .util import duration_ms
+
     stage_idx = {s: i for i, s in enumerate(STAGES)}
-    ttl_us = _duration_us(state_ttl) if state_ttl is not None else None
+    ttl_us = duration_ms(state_ttl) * 1_000 if state_ttl is not None else None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -229,3 +229,94 @@ def test_gap_days_emit_promptly_before_next_observation_finalizes(
     for d in ("2024-01-06", "2024-01-07", "2024-01-08"):
         assert got[("A", d)] == (3.0, True), d
     assert ("A", "2024-01-11") not in got  # still pending, correctly
+
+
+def _run_ttl(spark, in_path, out_path, ckpt, state_ttl):
+    stream = spark.readStream.schema(
+        "series_id string, ts timestamp, value double"
+    ).json(in_path)
+    q = (
+        forward_fill_stream(
+            stream, series_cols=("series_id",), state_ttl=state_ttl
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ttl_scenario(spark, tmp_path, sub, state_ttl):
+    """Series A observes Jan 1, goes dormant while sentinels advance the
+    watermark, then observes again Feb 20. With eviction the dormancy
+    gap must NOT backfill (the spine restarts); without it LOCF fills
+    every interior day. Returns A's rows."""
+    inp, outp, ckpt = (
+        str(tmp_path / sub / "in"),
+        str(tmp_path / sub / "out"),
+        str(tmp_path / sub / "ckpt"),
+    )
+    _drop(inp, "b0.json", [
+        {"series_id": "A", "ts": "2024-01-01 12:00:00", "value": 5.0},
+        {"series_id": "W", "ts": "2024-01-03 00:00:00", "value": 1.0},
+    ])
+    _run_ttl(spark, inp, outp, ckpt, state_ttl)
+    # prompt watermark step: A's Jan 1 flushes while the watermark is
+    # still near the observation, so the dormancy clock anchors at
+    # last_day + ttl (the steady-advancement case; a single giant jump
+    # straight to Feb would legitimately defer eviction one batch)
+    _drop(inp, "b0b.json", [
+        {"series_id": "W", "ts": "2024-01-06 00:00:00", "value": 1.0},
+    ])
+    _run_ttl(spark, inp, outp, ckpt, state_ttl)
+    # dormancy: sentinel-only batch pushes the watermark far past
+    # (A's last activity + ttl) so A's slot times out with no data
+    _drop(inp, "b1.json", [
+        {"series_id": "W", "ts": "2024-02-15 00:00:00", "value": 1.0},
+    ])
+    _run_ttl(spark, inp, outp, ckpt, state_ttl)
+    # A returns; a final sentinel finalizes the new observation
+    _drop(inp, "b2.json", [
+        {"series_id": "A", "ts": "2024-02-20 12:00:00", "value": 7.0},
+    ])
+    _run_ttl(spark, inp, outp, ckpt, state_ttl)
+    _drop(inp, "b3.json", [
+        {"series_id": "W", "ts": "2024-02-25 00:00:00", "value": 1.0},
+    ])
+    _run_ttl(spark, inp, outp, ckpt, state_ttl)
+    return {
+        r["d"].isoformat(): (r["filled_value"], r["is_filled"])
+        for r in spark.read.parquet(outp).collect()
+        if r["series_id"] == "A"
+    }
+
+
+def test_state_ttl_evicts_dormant_series_and_spine_restarts(
+    spark, tmp_path
+):
+    """With a 10-day TTL the dormant slot is dropped: the dormancy gap
+    is NOT backfilled and the returning observation restarts the spine
+    — the explicit data-loss trade-off the docstring documents, proving
+    the state was actually evicted."""
+    got = _ttl_scenario(spark, tmp_path, "short", state_ttl="10 days")
+    assert got["2024-01-01"] == (5.0, False)
+    assert got["2024-02-20"] == (7.0, False)
+    # no fills in the dormancy gap
+    assert not any(
+        "2024-01-01" < d < "2024-02-20" for d in got
+    ), sorted(got)
+
+
+def test_long_ttl_keeps_state_and_backfills_gap(spark, tmp_path):
+    """Control: a TTL longer than the dormancy keeps the slot, so LOCF
+    fills every interior day exactly as with state_ttl=None."""
+    got = _ttl_scenario(spark, tmp_path, "long", state_ttl="300 days")
+    assert got["2024-01-01"] == (5.0, False)
+    assert got["2024-02-20"] == (7.0, False)
+    assert got["2024-01-15"] == (5.0, True)
+    assert got["2024-02-19"] == (5.0, True)
+    # every interior day filled
+    assert len(got) == (31 + 20)  # Jan 1..Feb 20 inclusive
