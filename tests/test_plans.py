@@ -367,6 +367,16 @@ def test_domain_mix_apply_broadcasts_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_incremental_dedup_argmax_is_hash_agg(spark):
+    # per-batch-doc best match must stay a max(struct) hash-agg: the
+    # round-7 profile measured the former count-window + row_number-
+    # window pair as two sort passes over the 1.26M-row pair table
+    plan = plan_of(spark, "x_dedup_incremental")
+    assert "Window" not in plan, "argmax regressed to a window sort"
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_spreads_hot_key(spark):
     # the salt replication is a Generate(explode) on the dim side and
     # the join is an equi-join on (key, salt) — no loop joins, and no
