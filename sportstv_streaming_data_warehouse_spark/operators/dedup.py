@@ -248,7 +248,15 @@ def incremental_near_duplicates(
     bc = _banded_minhash(
         corpus, id_col, text_col, num_hashes, bands, n, seed, portable
     ).alias("c")
-    cand = (
+    # same hash-aggregable shape as minhash_near_duplicates: score in
+    # the join projection, dedup narrow primitive rows (see the comment
+    # there for the SortAggregate/array-shuffle rationale)
+    est = F.aggregate(
+        F.zip_with("b.signature", "c.signature", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
         bb.join(
             bc,
             on=[
@@ -259,20 +267,10 @@ def incremental_near_duplicates(
         .select(
             F.col(f"b.{id_col}").alias("batch_id"),
             F.col(f"c.{id_col}").alias("corpus_id"),
-            F.col("b.signature").alias("sig_b"),
-            F.col("c.signature").alias("sig_c"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["batch_id", "corpus_id"])
-    )
-    est = F.aggregate(
-        F.zip_with("sig_b", "sig_c", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .select("batch_id", "corpus_id", "est_jaccard")
+        .dropDuplicates(["batch_id", "corpus_id"])
     )
 
 
@@ -305,7 +303,22 @@ def minhash_near_duplicates(
 
     left = banded.alias("a")
     right = banded.alias("b")
-    cand = (
+    # est is computed IN the join projection (identical for every band
+    # a pair collides in — the signatures don't depend on the band), so
+    # the pair dedup below is a distinct over three primitive columns.
+    # The former shape deduped (id_a, id_b) rows CARRYING the signature
+    # arrays: array-typed aggregation buffers disqualify HashAggregate,
+    # so Spark planned the dedup as a SortAggregate over the pair table
+    # AND shuffled two 32-slot arrays per candidate (round-7 plan
+    # audit); this shape hash-aggregates and shuffles ~8x fewer bytes
+    # at the cost of re-evaluating one 32-slot zip_with per extra band
+    # collision.
+    est = F.aggregate(
+        F.zip_with("a.signature", "b.signature", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
         left.join(
             right,
             on=[
@@ -317,21 +330,10 @@ def minhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
-    return (
-        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

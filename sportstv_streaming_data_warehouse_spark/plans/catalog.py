@@ -2748,27 +2748,34 @@ def x_dedup_incremental(spark, sf_dir):
         num_hashes=_MH_K, bands=_MH_BANDS, n=1,
         threshold=_MH_TAU, seed=_MH_SEED, portable=True,
     )
-    # per-batch-doc best match as ONE hash-agg: max(struct) orders by
-    # est_jaccard desc then corpus_id asc (negation inverts the
-    # tiebreak), replacing the former count-window + row_number-window
-    # pair — two sort-based passes over the pair table that measured
-    # 2.2x the whole query's cost at sf0.1 (round-7 profile)
+    # per-batch-doc best match as ONE TRUE hash-agg, replacing the
+    # former count-window + row_number-window pair (two sort passes
+    # over the pair table). max(struct) would keep the argmax semantics
+    # but a struct aggregation buffer disqualifies HashAggregate and
+    # Spark falls back to SortAggregate (round-7 plan audit) — so the
+    # (est desc, corpus_id asc) order is packed into ONE bigint:
+    # est_jaccard is the exact rational k/_MH_K, so k rides the high
+    # bits and the bit-complemented corpus_id the low 44 (valid for
+    # ids < 2^44 ≈ 1.7e13 — widen the shift for a larger id space).
+    # Unpacking k and re-dividing by float(_MH_K) reproduces the
+    # original double bit-for-bit (same int/double division).
+    m44 = (1 << 44) - 1
+    k = F.round(F.col("est_jaccard") * _MH_K).cast("long")
+    packed = k * (1 << 44) + (F.lit(m44) - F.col("corpus_id"))
     return (
         pairs.groupBy("batch_id")
         .agg(
             F.count("*").alias("n_corpus_dups"),
-            F.max(
-                F.struct(
-                    F.col("est_jaccard"),
-                    (-F.col("corpus_id")).alias("__nc"),
-                    F.col("corpus_id"),
-                )
-            ).alias("b"),
+            F.max(packed).alias("__p"),
         )
         .select(
             "batch_id",
-            F.col("b.corpus_id").alias("corpus_id"),
-            F.col("b.est_jaccard").alias("est_jaccard"),
+            (F.lit(m44) - F.col("__p").bitwiseAND(F.lit(m44))).alias(
+                "corpus_id"
+            ),
+            (
+                F.shiftright(F.col("__p"), 44) / F.lit(float(_MH_K))
+            ).alias("est_jaccard"),
             "n_corpus_dups",
         )
     )
