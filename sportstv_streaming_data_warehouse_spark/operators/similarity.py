@@ -427,38 +427,55 @@ def lsh_bucketed_topk(
     x_knn_lsh_poly); the gaussian-plane variant stays the default.
     """
     corpus = _ensure_parallelism(corpus)
-    tables = []
-    for t in range(n_tables):
-        if portable:
-            planes = [
-                lcg_plane(dim, seed + (t * n_planes + i) * dim)
-                for i in range(n_planes)
-            ]
-        else:
-            planes = _hyperplanes(dim, n_planes, seed + t)
-        c = corpus.select(
-            F.lit(t).alias("tbl"),
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        q = queries.select(
-            F.lit(t).alias("tbl"),
-            F.col(id_col).alias(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            lsh_signature(F.col(vec_col), planes).alias("bucket"),
-        )
-        tables.append((c, q))
+    # One scan per side computes ALL table signatures and posexplodes to
+    # (tbl, bucket, id) key rows — ids only, vectors re-attach AFTER the
+    # candidate dedup. The former shape ran one corpus⋈queries join PER
+    # TABLE carrying both 64-float vectors through every join and the
+    # dedup (an array-buffer dropDuplicates that planned as a
+    # SortAggregate over vector-wide rows): L scans of each side, a
+    # 301-line plan, ~50x wider shuffles (round-7 plan audit). The
+    # candidate SET is identical — pairs sharing ≥1 (table, bucket) —
+    # so the scored output and the SQL oracle hash are unchanged.
+    planes_by_table = [
+        [
+            lcg_plane(dim, seed + (t * n_planes + i) * dim)
+            for i in range(n_planes)
+        ]
+        if portable
+        else _hyperplanes(dim, n_planes, seed + t)
+        for t in range(n_tables)
+    ]
 
-    cand = None
-    for c, q in tables:
-        j = c.join(q, on=["tbl", "bucket"]).filter(
-            F.col("neighbor_id") != F.col(query_id_col)
+    def sig_array(vec):
+        return F.array(
+            *[lsh_signature(vec, p) for p in planes_by_table]
         )
-        cand = j if cand is None else cand.unionByName(j)
-    cand = cand.dropDuplicates([query_id_col, "neighbor_id"])
 
-    scored = cand.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    c_keys = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(sig_array(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    q_keys = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(sig_array(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    cand = (
+        c_keys.join(q_keys, on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(qv, query_id_col)
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
