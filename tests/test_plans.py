@@ -368,13 +368,26 @@ def test_domain_mix_apply_broadcasts_plan(spark):
 
 
 def test_incremental_dedup_argmax_is_hash_agg(spark):
-    # per-batch-doc best match must stay a max(struct) hash-agg: the
+    # per-batch-doc best match must stay a packed-bigint hash-agg: the
     # round-7 profile measured the former count-window + row_number-
-    # window pair as two sort passes over the 1.26M-row pair table
+    # window pair as two sort passes over the 1.26M-row pair table, and
+    # the max(struct) middle ground fell back to SortAggregate
     plan = plan_of(spark, "x_dedup_incremental")
     assert "Window" not in plan, "argmax regressed to a window sort"
+    assert "SortAggregate" not in plan, "agg buffer regressed to sort-based"
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x_dedup_minhash_poly", "x_knn_lsh_poly"]
+)
+def test_pair_tier_dedups_stay_hash_aggregable(spark, name):
+    # candidate dedup must run over primitive (id, id[, est]) rows —
+    # carrying signature arrays or vectors through the dedup disqualifies
+    # HashAggregate and shuffles wide rows (round-7 audit)
+    plan = plan_of(spark, name)
+    assert "SortAggregate" not in plan, "pair dedup regressed to sort-agg"
 
 
 def test_salted_join_spreads_hot_key(spark):
