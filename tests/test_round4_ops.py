@@ -228,3 +228,48 @@ def test_global_shuffle_is_a_permutation(spark):
     positions = sorted(r["position"] for r in out)
     assert positions == list(range(1, len(out) + 1))
     assert len({r["doc_id"] for r in out}) == len(out)
+
+
+def test_incremental_argmax_bigint_packing_roundtrip(spark):
+    """The catalog's per-batch-doc argmax packs (est_jaccard desc,
+    corpus_id asc) into one bigint so the aggregation hash-aggregates.
+    Property-check the bit arithmetic over the full documented domain:
+    ordering of packed values must equal the (est desc, id asc)
+    tiebreak order, and unpacking must reproduce est_jaccard's exact
+    double and the id — including the 2^44-1 id boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import _MH_K
+
+    m44 = (1 << 44) - 1
+    rng = random.Random(614)
+    rows = [
+        (rng.randint(0, _MH_K), rng.randint(0, m44))
+        for _ in range(400)
+    ] + [(0, 0), (0, m44), (_MH_K, 0), (_MH_K, m44)]
+    df = spark.createDataFrame(
+        [(k / float(_MH_K), cid) for k, cid in rows],
+        "est_jaccard double, corpus_id long",
+    )
+    k = F.round(F.col("est_jaccard") * _MH_K).cast("long")
+    packed = k * (1 << 44) + (F.lit(m44) - F.col("corpus_id"))
+    got = df.select(
+        "est_jaccard",
+        "corpus_id",
+        packed.alias("p"),
+        (F.lit(m44) - packed.bitwiseAND(F.lit(m44))).alias("id_back"),
+        (F.shiftright(packed, 44) / F.lit(float(_MH_K))).alias("est_back"),
+    ).collect()
+    for r in got:
+        assert r["id_back"] == r["corpus_id"]
+        assert r["est_back"] == r["est_jaccard"]  # exact double, no eps
+    # packed order == (est desc, id asc) tiebreak order
+    by_packed = sorted(got, key=lambda r: -r["p"])
+    by_semantics = sorted(
+        got, key=lambda r: (-r["est_jaccard"], r["corpus_id"])
+    )
+    assert [(r["est_jaccard"], r["corpus_id"]) for r in by_packed] == [
+        (r["est_jaccard"], r["corpus_id"]) for r in by_semantics
+    ]
