@@ -465,16 +465,24 @@ def lsh_bucketed_topk(
         .select(query_id_col, "neighbor_id")
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
+    # norms precomputed once per VECTOR at the re-attach (the same
+    # one-per-vector-not-per-pair discipline as banded_cosine_pairs) —
+    # identical doubles to a per-pair norm, one interpreted fold saved
+    # per candidate
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    )
+    ).withColumn("__cn", norm(F.col("__cvec")))
     qv = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
-    )
+    ).withColumn("__qn", norm(F.col("__qvec")))
     scored = (
         cand.join(cv, "neighbor_id")
         .join(qv, query_id_col)
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
