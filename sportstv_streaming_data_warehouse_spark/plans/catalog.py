@@ -6916,6 +6916,215 @@ def a_exact_median_hist(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-8 debuts (round-7 verdict task #2, k=3 of the allowed <=5):
+# promote the reference's published report/ETL surfaces that until now
+# lived only behind pytest into the driver's oracle gate.
+# ---------------------------------------------------------------------------
+
+@query(
+    "r_retention_funnel",
+    oracle="""
+    WITH cls AS (
+      SELECT e.event_type, c.user_id AS m
+      FROM events e LEFT JOIN (
+        SELECT c_custkey AS user_id FROM customer WHERE c_acctbal >= 0
+      ) c ON e.user_id = c.user_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_source,
+             COUNT(m) AS n_matched,
+             COUNT(*) FILTER (m IS NULL AND event_type <> 'error')
+               AS n_recovered,
+             COUNT(*) FILTER (m IS NULL AND event_type = 'error')
+               AS n_dropped
+      FROM cls
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_idx, 'source_rows' AS stage,
+           n_source AS n_rows, CAST(100.0 AS DOUBLE) AS pct_of_source
+    FROM agg
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'dim_matched', n_matched,
+           (CAST(n_matched AS DOUBLE) * 100.0) / CAST(n_source AS DOUBLE)
+    FROM agg
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'orphan_recovered', n_recovered,
+           (CAST(n_recovered AS DOUBLE) * 100.0) / CAST(n_source AS DOUBLE)
+    FROM agg
+    UNION ALL
+    SELECT CAST(4 AS INTEGER), 'dropped', n_dropped,
+           (CAST(n_dropped AS DOUBLE) * 100.0) / CAST(n_source AS DOUBLE)
+    FROM agg
+    UNION ALL
+    SELECT CAST(5 AS INTEGER), 'retained', n_matched + n_recovered,
+           (CAST(n_matched + n_recovered AS DOUBLE) * 100.0)
+             / CAST(n_source AS DOUBLE)
+    FROM agg
+    """,
+)
+def r_retention_funnel(spark, sf_dir):
+    # The reference's published data-processing funnel (report.Rmd §5 /
+    # README.md:195-206: 1,181,863 source records -> 17.15% orphans ->
+    # 86.9% recovered by prefix inference -> 97.1% retained) as a
+    # stage-accounting table over the fixture snowflake. Classification
+    # mirrors the star ETL's gates: an event is MATCHED when its user
+    # joins a good-standing customer (the postal->country mapping
+    # analog, same predicate as ja_orphan_anti_join); orphans split into
+    # RECOVERED (a usable event_type — the sport-prefix inference
+    # analog, etl.R's recoverable prefixes) vs DROPPED ('error' rows —
+    # the unidentifiable-prefix exclusion). test_golden_funnel.py pins
+    # the same accounting exactly at the reference's 1.18M-row scale;
+    # this entry is its driver-gate twin at fixture scale.
+    #
+    # Plan: ONE scan of events, a key-join against the pruned customer
+    # key set, one single-row conditional aggregate, then the 5 stage
+    # rows are exploded driver-free from that row (F.inline over a
+    # literal struct array) — no second pass, no driver arithmetic. At
+    # 100 TB this is a map-side-combined count per classification flag.
+    ev = load_table(spark, sf_dir, "events")
+    good = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").alias("user_id"), F.lit(1).alias("__m"))
+    )
+    cls = ev.select("user_id", "event_type").join(good, "user_id", "left")
+    orphan = F.col("__m").isNull()
+    agg = cls.agg(
+        F.count("*").alias("n_source"),
+        F.count("__m").alias("n_matched"),
+        F.count(
+            F.when(orphan & (F.col("event_type") != "error"), 1)
+        ).alias("n_recovered"),
+        F.count(
+            F.when(orphan & (F.col("event_type") == "error"), 1)
+        ).alias("n_dropped"),
+    )
+
+    def _stage(idx, name, n_col):
+        return F.struct(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            n_col.alias("n_rows"),
+            ((n_col * F.lit(100.0)) / F.col("n_source")).alias(
+                "pct_of_source"
+            ),
+        )
+
+    return agg.select(
+        F.inline(
+            F.array(
+                _stage(1, "source_rows", F.col("n_source")),
+                _stage(2, "dim_matched", F.col("n_matched")),
+                _stage(3, "orphan_recovered", F.col("n_recovered")),
+                _stage(4, "dropped", F.col("n_dropped")),
+                _stage(
+                    5,
+                    "retained",
+                    F.col("n_matched") + F.col("n_recovered"),
+                ),
+            )
+        )
+    )
+
+
+@query(
+    "s_ingest_daily_grain",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS transaction_count,
+           COUNT(DISTINCT user_id) AS unique_user_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN value >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS completed_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def s_ingest_daily_grain(spark, sf_dir):
+    # The streaming-ingest sink grain, surfaced through the driver gate
+    # (round-7 verdict task #2c): pkg/streaming/ingest.py streams this
+    # exact (day, type) rollup — the reference's 50K-row polling loop +
+    # additive upsert (loadAnalyticsDB.PractII.VarmaA.R:306-428) — via a
+    # 1-day tumbling window and merges it into the parquet fact.
+    # tests/test_streaming.py::test_streaming_batch_parity_on_events_fixture
+    # pins stream output == this batch groupBy; this entry closes the
+    # loop by pinning the batch side against the DuckDB oracle, so the
+    # stream is transitively oracle-verified. unique_user_count is the
+    # exact batch twin of the stream's approx_count_distinct (exact
+    # distinct is unsupported in streaming aggs — ingest.py's table);
+    # completed_events uses the star convention (value >= 20,
+    # star_fact_events).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("__d"), "event_type")
+        .agg(
+            F.count("*").alias("transaction_count"),
+            F.countDistinct("user_id").alias("unique_user_count"),
+            _dsum("value").alias("total_value"),
+            F.sum(F.when(F.col("value") >= 20, 1).otherwise(0)).alias(
+                "completed_events"
+            ),
+        )
+        .withColumn("day", F.date_format("__d", "yyyy-MM-dd"))
+        .drop("__d")
+        .select(
+            "day", "event_type", "transaction_count", "unique_user_count",
+            "total_value", "completed_events",
+        )
+    )
+
+
+@query(
+    "r_top_markets",
+    oracle="""
+    WITH fact AS (
+      SELECT n.n_nationkey AS country_id, COUNT(*) AS transaction_count
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT country_id,
+           transaction_count AS total_streams,
+           CAST(transaction_count AS DOUBLE)
+             / CAST(SUM(transaction_count) OVER () AS DOUBLE)
+             AS market_share
+    FROM fact
+    """,
+)
+def r_top_markets(spark, sf_dir):
+    # The reference's top-markets headline table (README.md:218-225,
+    # report.Rmd's market-share section) through the driver gate: build
+    # the fact at (day, country) grain from the fixture snowflake, then
+    # apply the ACTUAL report-tier function (plans/report.top_markets —
+    # the code test_golden_funnel.py runs at the reference's 1.18M-row
+    # scale), so the driver verifies the same codepath the business
+    # report renders. Countries without subscribers drop out via the
+    # inner dim join (report.Rmd's zero-subscriber exclusion).
+    #
+    # Plan: dim enrichment -> one shuffle to the fact grain -> the
+    # share-of-total window runs over the TINY per-country aggregate
+    # (25 rows at any SF), never over raw events.
+    from .report import top_markets
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    fact = (
+        ev.join(c, ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.col("n_nationkey").alias("country_id"),
+        )
+        .agg(F.count("*").alias("transaction_count"))
+    )
+    return top_markets(fact, formatted=False).select(
+        "country_id", "total_streams", "market_share"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
 # oracle-backed queries chosen to cover every operator family of SURVEY §2
@@ -7093,7 +7302,8 @@ CORRECTNESS_WINDOW = [
     # round-7 verdict's k<=5 budget. Leftover for r9: 8 r5-cohort
     # members mandatory (x_text_profile, x_token_entropy,
     # x_unigram_surprisal, x_weighted_sample, x_zorder_layout_audit +
-    # the 3 displaced), leaving 40 free r9 slots against the 48-member
+    # the 3 displaced: x_shared_passage_flags, x_source_overlap,
+    # x_split_leakage_audit), leaving 40 free r9 slots against the 48-member
     # r6 cohort => 8 r6 members roll to r10 mandatory, and the cycle
     # repeats at leftover=8 < 48: solvent.
     # round-9 pre-pay (oldest last-green first); debuts displace from the bottom
@@ -7137,9 +7347,12 @@ CORRECTNESS_WINDOW = [
     "x_sample_exact_k",
     "x_seq_length_histogram",
     "x_session_features",
-    "x_shared_passage_flags",
-    "x_source_overlap",
-    "x_split_leakage_audit",
+    # round-8 debuts (k=3 of the verdict's <=5): each displaced one r5
+    # pre-pay from the bottom (x_shared_passage_flags, x_source_overlap,
+    # x_split_leakage_audit -> r9 mandatory, counted in the math above)
+    "r_retention_funnel",
+    "s_ingest_daily_grain",
+    "r_top_markets",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
