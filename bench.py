@@ -268,6 +268,13 @@ def main() -> None:
                 rec = json.loads(line)
                 if rec.get("probe") != "hash-force":
                     continue
+                if rec.get("stat") != "min3-median":
+                    # same-statistic records only (round-7 advisor
+                    # finding): min3-median reads systematically faster
+                    # than the plain medians of rounds <=6, so letting
+                    # those set `best` would bias the verdicts the
+                    # audit exists to separate
+                    continue
                 rec_sf = rec.get("sf")
                 cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
                 if rec_sf != cur_sf:
@@ -288,6 +295,55 @@ def main() -> None:
             )
     except Exception:
         noise_audit = {"error": "history unavailable"}
+
+    # Report-tier bench (round-7 verdict task #4): BASELINE.md's <100 ms
+    # claim is measured against the reference's PRE-AGGREGATED MySQL
+    # fact (createStarSchema schema.R:151-168) — the headline numbers
+    # above instead pay a raw sf-scale scan per query, so they are not
+    # apples-to-apples with that claim. Here the star fact materializes
+    # ONCE (that cost is the ETL's, reported separately) and the three
+    # published report tables are timed over the materialized daily
+    # grain — the reference's actual report-serving setup.
+    import shutil
+    import tempfile
+
+    from sportstv_streaming_data_warehouse_spark.plans import report as R
+
+    fact_dir = tempfile.mkdtemp(prefix="bench-report-fact-")
+    t0 = time.perf_counter()
+    QUERIES["star_fact_events"](spark, sf_dir).write.mode("overwrite").parquet(
+        fact_dir
+    )
+    materialize_sec = round(time.perf_counter() - t0, 3)
+    fact = (
+        spark.read.parquet(fact_dir)
+        .withColumnRenamed("event_type", "sport_name")
+        .withColumnRenamed("txn_count", "transaction_count")
+        .withColumnRenamed("total_value", "total_minutes_streamed")
+        .withColumnRenamed("country", "country_id")
+    )
+    fact_rows = fact.count()
+    report_probes = {
+        "streaming_by_sport": lambda: R.streaming_by_sport(fact, formatted=False),
+        "top_markets": lambda: R.top_markets(fact, formatted=False),
+        "yoy_growth": lambda: R.yoy_growth(fact, formatted=False),
+    }
+    report_ms: dict[str, float] = {}
+    for rname, build in report_probes.items():
+        build().collect()  # discarded warm-up (plan compilation)
+        rtimes = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            build().collect()
+            rtimes.append(time.perf_counter() - t0)
+        report_ms[rname] = round(robust_stat(rtimes) * 1000, 1)
+    shutil.rmtree(fact_dir, ignore_errors=True)
+    report_tier = {
+        "queries_ms": report_ms,
+        "materialize_sec": materialize_sec,
+        "fact_rows": fact_rows,
+    }
+
     detail = {
         "metric": "headline_queries_detail",
         "queries_min": per_query_min,
@@ -327,6 +383,10 @@ def main() -> None:
         # entries used count(), which under-measured pruned expressions)
         "probe": "hash-force",
         "n_outliers": len(outliers),
+        # round 8+: the pre-aggregated report-serving path, comparable
+        # to BASELINE.md's <100 ms pre-aggregated probes (headline
+        # queries pay a raw sf-scale scan and are NOT comparable to it)
+        "report_tier": report_tier,
     }
     if not quiet:
         # the box never went quiet: still honor the JSON-line stdout

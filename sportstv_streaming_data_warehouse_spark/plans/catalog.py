@@ -2761,7 +2761,19 @@ def x_dedup_incremental(spark, sf_dir):
     # original double bit-for-bit (same int/double division).
     m44 = (1 << 44) - 1
     k = F.round(F.col("est_jaccard") * _MH_K).cast("long")
-    packed = k * (1 << 44) + (F.lit(m44) - F.col("corpus_id"))
+    # Fail loudly if the id space outgrows the packing domain instead of
+    # silently corrupting the argmax (round-7 advisor finding): the
+    # branch is a JVM-side comparison per pair row, free next to the
+    # join that produced the row.
+    packed = F.when(
+        (F.col("corpus_id") < 0) | (F.col("corpus_id") > m44),
+        F.raise_error(
+            F.lit(
+                "x_dedup_incremental: corpus_id outside [0, 2^44) — "
+                "widen the packed-argmax shift for this id space"
+            )
+        ).cast("long"),
+    ).otherwise(k * (1 << 44) + (F.lit(m44) - F.col("corpus_id")))
     return (
         pairs.groupBy("batch_id")
         .agg(

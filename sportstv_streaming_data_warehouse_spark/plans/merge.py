@@ -38,6 +38,68 @@ STAGING_SUFFIX = "__staging"
 RETIRED_SUFFIX = "__old"
 
 
+def delta_available() -> bool:
+    """Probe for the delta-spark package (round-7 verdict task #3: the
+    backend seam auto-activates when the sandbox ever gains the jar).
+    Import-only — cheap, and exactly the condition under which
+    ``DeltaTable`` can exist."""
+    try:
+        import delta  # noqa: F401  (delta-spark)
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_backend() -> str:
+    """Which backend ``merge_into`` compiles to: ``"delta"`` when
+    delta-spark is importable (real ``MERGE INTO`` with table-format
+    ACID), else ``"parquet_swap"`` (the crash-safe rename-aside swap
+    this module implements). tests/test_delta_backend.py pins the
+    selection both ways — the Delta leg is skip-marked until the
+    package lands."""
+    return "delta" if delta_available() else "parquet_swap"
+
+
+def _merge_into_delta(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str | dict[str, Column] | None,
+    when_not_matched: str | None,
+) -> None:
+    """The drop-in mapping this module's docstring promises, compiled
+    for real: each ``when_matched`` mode to its Delta MERGE clause.
+    Unreachable in this sandbox (no delta-spark) — dispatch is pinned by
+    tests/test_delta_backend.py and the semantics by the parquet twin,
+    which tests/test_merge.py sweeps per crash point."""
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        # missing target behaves as an empty table (CREATE TABLE AS
+        # merge) — same contract as the parquet backend
+        inserts = source if when_not_matched == "insert_all" else source.limit(0)
+        inserts.write.format("delta").save(target_path)
+        return
+    t = DeltaTable.forPath(spark, target_path).alias("t")
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in on)
+    m = t.merge(source.alias("s"), cond)
+    if when_matched == "update_all":
+        m = m.whenMatchedUpdateAll()
+    elif when_matched == "delete":
+        m = m.whenMatchedDelete()
+    elif isinstance(when_matched, dict):
+        m = m.whenMatchedUpdate(set={c: expr for c, expr in when_matched.items()})
+    elif when_matched is not None:
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    if when_not_matched == "insert_all":
+        m = m.whenNotMatchedInsertAll()
+    elif when_not_matched is not None:
+        raise ValueError(f"unsupported when_not_matched: {when_not_matched!r}")
+    m.execute()
+
+
 def _paths(target_path: str) -> tuple[str, str, str]:
     base = target_path.rstrip("/")
     return base, base + STAGING_SUFFIX, base + RETIRED_SUFFIX
@@ -123,7 +185,20 @@ def merge_into(
     is idempotent for deterministic inputs: re-running the same batch
     yields the same dataset — the exactly-once guarantee foreachBatch
     sinks need.
+
+    Backend selection (merge_backend()): with delta-spark installed this
+    compiles to a real ``MERGE INTO`` (_merge_into_delta); otherwise to
+    the crash-safe parquet swap below. One difference is deliberate:
+    the parquet backend's ``update_all`` is key-replacement (several
+    source rows per key all land), where Delta errors on multiple
+    matches — deterministic-single-row-per-key sources behave
+    identically on both.
     """
+    if merge_backend() == "delta":
+        _merge_into_delta(
+            spark, target_path, source, on, when_matched, when_not_matched
+        )
+        return
     recover_dataset(target_path)
     base, _, _ = _paths(target_path)
     try:

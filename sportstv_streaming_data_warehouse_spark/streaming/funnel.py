@@ -26,15 +26,19 @@ streaming aggregate over these per-user rows — the heavy lifting
 
 Scale posture: state per user is three nullable longs + the pending
 events inside the watermark horizon — the BUFFER is bounded by
-per-user event rate × horizon. Total state is bounded by users active
-within the ``state_ttl`` horizon (round-6 advisor finding: without a
-TTL the per-user slot lived for the stream lifetime): a user with no
-pending events whose last activity is ``state_ttl`` behind the
+per-user event rate × horizon. Opting into ``state_ttl`` bounds total
+state by users active within that horizon (round-6 advisor finding:
+without a TTL the per-user slot lives for the stream lifetime): a user
+with no pending events whose last activity is ``state_ttl`` behind the
 watermark has their slot dropped on an event-time timeout. The
-documented trade-off: a user returning after a TTL eviction restarts
-the funnel machine and re-emits stages (a per-dormancy-epoch funnel);
-set ``state_ttl=None`` to keep the exact stream-lifetime semantics
-where state truly never expires. Users shuffle once on user_id (the
+trade-off — and why eviction is OPT-IN (default ``state_ttl=None``,
+matching forward_fill_stream; round-7 advisor finding): a user
+returning after a TTL eviction restarts the funnel machine and
+re-emits duplicate (user_id, stage) rows, which overcounts in
+downstream append-mode aggregates. The default keeps the exact
+stream-lifetime semantics; pass e.g. ``state_ttl="30 days"`` on
+unbounded-user deployments where bounded state matters more than
+per-dormancy-epoch re-emission. Users shuffle once on user_id (the
 same single-exchange key the batch funnel reuses across stages).
 
 Reference anchor: the reference's event stream feeds exactly this
@@ -90,14 +94,15 @@ def funnel_stream(
     user_col: str = "user_id",
     type_col: str = "event_type",
     delay: str = "1 day",
-    state_ttl: str | None = "30 days",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """stream(ts, user, event_type) → append-mode (user_id, stage,
     stage_ts) rows, one per completed funnel stage, exact under any
-    arrival order within the watermark ``delay``. Per-user state is
-    evicted once the user has no pending events and the watermark is
-    ``state_ttl`` past their last activity (None disables eviction —
-    see the module docstring for the returning-user trade-off)."""
+    arrival order within the watermark ``delay``. Passing ``state_ttl``
+    opts into eviction: per-user state drops once the user has no
+    pending events and the watermark is ``state_ttl`` past their last
+    activity (the default None never evicts — see the module docstring
+    for the returning-user re-emission trade-off)."""
     from .util import duration_ms
 
     stage_idx = {s: i for i, s in enumerate(STAGES)}
@@ -136,10 +141,15 @@ def funnel_stream(
             elif t[si - 1] >= 0 and ts_us > t[si - 1] and t[si] < 0:
                 t[si] = ts_us
 
-        if state.hasTimedOut and not pending and not ready:
+        if ttl_us is not None and state.hasTimedOut and not pending and not ready:
             # TTL eviction: nothing buffered and nothing to flush —
             # drop the slot so total state tracks ACTIVE users, not
-            # every user ever seen (round-6 advisor finding)
+            # every user ever seen (round-6 advisor finding). The
+            # ttl_us guard mirrors forward_fill_stream's explicit check:
+            # with eviction disabled only flush timeouts fire and those
+            # always carry a non-empty `ready`, but that is a non-local
+            # invariant of the timeout scheduling — don't rely on it
+            # (round-7 advisor finding).
             state.remove()
             return
 

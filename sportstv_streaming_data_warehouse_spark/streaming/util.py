@@ -11,8 +11,19 @@ _MS_PER = {
 
 
 def duration_ms(text: str) -> int:
-    """Parse "N days|hours|minutes|seconds" to milliseconds — the same
-    grammar Spark's withWatermark/CalendarInterval accepts for the
-    subset the streaming modules use (state TTLs, watermark delays)."""
-    n, unit = text.split()
-    return int(n) * _MS_PER[unit]
+    """Parse "N days|hours|minutes|seconds" to milliseconds — the
+    subset of Spark's withWatermark/CalendarInterval grammar the
+    streaming modules use (state TTLs, watermark delays). Inputs
+    outside the four-unit grammar (e.g. "2 weeks", "30d") fail with a
+    ValueError naming the accepted units rather than a bare
+    KeyError/ValueError (round-7 advisor finding — these reach users
+    through the state_ttl parameters)."""
+    parts = text.split()
+    if len(parts) == 2 and parts[1] in _MS_PER:
+        try:
+            return int(parts[0]) * _MS_PER[parts[1]]
+        except ValueError:
+            pass
+    raise ValueError(
+        f"unsupported duration {text!r}; use 'N days|hours|minutes|seconds'"
+    )

@@ -63,6 +63,29 @@ def test_ingest_grain_is_unique_and_totals_match_source(spark):
         assert 0 <= r["completed_events"] <= r["transaction_count"]
 
 
+def test_duration_ms_rejects_unknown_units_with_named_grammar():
+    # round-7 advisor finding: user-facing state_ttl strings outside the
+    # four-unit grammar must fail with the accepted units named, not a
+    # bare KeyError/ValueError
+    from sportstv_streaming_data_warehouse_spark.streaming.util import duration_ms
+
+    assert duration_ms("3 days") == 3 * 86_400_000
+    for bad in ("2 weeks", "30d", "days", "x days", "1 day extra"):
+        with pytest.raises(ValueError, match="days.hours.minutes.seconds"):
+            duration_ms(bad)
+
+
+def test_funnel_state_ttl_defaults_to_no_eviction():
+    # round-7 advisor finding: eviction re-emits duplicate stage rows for
+    # returning users, so it must be OPT-IN (parity with
+    # forward_fill_stream's None default)
+    import inspect
+
+    from sportstv_streaming_data_warehouse_spark.streaming.funnel import funnel_stream
+
+    assert inspect.signature(funnel_stream).parameters["state_ttl"].default is None
+
+
 def test_top_markets_shares_sum_to_one_and_exclude_empty_markets(spark):
     rows = QUERIES["r_top_markets"](spark, SF001).collect()
     assert abs(sum(r["market_share"] for r in rows) - 1.0) < 1e-9
