@@ -5722,9 +5722,15 @@ _ZL_FILE_ROWS = 1024  # rows per file in the layout audit (fixed contract)
 _ZL_CACHE: list = []  # LRU-1 for the audit's shared keyed frame
 
 
-def _zl_retain(df):
-    while _ZL_CACHE:
-        _ZL_CACHE.pop().unpersist()
+def _zl_retain(df, new_run: bool = False):
+    # one audit run shares 4 checkpointed frames (keyed + one zone map
+    # per strategy); the next run's first call (new_run) evicts them
+    # all. Dropping the reference is what frees a localCheckpoint's
+    # blocks (ContextCleaner unpersists the RDD on GC); unpersist()
+    # stays for the plain-persist case and is a harmless no-op otherwise
+    if new_run:
+        while _ZL_CACHE:
+            _ZL_CACHE.pop().unpersist()
     _ZL_CACHE.append(df)
     return df
 
@@ -5822,14 +5828,23 @@ def x_zorder_layout_audit(spark, sf_dir):
     )
     # three strategies × (ranker bounds + histogram + plan) would
     # otherwise re-derive this subtree ~10x (round-5 review finding):
-    # fold min_m to a driver scalar (one tiny agg job) and persist the
+    # fold min_m to a driver scalar (one tiny agg job) and share the
     # keyed frame once with an LRU-1 discipline (next audit run evicts
-    # this one — same pattern as the ranking module's cache)
+    # this one — same pattern as the ranking module's cache). Lazy
+    # localCheckpoint instead of persist (round-7 verdict task #7): the
+    # logical plan collapses to one ExistingRDD node immediately, so the
+    # ~10 downstream references stop exploding EXPLAIN to 1,592 lines
+    # (with the zones/vm/vp checkpoints below: ~820, gated by
+    # test_catalog_wide_plan_size_ceiling), while execution is
+    # unchanged: materialize once on first action, every strategy reads
+    # the same blocks.
     min_m = base.agg(F.min("m")).first()[0]
     keyed = base.select((F.col("m") - F.lit(min_m)).alias("md"), "pk", "rid")
-    keyed = _zl_retain(keyed.persist())
-    vm = keyed.select("md").distinct()
-    vp = keyed.select("pk").distinct()
+    keyed = _zl_retain(keyed.localCheckpoint(eager=False), new_run=True)
+    # the two probe-value dims (84 months / 16 part buckets) are each
+    # referenced twice per strategy — checkpoint once, read six times
+    vm = _zl_retain(keyed.select("md").distinct().localCheckpoint(eager=False))
+    vp = _zl_retain(keyed.select("pk").distinct().localCheckpoint(eager=False))
 
     morton = F.lit(0)
     for i in range(8):
@@ -5855,6 +5870,13 @@ def x_zorder_layout_audit(spark, sf_dir):
                 F.max("pk").alias("max_pk"),
             )
         )
+        # the zone-map table is metadata-sized (rows/1024) but its
+        # LINEAGE carries the whole two-phase ranker; nf/tm/tp reference
+        # it five times, which is what exploded EXPLAIN to 1,592 lines
+        # pre-checkpoint. Lazy localCheckpoint = compute the zone map
+        # once per strategy, read it five times — the manifest-layer
+        # materialization a lakehouse does anyway.
+        zones = _zl_retain(zones.localCheckpoint(eager=False))
         nf = zones.agg(F.count("*").alias("n_files"))
         tm = (
             vm.join(

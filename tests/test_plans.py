@@ -436,6 +436,42 @@ BNLJ_BUDGET = {
 }
 
 
+#: formatted-EXPLAIN line-count ceiling (round-7 verdict task #7): the
+#: catalog median sits near 80 lines; a plan past the ceiling means a
+#: subtree is being re-derived per reference (the 4^n SCD2 blowup, the
+#: 1,592-line pre-checkpoint zorder audit) and EXPLAIN itself — the
+#: tool every other gate here depends on — stops being tractable. The
+#: named exceptions are audited shapes whose size is inherent subtree
+#: reuse (edge list referenced by degree + propagation + final join),
+#: not growth: execution dedups them via ReusedExchange/AQE.
+PLAN_LINE_CEILING = 600
+PLAN_LINE_EXCEPTIONS = {
+    "x_pagerank_step": 800,   # co-purchase edge subtree x (deg, S, join)
+    "x_dupgraph_degree": 800,  # capped pair-tier subtree x (ends, per-doc)
+    "x_zorder_layout_audit": 900,  # 3 strategies x (nf, tm, tp) over
+                                   # checkpointed zone maps (was 1,592
+                                   # before the localCheckpoint fix)
+}
+
+
+def test_catalog_wide_plan_size_ceiling(spark):
+    bad = []
+    for name in QUERIES:
+        df = QUERIES[name](spark, SF01)
+        plan = (
+            df._jdf.queryExecution()
+            .explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        n = plan.count("\n")
+        if n > PLAN_LINE_EXCEPTIONS.get(name, PLAN_LINE_CEILING):
+            bad.append((name, n))
+    assert not bad, f"EXPLAIN size past audited ceiling: {bad}"
+
+
 def test_catalog_wide_no_accidental_loop_joins(spark):
     """Every catalog query's physical plan: no CartesianProduct, and no
     BroadcastNestedLoopJoin beyond each query's audited budget (0 for
