@@ -369,6 +369,59 @@ def heavy_hitters_experiment(spark) -> None:
         )
 
 
+def round8_experiment(spark) -> None:
+    """Round-8 re-measurement of the three round-7-rewritten plans
+    (round-7 verdict task #6): the CATALOG queries — packed-bigint
+    argmax incremental dedup, hash-aggregable MinHash pair tier, and
+    the single-key-join LSH top-k — at 1x/10x/100x, so SCALE.md's rows
+    reflect the shipped plans, not the pre-rewrite operators.
+
+    Text dedup runs on the zipfian corpus (fixture replicas are
+    degenerate for minhash — see QUERY_SET note); the corpus dirs carry
+    ONLY documents.parquet, which is the one table these queries load.
+    LSH top-k runs on the noise-replicated embeddings fixture (build()).
+    Statistic: min of 3 (algorithmic cost, JIT/box-load excluded).
+    """
+    n1 = 5_000
+    dirs = {}
+    for label, n in (("1x", n1), ("10x", n1 * 10), ("100x", n1 * 100)):
+        d = f"{DST}_r8_zipf_{label}"
+        if not os.path.isdir(f"{d}/documents.parquet"):
+            os.makedirs(d, exist_ok=True)
+            zipf_documents(spark, n).write.mode("overwrite").parquet(
+                f"{d}/documents.parquet"
+            )
+        dirs[label] = d
+
+    def min3(name, sf_dir):
+        walls = []
+        time_query(spark, name, sf_dir)  # warm beyond time_query's own
+        for _ in range(3):
+            w, rows = time_query(spark, name, sf_dir)
+            walls.append(w)
+        return min(walls), rows
+
+    print(f"\n{'round-8 rewritten plans':28} {'1x':>7} {'10x':>8} {'100x':>9}  rows(1x/10x/100x)")
+    for name in ("x_dedup_minhash_lsh", "x_dedup_incremental"):
+        w, r = {}, {}
+        for label in ("1x", "10x", "100x"):
+            w[label], r[label] = min3(name, dirs[label])
+        print(
+            f"{name:28} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s"
+            f"  {r['1x']}/{r['10x']}/{r['100x']}"
+        )
+    # LSH top-k on the embeddings replicas (1x = SRC, REPLICASx = DST)
+    if not os.path.isdir(DST):
+        print(f"building {REPLICAS}x replicas for LSH top-k ...")
+        build(spark)
+    w1, r1 = min3("x_knn_lsh_ann", SRC)
+    wN, rN = min3("x_knn_lsh_ann", DST)
+    print(
+        f"{'x_knn_lsh_ann':28} {w1:6.2f}s {wN:7.2f}s ({REPLICAS}x)"
+        f"   rows {r1}->{rN}"
+    )
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -393,6 +446,10 @@ def main() -> None:
         return
     if "--heavy" in sys.argv:
         heavy_hitters_experiment(spark)
+        spark.stop()
+        return
+    if "--round8" in sys.argv:
+        round8_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
