@@ -143,6 +143,23 @@ def robust_stat(times: list[float]) -> float:
     return statistics.median(k)
 
 
+def cpu_speed_probe() -> float:
+    """Seconds for a fixed pure-Python workload — a direct measure of
+    effective CPU speed. Round-8 lesson: three same-code runs measured
+    42.4 / 43.5 / 52.4 s with loadavg_1m as low as 0.2 at start — the
+    contention was hypervisor-level (invisible to THIS guest's loadavg),
+    so the load gate cannot see it. The probe pins the box's speed at
+    both ends of the run; compare probes before comparing query times
+    across rounds (a 1.2x probe ratio explains a 1.2x uniform query
+    inflation — noise, not regression)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i ^ (i >> 3)
+    assert acc != 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:
     """Best-effort load gate: returns True once loadavg_1m <= max_load,
     False if the box stayed busy through all attempts."""
@@ -164,6 +181,7 @@ def main() -> None:
     # (the pre-gate value is kept separately so a gated-then-clean run
     # doesn't read as contaminated — round-5 review finding)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    speed_probe_start = cpu_speed_probe()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="sportstv-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -361,6 +379,11 @@ def main() -> None:
         "loadavg_pre_gate": loadavg_pre_gate,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "max_load_threshold": max_load,
+        # fixed-work CPU probes bracketing the run (see cpu_speed_probe):
+        # cross-round query ratios should be read NEXT TO the probe
+        # ratio — hypervisor-level contention is invisible to loadavg
+        "cpu_speed_probe_start": speed_probe_start,
+        "cpu_speed_probe_end": cpu_speed_probe(),
     }
     record = {
         "metric": "headline_queries_total",
@@ -387,6 +410,10 @@ def main() -> None:
         # to BASELINE.md's <100 ms pre-aggregated probes (headline
         # queries pay a raw sf-scale scan and are NOT comparable to it)
         "report_tier": report_tier,
+        # round 8+: fixed-work CPU probe (seconds; see cpu_speed_probe)
+        # — divide cross-round query ratios by the probe ratio before
+        # calling anything a regression
+        "cpu_speed_probe": speed_probe_start,
     }
     if not quiet:
         # the box never went quiet: still honor the JSON-line stdout

@@ -45,6 +45,14 @@ def main() -> None:
               "— min3-median (round 7+) reads systematically FASTER than "
               "the full-sample median on a noisy box. For a like-for-like "
               "diff use queries_median_all from the detail record.")
+    sp, sc = prev.get("cpu_speed_probe"), cur.get("cpu_speed_probe")
+    if sp and sc:
+        # hypervisor-level contention is invisible to loadavg (round-8
+        # lesson: 42.4 vs 52.4 s with loadavg 0.2) — the fixed-work CPU
+        # probe ratio is the box-speed correction to read ratios against
+        print(f"cpu speed probe: prev {sp}s cur {sc}s — box-speed ratio "
+              f"{sc / sp:.2f}x; query ratios near this value are box "
+              f"noise, not code")
     print(f"{'query':28} {'prev':>7} {'cur':>7} {'ratio':>6}")
     flagged = []
     for name, t in cur["queries"].items():
