@@ -7158,6 +7158,86 @@ def r_top_markets(spark, sf_dir):
     )
 
 
+@query(
+    "r_streaming_by_type",
+    oracle="""
+    SELECT event_type AS sport_name,
+           COUNT(*) AS total_streams,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 60.0
+             AS total_hours,
+           CASE WHEN COUNT(*) > 0 THEN
+             (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 60.0
+              * 60.0) / COUNT(*)
+           ELSE 0.0 END AS avg_duration_min
+    FROM events
+    GROUP BY 1
+    """,
+)
+def r_streaming_by_type(spark, sf_dir):
+    # The reference's streaming-by-sport headline table (README.md:
+    # 210-216) through the REAL report codepath (plans/report.
+    # streaming_by_sport — per-type streams, total hours, average
+    # duration with the guarded division), fed by a (day, type) fact
+    # built from events. With r_top_markets and r_yoy_growth this puts
+    # all THREE published report tables behind the driver gate on the
+    # same code test_golden_funnel.py runs at the reference scale.
+    # Determinism: the day-grain decimal sums are exact 2dp doubles, so
+    # the report tier's re-sum equals the oracle's direct decimal sum
+    # (associative), and the hours/avg arithmetic replicates the report
+    # function's operation order ((sum/60)*60, NOT sum — IEEE division
+    # then multiplication is not the identity).
+    from .report import streaming_by_sport
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.col("event_type").alias("sport_name"),
+    ).agg(
+        F.count("*").alias("transaction_count"),
+        _dsum("value").alias("total_minutes_streamed"),
+    )
+    return streaming_by_sport(fact, formatted=False)
+
+
+@query(
+    "r_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
+             COUNT(*) AS transactions
+      FROM orders GROUP BY 1
+    )
+    SELECT year, transactions,
+           CAST(transactions - LAG(transactions) OVER (ORDER BY year)
+                AS DOUBLE)
+             / CAST(LAG(transactions) OVER (ORDER BY year) AS DOUBLE)
+             AS yoy_growth
+    FROM yearly
+    """,
+)
+def r_yoy_growth(spark, sf_dir):
+    # The reference's year-over-year headline table (README.md:227-235)
+    # through the REAL report codepath (plans/report.yoy_growth —
+    # (cur-prev)/prev with a NULL first year, report column names and
+    # ordering), completing the published report trio behind the driver
+    # gate. Fed from orders (the fixture's multi-year source; events
+    # span one month, which would leave the lag path unexercised) at the
+    # fact's (day, year) grain so the report tier genuinely
+    # re-aggregates a daily fact. Distinct from w3_yoy_order_growth:
+    # that entry pins the WINDOW OPERATOR (operators/windows.yoy_growth,
+    # pct form); this one pins the report table the reference renders.
+    # The lag window runs over the per-year aggregate (7 rows), never
+    # raw orders — the same tiny-frame-window posture as r_top_markets.
+    from .report import yoy_growth
+
+    od = load_table(spark, sf_dir, "orders")
+    fact = od.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.year(F.to_date("o_orderdate")).alias("year"),
+    ).agg(F.count("*").alias("transaction_count"))
+    return yoy_growth(fact, formatted=False)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -7329,17 +7409,18 @@ CORRECTNESS_WINDOW = [
     "x_vocab_coverage",
     # Round-8 solvency math (period 3 => every oracle needs a green row at
     # least once per 4 rounds; capacity 48 rotating slots x 4 = 192 vs
-    # 147 + 3 debuts = 150 oracles): this window greens the 5 r4
+    # 147 + 5 debuts = 152 oracles): this window greens the 5 r4
     # stragglers (mandatory, staleness boundary hit after r7) and
-    # pre-pays 40 of the 48-member r5 cohort — 3 debuts (listed at the
-    # tail) each displaced one r5 pre-pay from the bottom per the
-    # round-7 verdict's k<=5 budget. Leftover for r9: 8 r5-cohort
+    # pre-pays 38 of the 48-member r5 cohort — 5 debuts (listed at the
+    # tail) each displaced one r5 pre-pay from the bottom, exactly the
+    # round-7 verdict's k<=5 budget. Leftover for r9: 10 r5-cohort
     # members mandatory (x_text_profile, x_token_entropy,
     # x_unigram_surprisal, x_weighted_sample, x_zorder_layout_audit +
-    # the 3 displaced: x_shared_passage_flags, x_source_overlap,
-    # x_split_leakage_audit), leaving 40 free r9 slots against the 48-member
-    # r6 cohort => 8 r6 members roll to r10 mandatory, and the cycle
-    # repeats at leftover=8 < 48: solvent.
+    # the 5 displaced: x_shared_passage_flags, x_source_overlap,
+    # x_split_leakage_audit, x_seq_length_histogram,
+    # x_session_features), leaving 38 free r9 slots against the
+    # 48-member r6 cohort => 10 r6 members roll to r10 mandatory, and
+    # the cycle repeats at leftover=10 < 48: solvent.
     # round-9 pre-pay (oldest last-green first); debuts displace from the bottom
     "a2_approx_distinct_scale",
     "a_approx_quantile_audit",
@@ -7379,14 +7460,15 @@ CORRECTNESS_WINDOW = [
     "x_passage_dedup",
     "x_range_join_value_bands",
     "x_sample_exact_k",
-    "x_seq_length_histogram",
-    "x_session_features",
-    # round-8 debuts (k=3 of the verdict's <=5): each displaced one r5
-    # pre-pay from the bottom (x_shared_passage_flags, x_source_overlap,
-    # x_split_leakage_audit -> r9 mandatory, counted in the math above)
+    # round-8 debuts (k=5, the verdict's full budget): each displaced
+    # one r5 pre-pay from the bottom (x_shared_passage_flags,
+    # x_source_overlap, x_split_leakage_audit, x_seq_length_histogram,
+    # x_session_features -> r9 mandatory, counted in the math above)
     "r_retention_funnel",
     "s_ingest_daily_grain",
     "r_top_markets",
+    "r_streaming_by_type",
+    "r_yoy_growth",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

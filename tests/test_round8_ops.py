@@ -86,6 +86,28 @@ def test_funnel_state_ttl_defaults_to_no_eviction():
     assert inspect.signature(funnel_stream).parameters["state_ttl"].default is None
 
 
+def test_streaming_by_type_follows_report_invariants(spark):
+    rows = QUERIES["r_streaming_by_type"](spark, SF001).collect()
+    n_events = load_table(spark, SF001, "events").count()
+    assert sum(r["total_streams"] for r in rows) == n_events
+    for r in rows:
+        assert r["avg_duration_min"] == pytest.approx(
+            r["total_hours"] * 60.0 / r["total_streams"]
+        )
+    order = [(-r["total_streams"], r["sport_name"]) for r in rows]
+    assert order == sorted(order)
+
+
+def test_yoy_growth_first_year_null_then_formula(spark):
+    rows = sorted(
+        QUERIES["r_yoy_growth"](spark, SF001).collect(), key=lambda r: r["year"]
+    )
+    assert rows[0]["yoy_growth"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        expect = (cur["transactions"] - prev["transactions"]) / prev["transactions"]
+        assert cur["yoy_growth"] == pytest.approx(expect, abs=1e-12)
+
+
 def test_top_markets_shares_sum_to_one_and_exclude_empty_markets(spark):
     rows = QUERIES["r_top_markets"](spark, SF001).collect()
     assert abs(sum(r["market_share"] for r in rows) - 1.0) < 1e-9
