@@ -76,6 +76,42 @@ def test_partition_clauses_follow_spark_jdbc_convention():
     assert partition_clauses("k", 0, 10, 1) == ["1=1"]
 
 
+def test_partition_clauses_are_a_partition_of_the_key_space():
+    # property: whatever the bounds/slice count, every key value —
+    # inside the bounds, far outside them, or NULL — satisfies EXACTLY
+    # one clause (no dup, no drop), evaluated by SQLite itself
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lo=st.integers(-1000, 1000),
+        span=st.integers(1, 2000),
+        n=st.integers(1, 12),
+        probes=st.lists(
+            st.one_of(st.integers(-5000, 5000), st.none()),
+            min_size=1, max_size=20,
+        ),
+    )
+    def check(lo, span, n, probes):
+        clauses = partition_clauses("k", lo, lo + span, n)
+        with sqlite3.connect(":memory:") as con:
+            con.execute("CREATE TABLE t (k INTEGER)")
+            con.executemany(
+                "INSERT INTO t VALUES (?)", [(p,) for p in probes]
+            )
+            total = sum(
+                con.execute(
+                    f"SELECT COUNT(*) FROM t WHERE {c}"
+                ).fetchone()[0]
+                for c in clauses
+            )
+        # COUNT(*) under each clause sums to the table size exactly
+        assert total == len(probes), (clauses, probes)
+
+    check()
+
+
 def test_projection_and_predicate_are_pushed_into_the_sql():
     sql = build_slice_sql(
         "streaming_txns", ["user_id", "minutes_streamed"],

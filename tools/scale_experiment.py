@@ -410,15 +410,22 @@ def round8_experiment(spark) -> None:
             f"{name:28} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s"
             f"  {r['1x']}/{r['10x']}/{r['100x']}"
         )
-    # LSH top-k on the embeddings replicas (1x = SRC, REPLICASx = DST)
+    # LSH top-k on the embeddings replicas (1x = SRC, REPLICASx = DST,
+    # plus a 100x leg on the noise-replicated corpus — embeddings only,
+    # the one table the query loads)
     if not os.path.isdir(DST):
         print(f"building {REPLICAS}x replicas for LSH top-k ...")
         build(spark)
+    d100 = f"{DST}_r8_emb_100x"
+    if not os.path.isdir(f"{d100}/embeddings.parquet"):
+        os.makedirs(d100, exist_ok=True)
+        _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
     w1, r1 = min3("x_knn_lsh_ann", SRC)
     wN, rN = min3("x_knn_lsh_ann", DST)
+    w100, r100 = min3("x_knn_lsh_ann", d100)
     print(
-        f"{'x_knn_lsh_ann':28} {w1:6.2f}s {wN:7.2f}s ({REPLICAS}x)"
-        f"   rows {r1}->{rN}"
+        f"{'x_knn_lsh_ann':28} {w1:6.2f}s {wN:7.2f}s ({REPLICAS}x) "
+        f"{w100:7.2f}s (100x)   rows {r1}/{rN}/{r100}"
     )
 
 
