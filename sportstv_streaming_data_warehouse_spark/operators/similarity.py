@@ -119,7 +119,9 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
             "cosine_sim",
-            dot(F.col("__qvec"), F.col("__cvec"))
+            # per-PAIR dot (|queries| x |corpus| rows): the bit-identical
+            # Arrow twin beats the interpreted HOF fold (see dot_pandas)
+            dot_pandas(F.col("__qvec"), F.col("__cvec"))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -375,6 +377,55 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def table_signatures_pandas(
+    vec_col: str | Column, planes_by_table: list[list[list[float]]]
+) -> Column:
+    """All hash-table bucket ids in one Arrow batch, BIT-IDENTICAL to
+    ``lsh_signature`` per table: projections accumulate one correctly-
+    rounded product per dimension in ascending order (the same
+    ``acc + vᵢ·pᵢ`` fold — deliberately NOT a matmul, whose reordered
+    summation could flip a sign at the zero boundary), so every bucket
+    id matches the JVM expression and the x_knn_lsh_poly SQL oracle
+    exactly. Exists because Catalyst evaluates the fold interpreted:
+    n_tables x n_planes folds PER ROW dominated lsh_bucketed_topk's
+    wall. The closure captures only the plane floats — executors import
+    nothing from the repo; nulls fall back to an exact per-row fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(s):
+        import numpy as _np
+        import pandas as _pd
+
+        def batch(V):
+            n = len(V)
+            out = _np.zeros((n, len(planes_by_table)), dtype=_np.int64)
+            for t, planes in enumerate(planes_by_table):
+                sig = _np.zeros(n, dtype=_np.int64)
+                for i, p in enumerate(planes):
+                    acc = _np.zeros(n)
+                    for d, pd_ in enumerate(p):
+                        acc = acc + V[:, d] * pd_
+                    sig = sig | ((acc >= 0).astype(_np.int64) << i)
+                out[:, t] = sig
+            return out
+
+        try:
+            V = _np.vstack(s.values).astype(_np.float64)
+            return _pd.Series(list(batch(V)))
+        except ValueError:  # ragged lengths / nulls in this batch
+            def one(v):
+                if v is None:
+                    return None
+                return batch(
+                    _np.asarray(v, dtype=_np.float64).reshape(1, -1)
+                )[0]
+
+            return _pd.Series([one(v) for v in s])
+
+    return _sigs(vec_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -412,7 +463,9 @@ def ivf_topk(
 
     def assign(df: DataFrame, idc: str, vec: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "__cd", dot(F.col(vec), F.col("__centroid"))
+            # per (row x centroid) dot after the broadcast unfold — the
+            # bit-identical Arrow twin again (see dot_pandas)
+            "__cd", dot_pandas(F.col(vec), F.col("__centroid"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
         return (
@@ -491,18 +544,20 @@ def lsh_bucketed_topk(
         for t in range(n_tables)
     ]
 
-    def sig_array(vec):
-        return F.array(
-            *[lsh_signature(vec, p) for p in planes_by_table]
-        )
-
+    # Arrow-batched signatures, bit-identical to the lsh_signature
+    # expression per table (see table_signatures_pandas): the former
+    # n_tables x n_planes interpreted folds per row dominated the wall
     c_keys = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(sig_array(F.col(vec_col))).alias("tbl", "bucket"),
+        F.posexplode(
+            table_signatures_pandas(F.col(vec_col), planes_by_table)
+        ).alias("tbl", "bucket"),
     )
     q_keys = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.posexplode(sig_array(F.col(vec_col))).alias("tbl", "bucket"),
+        F.posexplode(
+            table_signatures_pandas(F.col(vec_col), planes_by_table)
+        ).alias("tbl", "bucket"),
     )
     cand = (
         c_keys.join(q_keys, on=["tbl", "bucket"])
@@ -525,7 +580,9 @@ def lsh_bucketed_topk(
         .join(qv, query_id_col)
         .withColumn(
             "cosine_sim",
-            dot(F.col("__qvec"), F.col("__cvec"))
+            # per-candidate-PAIR dot: Arrow twin, bit-identical to the
+            # JVM fold (see dot_pandas) — the poly oracle still matches
+            dot_pandas(F.col("__qvec"), F.col("__cvec"))
             / (F.col("__qn") * F.col("__cn")),
         )
     )

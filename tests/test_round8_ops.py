@@ -91,6 +91,33 @@ def test_dot_pandas_is_bit_identical_to_the_jvm_fold(spark):
     assert [r["d"] for r in rows] == [r["j"] for r in rows] == [11.0, 2.0, None]
 
 
+def test_table_signatures_pandas_bit_identical_to_jvm_expression(spark):
+    # bucket ids decide LSH candidates, and the poly oracle replays the
+    # sequential fold — the Arrow twin must match the JVM expression
+    # exactly (including planes near the sign boundary), on BOTH plane
+    # families
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        _hyperplanes, lcg_plane, lsh_signature, table_signatures_pandas,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    for fam in ("gauss", "lcg"):
+        planes_by_table = [
+            [lcg_plane(64, 42 + (t * 5 + i) * 64) for i in range(5)]
+            if fam == "lcg"
+            else _hyperplanes(64, 5, 42 + t)
+            for t in range(12)
+        ]
+        jvm = F.array(
+            *[lsh_signature(F.col("embedding"), p) for p in planes_by_table]
+        )
+        cmp = emb.select(
+            jvm.alias("j"),
+            table_signatures_pandas("embedding", planes_by_table).alias("a"),
+        )
+        assert cmp.filter(F.col("j") != F.col("a")).count() == 0, fam
+
+
 def test_duration_ms_rejects_unknown_units_with_named_grammar():
     # round-7 advisor finding: user-facing state_ttl strings outside the
     # four-unit grammar must fail with the accepted units named, not a
