@@ -32,6 +32,46 @@ from pyspark.sql import functions as F
 MEAN_DECIMAL = "decimal(20,8)"
 
 
+def _sq_l2_pandas(a, b):
+    """Squared L2 as an Arrow-batched pandas_udf, BIT-IDENTICAL to the
+    former zip_with/aggregate expression: one correctly-rounded
+    (aᵢ-bᵢ)² added per dimension in ascending order — the same fixed
+    IEEE tree the module docstring promises, so the SQL oracle replay
+    still matches exactly. Exists because Catalyst evaluates the fold
+    interpreted and it runs per (row × centroid) after the broadcast
+    unfold — the k-means hot path (same rationale and bit-equality
+    test discipline as similarity.dot_pandas). Self-contained closure;
+    ragged/null batches fall back to an exact per-row fold."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _sq(sa, sb):
+        import numpy as _np
+        import pandas as _pd
+
+        try:
+            A = _np.vstack(sa.values).astype(_np.float64)
+            B = _np.vstack(sb.values).astype(_np.float64)
+            acc = _np.zeros(len(A))
+            for d in range(A.shape[1]):
+                diff = A[:, d] - B[:, d]
+                acc = acc + diff * diff
+            return _pd.Series(acc)
+        except ValueError:
+            def one(v, w):
+                if v is None or w is None:
+                    return None
+                acc = 0.0
+                for x, y in zip(v, w):
+                    t = float(x) - float(y)
+                    acc = acc + t * t
+                return acc
+
+            return _pd.Series([one(v, w) for v, w in zip(sa, sb)])
+
+    return _sq(a, b)
+
+
 def assign_clusters(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -47,13 +87,7 @@ def assign_clusters(
     partial MINs beats a row_number window (which would sort k rows per
     key after a shuffle) while matching the oracle's
     ROW_NUMBER OVER (ORDER BY dist, cid) = 1 exactly."""
-    sq = F.zip_with(
-        F.col(vec_col),
-        F.col("__c"),
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
-    dist = F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    dist = _sq_l2_pandas(F.col(vec_col), F.col("__c"))
     joined = vectors.select(id_col, vec_col).crossJoin(
         F.broadcast(centroids.select("cid", F.col("c").alias("__c")))
     )
