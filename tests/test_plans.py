@@ -451,6 +451,11 @@ PLAN_LINE_EXCEPTIONS = {
     "x_zorder_layout_audit": 900,  # 3 strategies x (nf, tm, tp) over
                                    # checkpointed zone maps (was 1,592
                                    # before the localCheckpoint fix)
+    "x_knn_lsh_ann": 800,     # AUDIT form: the LSH pipeline AND its
+                              # exact brute-force recall twin in one
+                              # plan, each with Arrow signature/dot
+                              # nodes (the production form drops the
+                              # exact twin)
 }
 
 
