@@ -327,40 +327,48 @@ def main() -> None:
 
     from sportstv_streaming_data_warehouse_spark.plans import report as R
 
+    # guarded end-to-end: a failure here must not discard the completed
+    # headline measurements above (the stdout record and history stamp
+    # still happen), and the materialized fact must not leak in /tmp
+    # (round-8 review finding)
     fact_dir = tempfile.mkdtemp(prefix="bench-report-fact-")
-    t0 = time.perf_counter()
-    QUERIES["star_fact_events"](spark, sf_dir).write.mode("overwrite").parquet(
-        fact_dir
-    )
-    materialize_sec = round(time.perf_counter() - t0, 3)
-    fact = (
-        spark.read.parquet(fact_dir)
-        .withColumnRenamed("event_type", "sport_name")
-        .withColumnRenamed("txn_count", "transaction_count")
-        .withColumnRenamed("total_value", "total_minutes_streamed")
-        .withColumnRenamed("country", "country_id")
-    )
-    fact_rows = fact.count()
-    report_probes = {
-        "streaming_by_sport": lambda: R.streaming_by_sport(fact, formatted=False),
-        "top_markets": lambda: R.top_markets(fact, formatted=False),
-        "yoy_growth": lambda: R.yoy_growth(fact, formatted=False),
-    }
-    report_ms: dict[str, float] = {}
-    for rname, build in report_probes.items():
-        build().collect()  # discarded warm-up (plan compilation)
-        rtimes = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            build().collect()
-            rtimes.append(time.perf_counter() - t0)
-        report_ms[rname] = round(robust_stat(rtimes) * 1000, 1)
-    shutil.rmtree(fact_dir, ignore_errors=True)
-    report_tier = {
-        "queries_ms": report_ms,
-        "materialize_sec": materialize_sec,
-        "fact_rows": fact_rows,
-    }
+    try:
+        t0 = time.perf_counter()
+        QUERIES["star_fact_events"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(fact_dir)
+        materialize_sec = round(time.perf_counter() - t0, 3)
+        fact = (
+            spark.read.parquet(fact_dir)
+            .withColumnRenamed("event_type", "sport_name")
+            .withColumnRenamed("txn_count", "transaction_count")
+            .withColumnRenamed("total_value", "total_minutes_streamed")
+            .withColumnRenamed("country", "country_id")
+        )
+        fact_rows = fact.count()
+        report_probes = {
+            "streaming_by_sport": lambda: R.streaming_by_sport(fact, formatted=False),
+            "top_markets": lambda: R.top_markets(fact, formatted=False),
+            "yoy_growth": lambda: R.yoy_growth(fact, formatted=False),
+        }
+        report_ms: dict[str, float] = {}
+        for rname, build in report_probes.items():
+            build().collect()  # discarded warm-up (plan compilation)
+            rtimes = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                build().collect()
+                rtimes.append(time.perf_counter() - t0)
+            report_ms[rname] = round(robust_stat(rtimes) * 1000, 1)
+        report_tier = {
+            "queries_ms": report_ms,
+            "materialize_sec": materialize_sec,
+            "fact_rows": fact_rows,
+        }
+    except Exception as exc:  # fail-visible, not fail-total
+        report_tier = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    finally:
+        shutil.rmtree(fact_dir, ignore_errors=True)
 
     detail = {
         "metric": "headline_queries_detail",

@@ -39,37 +39,19 @@ def _sq_l2_pandas(a, b):
     IEEE tree the module docstring promises, so the SQL oracle replay
     still matches exactly. Exists because Catalyst evaluates the fold
     interpreted and it runs per (row × centroid) after the broadcast
-    unfold — the k-means hot path (same rationale and bit-equality
-    test discipline as similarity.dot_pandas). Self-contained closure;
-    ragged/null batches fall back to an exact per-row fold."""
-    from pyspark.sql.functions import pandas_udf
+    unfold — the k-means hot path. Batching scaffolding and the
+    null/ragged/NaN edge policy live in similarity.arrow_pair_fold
+    (one audited spot, round-8 review finding)."""
+    from .similarity import arrow_pair_fold
 
-    @pandas_udf("double")
-    def _sq(sa, sb):
-        import numpy as _np
-        import pandas as _pd
+    def _kernel(_np, A, B):
+        acc = _np.zeros(len(A))
+        for d in range(A.shape[1]):
+            diff = A[:, d] - B[:, d]
+            acc = acc + diff * diff
+        return acc
 
-        try:
-            A = _np.vstack(sa.values).astype(_np.float64)
-            B = _np.vstack(sb.values).astype(_np.float64)
-            acc = _np.zeros(len(A))
-            for d in range(A.shape[1]):
-                diff = A[:, d] - B[:, d]
-                acc = acc + diff * diff
-            return _pd.Series(acc)
-        except ValueError:
-            def one(v, w):
-                if v is None or w is None:
-                    return None
-                acc = 0.0
-                for x, y in zip(v, w):
-                    t = float(x) - float(y)
-                    acc = acc + t * t
-                return acc
-
-            return _pd.Series([one(v, w) for v, w in zip(sa, sb)])
-
-    return _sq(a, b)
+    return arrow_pair_fold(_kernel)(a, b)
 
 
 def assign_clusters(

@@ -74,6 +74,18 @@ def _merge_into_delta(
     Unreachable in this sandbox (no delta-spark) — dispatch is pinned by
     tests/test_delta_backend.py and the semantics by the parquet twin,
     which tests/test_merge.py sweeps per crash point."""
+    # validate BOTH clause arguments before any branch (and before the
+    # delta import, so the check is testable without the package),
+    # exactly like the parquet backend — a typo must raise, never
+    # silently write an empty table on the missing-target path
+    # (round-8 review finding)
+    if when_matched not in ("update_all", "delete", None) and not isinstance(
+        when_matched, dict
+    ):
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    if when_not_matched not in ("insert_all", None):
+        raise ValueError(f"unsupported when_not_matched: {when_not_matched!r}")
+
     from delta.tables import DeltaTable
 
     if not DeltaTable.isDeltaTable(spark, target_path):
@@ -91,12 +103,8 @@ def _merge_into_delta(
         m = m.whenMatchedDelete()
     elif isinstance(when_matched, dict):
         m = m.whenMatchedUpdate(set={c: expr for c, expr in when_matched.items()})
-    elif when_matched is not None:
-        raise ValueError(f"unsupported when_matched: {when_matched!r}")
     if when_not_matched == "insert_all":
         m = m.whenNotMatchedInsertAll()
-    elif when_not_matched is not None:
-        raise ValueError(f"unsupported when_not_matched: {when_not_matched!r}")
     m.execute()
 
 
@@ -188,11 +196,14 @@ def merge_into(
 
     Backend selection (merge_backend()): with delta-spark installed this
     compiles to a real ``MERGE INTO`` (_merge_into_delta); otherwise to
-    the crash-safe parquet swap below. One difference is deliberate:
-    the parquet backend's ``update_all`` is key-replacement (several
-    source rows per key all land), where Delta errors on multiple
-    matches — deterministic-single-row-per-key sources behave
-    identically on both.
+    the crash-safe parquet swap below. Key comparison is NULL-SAFE on
+    both backends (``<=>`` in the Delta condition, eqNullSafe joins
+    here), so NULL-keyed rows merge idempotently rather than
+    re-inserting per replay. One difference is deliberate: the parquet
+    backend's ``update_all`` is key-replacement (several source rows
+    per key all land), where Delta errors on multiple matches —
+    deterministic-single-row-per-key sources behave identically on
+    both.
     """
     if merge_backend() == "delta":
         _merge_into_delta(
@@ -207,10 +218,24 @@ def merge_into(
     except Exception:
         has_target = False
 
+    def _null_safe_anti_or_semi(left, right_keys, how):
+        # NULL-SAFE key joins throughout (round-8 review finding): the
+        # Delta backend's MERGE condition is `t.k <=> s.k`, so a
+        # NULL-keyed row MATCHES its twin there — plain equality here
+        # would instead re-insert it on every replay, and the two
+        # backends would converge to different datasets. eqNullSafe
+        # keeps the key-replacement merge idempotent for NULL keys too
+        # (tests/test_merge.py pins the replay).
+        r = right_keys
+        for k in on:
+            r = r.withColumnRenamed(k, f"__r_{k}")
+        cond = [left[k].eqNullSafe(r[f"__r_{k}"]) for k in on]
+        return left.join(r, cond, how)
+
     inserts = None
     if when_not_matched == "insert_all":
         inserts = (
-            source.join(target.select(on), on, "left_anti")
+            _null_safe_anti_or_semi(source, target.select(on), "left_anti")
             if has_target
             else source
         )
@@ -220,7 +245,9 @@ def merge_into(
     if not has_target:
         merged = inserts if inserts is not None else source.limit(0)
     else:
-        unmatched_t = target.join(F.broadcast(source.select(on).distinct()), on, "left_anti")
+        unmatched_t = _null_safe_anti_or_semi(
+            target, F.broadcast(source.select(on).distinct()), "left_anti"
+        )
         if when_matched == "update_all" and when_not_matched == "insert_all":
             # the streaming hot path: key-replacement is one anti-join +
             # the whole batch, no matched/unmatched split of the source
@@ -232,7 +259,9 @@ def merge_into(
             )
             return
         if when_matched == "update_all":
-            matched = source.join(target.select(on), on, "left_semi")
+            matched = _null_safe_anti_or_semi(
+                source, target.select(on), "left_semi"
+            )
             parts = [unmatched_t, matched.select(*[F.col(c) for c in target.columns])]
         elif when_matched == "delete":
             parts = [unmatched_t]

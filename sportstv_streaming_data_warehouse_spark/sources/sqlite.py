@@ -132,20 +132,34 @@ def read_sqlite(
         clauses = ["1=1"]
 
     if schema is None:
+        from contextlib import closing
+
         probe_sql = build_slice_sql(table, columns, predicate, "1=1")
-        with sqlite3.connect(db_path) as con:
+        with closing(sqlite3.connect(db_path)) as con:
             probe = pd.read_sql_query(f"{probe_sql} LIMIT 100", con)
+        if probe.empty:
+            raise ValueError(
+                f"cannot infer a schema for {table!r}: the 100-row probe "
+                "returned no rows (empty table, or the predicate matches "
+                "nothing early) — pass an explicit schema="
+            )
         schema = spark.createDataFrame(probe).schema
 
     names = [f.name for f in schema.fields]
 
     def read_slices(batches):
+        # sqlite3's context manager only manages TRANSACTIONS — closing()
+        # actually releases the file handle per slice (round-8 review
+        # finding: long-lived python workers otherwise hold the .db open)
+        from contextlib import closing as _closing
+
         import pandas as _pd
+        import sqlite3 as _sqlite3
 
         for pdf in batches:
             for clause in pdf["clause"]:
                 sql = build_slice_sql(table, columns, predicate, clause)
-                with sqlite3.connect(db_path) as con:
+                with _closing(_sqlite3.connect(db_path)) as con:
                     out = _pd.read_sql_query(sql, con)
                 yield out[names]
 

@@ -36,6 +36,21 @@ def test_delta_path_is_dispatched_when_probe_fires(monkeypatch, tmp_path):
     assert not (tmp_path / "t").exists(), "parquet swap ran despite delta"
 
 
+def test_delta_path_validates_clauses_before_touching_the_target(tmp_path):
+    # a typo'd clause must raise like the parquet backend — never
+    # silently write an empty table on the missing-target path; the
+    # validation runs before the delta import, so it is testable here
+    with pytest.raises(ValueError, match="when_not_matched"):
+        merge._merge_into_delta(
+            None, str(tmp_path / "t"), None, ["k"], "update_all", "insertAll"
+        )
+    with pytest.raises(ValueError, match="when_matched"):
+        merge._merge_into_delta(
+            None, str(tmp_path / "t"), None, ["k"], "updateAll", "insert_all"
+        )
+    assert not (tmp_path / "t").exists()
+
+
 @pytest.mark.skipif(
     not merge.delta_available(), reason="delta-spark not installed in sandbox"
 )

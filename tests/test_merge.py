@@ -58,6 +58,22 @@ def test_merge_is_idempotent_on_replay(spark, tmp_path):
     assert _rows(spark, path) == once
 
 
+def test_null_keyed_rows_merge_idempotently(spark, tmp_path):
+    # key comparison is null-safe (like Delta's `t.k <=> s.k`): a
+    # NULL-keyed row is UPDATED on replay, never re-inserted — plain
+    # equality would append one copy per replay (round-8 review finding)
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(None, "n", 1), (1, "a", 10)], "k int, name string, v int"
+    ).write.parquet(path)
+    batch = spark.createDataFrame(
+        [(None, "N", 2), (2, "b", 20)], "k int, name string, v int"
+    )
+    merge_into(spark, path, batch, on=["k"])
+    merge_into(spark, path, batch, on=["k"])  # replay
+    assert _rows(spark, path) == {(None, "N", 2), (1, "a", 10), (2, "b", 20)}
+
+
 def test_when_matched_delete(spark, tmp_path):
     path = str(tmp_path / "t")
     _target(spark, path)

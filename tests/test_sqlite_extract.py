@@ -176,6 +176,17 @@ def test_predicate_pushdown_filters_at_the_source(spark, db_path):
     assert len(rows) == n
 
 
+def test_empty_probe_raises_a_schema_pointer(spark, db_path):
+    # schema inference needs rows; an empty probe must point the caller
+    # at the schema= parameter, not crash inside createDataFrame
+    with pytest.raises(ValueError, match="schema="):
+        read_sqlite(
+            spark, db_path, "streaming_txns",
+            columns=["transaction_id"],
+            predicate="minutes_streamed > 1000000",
+        )
+
+
 def test_unsharded_read_is_one_task_with_probe_schema(spark, db_path):
     df = read_sqlite(
         spark, db_path, "streaming_txns", columns=["asset_id"]
