@@ -7401,74 +7401,56 @@ CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-8 mandatory rotations (last green < r5) — tools/rotate_window.py
-    "x_embedding_normalize",
-    "x_global_shuffle",
-    "x_quality_filter_by_lang",
-    "x_user_value_trend",
-    "x_vocab_coverage",
-    # Round-8 solvency math (period 3 => every oracle needs a green row at
-    # least once per 4 rounds; capacity 48 rotating slots x 4 = 192 vs
-    # 147 + 5 debuts = 152 oracles): this window greens the 5 r4
-    # stragglers (mandatory, staleness boundary hit after r7) and
-    # pre-pays 38 of the 48-member r5 cohort — 5 debuts (listed at the
-    # tail) each displaced one r5 pre-pay from the bottom, exactly the
-    # round-7 verdict's k<=5 budget. Leftover for r9: 10 r5-cohort
-    # members mandatory (x_text_profile, x_token_entropy,
-    # x_unigram_surprisal, x_weighted_sample, x_zorder_layout_audit +
-    # the 5 displaced: x_shared_passage_flags, x_source_overlap,
-    # x_split_leakage_audit, x_seq_length_histogram,
-    # x_session_features), leaving 38 free r9 slots against the
-    # 48-member r6 cohort => 10 r6 members roll to r10 mandatory, and
-    # the cycle repeats at leftover=10 < 48: solvent.
-    # round-9 pre-pay (oldest last-green first); debuts displace from the bottom
-    "a2_approx_distinct_scale",
-    "a_approx_quantile_audit",
-    "a_cohort_retention",
-    "a_pareto_abc",
-    "a_rollup_hierarchy",
-    "a_winsorized_stats",
-    "f_json_extract",
-    "q_key_skew_report",
-    "s1_scan_pruned_projection",
-    "u1_union_two_sources",
-    "w_active_streaks",
-    "w_daily_ohlc",
-    "w_event_funnel",
-    "w_event_transitions",
-    "w_forward_fill",
-    "w_interarrival_stats",
-    "w_moving_avg_7d",
-    "w_rfm_segmentation",
-    "w_rolling_distinct_7d",
-    "x_anomaly_zscore",
-    "x_asof_join_last_signup",
-    "x_bigram_surprisal",
-    "x_boilerplate_ngrams",
-    "x_cdc_fact_diff",
-    "x_containment_dedup",
-    "x_copurchase_pairs",
-    "x_dedup_clusters",
-    "x_dedup_embedding_cosine",
-    "x_dedup_exact",
-    "x_dedup_token_jaccard",
-    "x_domain_mix_plan",
-    "x_fuzzy_match_names",
-    "x_hard_negatives",
-    "x_knn_ivf_ann",
-    "x_pagerank_step",
-    "x_passage_dedup",
-    "x_range_join_value_bands",
-    "x_sample_exact_k",
-    # round-8 debuts (k=5, the verdict's full budget): each displaced
-    # one r5 pre-pay from the bottom (x_shared_passage_flags,
-    # x_source_overlap, x_split_leakage_audit, x_seq_length_histogram,
-    # x_session_features -> r9 mandatory, counted in the math above)
-    "r_retention_funnel",
-    "s_ingest_daily_grain",
-    "r_top_markets",
-    "r_streaming_by_type",
-    "r_yoy_growth",
+    # round-9 mandatory rotations (last green < r6) — tools/rotate_window.py
+    "x_seq_length_histogram",
+    "x_session_features",
+    "x_shared_passage_flags",
+    "x_source_overlap",
+    "x_split_leakage_audit",
+    "x_text_profile",
+    "x_token_entropy",
+    "x_unigram_surprisal",
+    "x_weighted_sample",
+    "x_zorder_layout_audit",
+    # round-10 pre-pay (oldest last-green first); debuts displace from the bottom
+    "a45_global_summary",
+    "a_cube_matrix",
+    "a_quantiles_by_flag",
+    "a_share_of_total",
+    "f_from_json_struct",
+    "h_monthly_from_daily",
+    "h_sketch_rollup_hll",
+    "o1_top10_customers",
+    "p67_year_pruning",
+    "q_out_of_order_audit",
+    "q_quality_audit",
+    "r2_unpivot_year_matrix",
+    "s45_source_stats",
+    "sql_surface_weekly_top",
+    "u34_set_ops",
+    "w2_peak_dow_per_flag",
+    "w_event_sequences",
+    "x_cascade_delete_plan",
+    "x_content_hash_split",
+    "x_decontamination",
+    "x_dedup_minhash_poly",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash_poly",
+    "x_dedup_survivors",
+    "x_distribution_drift",
+    "x_doc_chunking",
+    "x_doc_stats_by_lang",
+    "x_dupgraph_degree",
+    "x_embedding_quantize",
+    "x_fingerprint",
+    "x_heavy_hitters",
+    "x_kmeans_lloyd",
+    "x_knn_bruteforce",
+    "x_knn_lsh_poly",
+    "x_lang_id",
+    "x_pack_shards",
+    "x_passage_scrub_crossdoc",
+    "x_quality_deciles",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -7479,9 +7461,9 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7],
-    "star_fact_events": [1, 2, 3, 4, 5, 6, 7],
-    "s1_scan_pruned_projection": [1, 2, 5],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8],
+    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8],
+    "s1_scan_pruned_projection": [1, 2, 5, 8],
     "s45_source_stats": [2, 3, 6],
     "s4_source_date_bounds": [1, 4, 7],
     "s5_row_counts": [1, 4, 7],
@@ -7509,7 +7491,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a12_yearly_validation": [1, 4, 7],
     "a13_avg_of_precomputed": [1, 4, 7],
     "a_cube_matrix": [2, 3, 6],
-    "a_rollup_hierarchy": [2, 3, 5],
+    "a_rollup_hierarchy": [2, 3, 5, 8],
     "h_monthly_from_daily": [2, 3, 6],
     "a_quantiles_by_flag": [2, 3, 6],
     "a_share_of_total": [2, 3, 6],
@@ -7517,11 +7499,11 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "w2_peak_dow_per_flag": [1, 2, 3, 6],
     "w3_yoy_order_growth": [1, 2, 4, 7],
     "w_sessionize": [2, 3, 4, 7],
-    "w_moving_avg_7d": [2, 3, 5],
+    "w_moving_avg_7d": [2, 3, 5, 8],
     "o1_top10_customers": [1, 2, 3, 6],
     "o2_top_events_full_sort": [1, 4, 7],
     "o5_distinct_years_sorted": [1, 4, 7],
-    "u1_union_two_sources": [1, 2, 5],
+    "u1_union_two_sources": [1, 2, 5, 8],
     "u2_distinct_pairs": [1, 4, 7],
     "u34_set_ops": [2, 3, 6],
     "u3_except_churned": [1, 4, 7],
@@ -7532,28 +7514,28 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "f6_date_spine": [1, 2, 4, 7],
     "f7_regex_inference_precedence": [1, 2, 4, 7],
     "f10_hours_arithmetic": [1, 4, 7],
-    "f_json_extract": [2, 3, 5],
+    "f_json_extract": [2, 3, 5, 8],
     "f_from_json_struct": [2, 3, 6],
     "sql_surface_weekly_top": [2, 3, 6],
     "q_quality_audit": [2, 3, 6],
-    "x_dedup_exact": [1, 2, 5],
+    "x_dedup_exact": [1, 2, 5, 8],
     "x_dedup_canonical": [1, 4, 7],
-    "x_dedup_token_jaccard": [1, 2, 5],
+    "x_dedup_token_jaccard": [1, 2, 5, 8],
     "x_dedup_minhash_poly": [2, 3, 6],
     "x_dedup_simhash_poly": [2, 3, 6],
-    "x_dedup_clusters": [2, 3, 5],
-    "x_dedup_embedding_cosine": [2, 3, 5],
-    "x_asof_join_last_signup": [1, 2, 5],
-    "x_range_join_value_bands": [1, 2, 3, 5],
-    "x_user_value_trend": [1, 2, 3, 4],
+    "x_dedup_clusters": [2, 3, 5, 8],
+    "x_dedup_embedding_cosine": [2, 3, 5, 8],
+    "x_asof_join_last_signup": [1, 2, 5, 8],
+    "x_range_join_value_bands": [1, 2, 3, 5, 8],
+    "x_user_value_trend": [1, 2, 3, 4, 8],
     "x_knn_bruteforce": [2, 3, 6],
     "x_knn_lsh_poly": [2, 3, 6],
     "x_text_profile": [2, 3, 5],
     "x_content_hash_split": [2, 3, 6],
     "x_quality_deciles": [2, 3, 6],
-    "x_cdc_fact_diff": [3, 5],
+    "x_cdc_fact_diff": [3, 5, 8],
     "x_salted_skew_rollup": [3, 6],
-    "x_knn_ivf_ann": [3, 5],
+    "x_knn_ivf_ann": [3, 5, 8],
     "x_dedup_ngram_jaccard": [3, 6],
     "x_decontamination": [3, 6],
     "x_stratified_sample": [3, 6],
@@ -7572,37 +7554,37 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_dedup_survivors": [3, 6],
     "x_bm25_topk": [4, 7],
     "x_dedup_incremental": [4, 7],
-    "x_embedding_normalize": [4],
-    "x_global_shuffle": [4],
+    "x_embedding_normalize": [4, 8],
+    "x_global_shuffle": [4, 8],
     "x_kmeans_lloyd": [4, 6],
-    "x_quality_filter_by_lang": [4],
+    "x_quality_filter_by_lang": [4, 8],
     "x_scd2_point_in_time": [4, 6],
-    "x_vocab_coverage": [4],
-    "a2_approx_distinct_scale": [5],
-    "a_approx_quantile_audit": [5],
-    "a_cohort_retention": [5],
-    "a_pareto_abc": [5],
-    "a_winsorized_stats": [5],
-    "q_key_skew_report": [5],
-    "w_active_streaks": [5],
-    "w_daily_ohlc": [5],
-    "w_event_funnel": [5],
-    "w_event_transitions": [5],
-    "w_forward_fill": [5],
-    "w_interarrival_stats": [5],
-    "w_rfm_segmentation": [5],
-    "w_rolling_distinct_7d": [5],
-    "x_anomaly_zscore": [5],
-    "x_bigram_surprisal": [5],
-    "x_boilerplate_ngrams": [5],
-    "x_containment_dedup": [5],
-    "x_copurchase_pairs": [5],
-    "x_domain_mix_plan": [5],
-    "x_fuzzy_match_names": [5],
-    "x_hard_negatives": [5],
-    "x_pagerank_step": [5],
-    "x_passage_dedup": [5],
-    "x_sample_exact_k": [5],
+    "x_vocab_coverage": [4, 8],
+    "a2_approx_distinct_scale": [5, 8],
+    "a_approx_quantile_audit": [5, 8],
+    "a_cohort_retention": [5, 8],
+    "a_pareto_abc": [5, 8],
+    "a_winsorized_stats": [5, 8],
+    "q_key_skew_report": [5, 8],
+    "w_active_streaks": [5, 8],
+    "w_daily_ohlc": [5, 8],
+    "w_event_funnel": [5, 8],
+    "w_event_transitions": [5, 8],
+    "w_forward_fill": [5, 8],
+    "w_interarrival_stats": [5, 8],
+    "w_rfm_segmentation": [5, 8],
+    "w_rolling_distinct_7d": [5, 8],
+    "x_anomaly_zscore": [5, 8],
+    "x_bigram_surprisal": [5, 8],
+    "x_boilerplate_ngrams": [5, 8],
+    "x_containment_dedup": [5, 8],
+    "x_copurchase_pairs": [5, 8],
+    "x_domain_mix_plan": [5, 8],
+    "x_fuzzy_match_names": [5, 8],
+    "x_hard_negatives": [5, 8],
+    "x_pagerank_step": [5, 8],
+    "x_passage_dedup": [5, 8],
+    "x_sample_exact_k": [5, 8],
     "x_seq_length_histogram": [5],
     "x_session_features": [5],
     "x_shared_passage_flags": [5],
@@ -7626,6 +7608,11 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "w_interpolate_linear": [7],
     "x_domain_mix_apply": [7],
     "x_interval_overlap_join": [7],
+    "r_retention_funnel": [8],
+    "r_streaming_by_type": [8],
+    "r_top_markets": [8],
+    "r_yoy_growth": [8],
+    "s_ingest_daily_grain": [8],
 }
 
 
