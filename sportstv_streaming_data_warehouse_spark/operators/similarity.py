@@ -46,6 +46,12 @@ def arrow_pair_fold(kernel):
 
     - NULL ARRAYS (either side) yield NULL, via the per-row fallback;
     - RAGGED lengths in a batch fall back to an exact per-row fold;
+    - a-vs-b WIDTH MISMATCH yields NULL per row, matching zip_with's
+      null-padding (the shorter side pads with NULL, the product and
+      fold propagate it): the batch path re-checks A/B widths after
+      stacking — each side can be internally uniform yet differ from
+      the other, which vstack alone cannot catch — and mismatched rows
+      route through the same per-row fallback;
     - NULL ELEMENTS yield NULL, matching the JVM fold: Arrow presents a
       null element as NaN, the fold propagates it, and the pandas→Arrow
       return serializer maps NaN back to SQL NULL (verified: a NaN cell
@@ -67,12 +73,23 @@ def arrow_pair_fold(kernel):
         import pandas as _pd
 
         try:
+            if sa.isna().any() or sb.isna().any():
+                # vstack on a batch whose nulls happen to be UNIFORM
+                # (e.g. all-None) does NOT raise — it builds a (n, 1)
+                # object matrix — so nulls are detected explicitly
+                raise ValueError("null arrays in batch")
             A = _np.vstack(sa.values).astype(_np.float64)
             B = _np.vstack(sb.values).astype(_np.float64)
+            if A.shape[1] != B.shape[1]:
+                # uniform-but-unequal widths: vstack succeeds on both
+                # sides, so without this the kernel would IndexError
+                # (A wider) or silently dot over only A's dims (A
+                # narrower) — zip_with returns NULL for both
+                raise ValueError("a/b width mismatch")
             return _pd.Series(kernel(_np, A, B))
-        except ValueError:  # ragged lengths / null arrays in this batch
+        except (ValueError, IndexError):  # ragged/null/width-mismatched
             def one(v, w):
-                if v is None or w is None:
+                if v is None or w is None or len(v) != len(w):
                     return None
                 a1 = _np.asarray(v, dtype=_np.float64).reshape(1, -1)
                 b1 = _np.asarray(w, dtype=_np.float64).reshape(1, -1)
@@ -252,7 +269,13 @@ def banded_signatures_pandas(
     signature bit) for a projection within that distance of zero.
     tests/test_similarity_recall.py pins this path bit-equal to
     ``banded_signatures_expr`` on the fixtures and asserts every
-    |projection| clears the margin by orders of magnitude."""
+    |projection| clears the margin by orders of magnitude.
+
+    Like ``table_signatures_pandas``, bit-identity is scoped to FINITE
+    inputs: a NaN projection gives bit 0 here (numpy ``>= 0`` is False)
+    but bit 1 in the JVM expression (Spark sorts NaN above numbers) —
+    the documented safe-direction divergence, pinned by
+    tests/test_arrow_twin_edges.py."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -416,7 +439,15 @@ def table_signatures_pandas(
     exactly. Exists because Catalyst evaluates the fold interpreted:
     n_tables x n_planes folds PER ROW dominated lsh_bucketed_topk's
     wall. The closure captures only the plane floats — executors import
-    nothing from the repo; nulls fall back to an exact per-row fold."""
+    nothing from the repo; nulls fall back to an exact per-row fold.
+
+    Bit-identity is scoped to FINITE inputs — the same deliberate NaN
+    divergence ``arrow_pair_fold`` declares: for a NaN-valued vector
+    numpy's ``acc >= 0`` is False (bit 0) while Spark orders NaN above
+    every number so ``proj >= 0`` is true (bit 1). A corrupt vector thus
+    lands in a DIFFERENT bucket than the JVM expression would pick —
+    the safe direction (it stops colliding with real ones), pinned by
+    tests/test_arrow_twin_edges.py."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
@@ -438,6 +469,11 @@ def table_signatures_pandas(
             return out
 
         try:
+            if s.isna().any():
+                # explicit: vstack on an ALL-null batch silently builds
+                # a (n, 1) object matrix instead of raising, and the
+                # plane loop then IndexErrors past column 0
+                raise ValueError("null arrays in batch")
             V = _np.vstack(s.values).astype(_np.float64)
             return _pd.Series(list(batch(V)))
         except ValueError:  # ragged lengths / nulls in this batch

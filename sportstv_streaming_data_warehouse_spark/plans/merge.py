@@ -86,6 +86,26 @@ def _merge_into_delta(
     if when_not_matched not in ("insert_all", None):
         raise ValueError(f"unsupported when_not_matched: {when_not_matched!r}")
 
+    # A NON-EMPTY directory without a _delta_log is a dataset the
+    # parquet_swap backend built before delta-spark became importable —
+    # treating it as "missing" would CREATE a fresh Delta table alongside
+    # the old files and silently drop every pre-existing row from the
+    # merge (round-8 advice). Migration is a deliberate one-time step,
+    # never an implicit branch. Checked with stdlib BEFORE the delta
+    # import so the guard is pinned even where the package is absent.
+    if (
+        os.path.isdir(target_path)
+        and any(not e.startswith("_") for e in os.listdir(target_path))
+        and not os.path.isdir(os.path.join(target_path, "_delta_log"))
+    ):
+        raise ValueError(
+            f"target {target_path!r} holds a non-Delta dataset "
+            "(parquet_swap-era files, no _delta_log); refusing to "
+            "CREATE over it. Convert it first — read the parquet and "
+            "write.format('delta').save() to a fresh path, or use "
+            "delta.DeltaTable.convertToDelta — then re-run the merge."
+        )
+
     from delta.tables import DeltaTable
 
     if not DeltaTable.isDeltaTable(spark, target_path):

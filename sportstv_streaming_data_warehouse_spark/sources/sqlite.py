@@ -146,6 +146,26 @@ def read_sqlite(
         schema = spark.createDataFrame(probe).schema
 
     names = [f.name for f in schema.fields]
+    # Per-field pandas NULLABLE dtypes: a slice whose rows have NULLs in a
+    # column the driver probe saw as all-integer comes back from pandas as
+    # float64/NaN and would fail (or coerce lossily) against the declared
+    # LongType at the mapInPandas Arrow boundary — coercing each slice to
+    # the extension dtype (Int64 etc., NULL-capable) makes slice-local
+    # dtype drift impossible by construction.
+    _NULLABLE = {
+        "tinyint": "Int8",
+        "smallint": "Int16",
+        "int": "Int32",
+        "bigint": "Int64",
+        "float": "Float32",
+        "double": "Float64",
+        "boolean": "boolean",
+    }
+    coerce = {
+        f.name: _NULLABLE[f.dataType.simpleString()]
+        for f in schema.fields
+        if f.dataType.simpleString() in _NULLABLE
+    }
 
     def read_slices(batches):
         # sqlite3's context manager only manages TRANSACTIONS — closing()
@@ -161,6 +181,9 @@ def read_sqlite(
                 sql = build_slice_sql(table, columns, predicate, clause)
                 with _closing(_sqlite3.connect(db_path)) as con:
                     out = _pd.read_sql_query(sql, con)
+                for c, dt in coerce.items():
+                    if str(out[c].dtype) != dt:
+                        out[c] = out[c].astype(dt)
                 yield out[names]
 
     # one row per slice, round-robin repartitioned so every slice is its

@@ -1,0 +1,168 @@
+"""Edge-policy pins for the Arrow-batched bit-identical twins.
+
+The four pandas_udf twins (similarity.dot_pandas, clustering._sq_l2_pandas,
+similarity.table_signatures_pandas / banded_signatures_pandas,
+similarity.normalize_embeddings_pandas) advertise bit-identity to their JVM
+folds FOR FINITE INPUTS. This module feeds literal NaN / Inf / NULL /
+width-mismatched vectors through BOTH sides and pins the documented edge
+policy, so a future Arrow-serializer or numpy change cannot silently flip
+ranking or bucketing behavior:
+
+- finite inputs: twin == JVM bit-for-bit (incl. Inf, which both propagate);
+- NaN DATA: JVM keeps NaN, twin yields NULL — the deliberate safe-direction
+  divergence (Spark sorts NaN above every number, so a NaN similarity would
+  rank a corrupt vector as the #1 neighbor; NULL sorts last);
+- NULL arrays: NULL both sides for the pair folds; for signatures the JVM
+  expression degrades to bucket 0 (null projection fails `>= 0`, the
+  when/otherwise emits bit 0) while the twin yields NULL — divergence in the
+  safe direction (a NULL bucket joins nothing; bucket 0 would collide);
+- a-vs-b width mismatch: NULL both sides, matching zip_with's null-padding —
+  including the UNIFORM-batch case where each side vstacks cleanly but the
+  widths differ (the round-9 fix: previously an uncaught IndexError when a
+  was wider, a silent dot over only a's dims when narrower);
+- NaN signatures: JVM sets the sign bit (NaN >= 0 is true under NaN-max
+  ordering), numpy clears it — corrupt vectors land in different, non-real
+  buckets.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.clustering import _sq_l2_pandas
+from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+    banded_signatures_expr,
+    banded_signatures_pandas,
+    dot,
+    dot_pandas,
+    lcg_plane,
+    lsh_signature,
+    normalize_embeddings,
+    normalize_embeddings_pandas,
+    table_signatures_pandas,
+)
+
+NAN, INF = float("nan"), float("inf")
+
+
+def _sq_l2_jvm(a, b):
+    diff = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
+PAIR_TWINS = [
+    pytest.param(dot, dot_pandas, id="dot"),
+    pytest.param(_sq_l2_jvm, _sq_l2_pandas, id="sq_l2"),
+]
+
+
+@pytest.mark.parametrize("jvm_fold,twin", PAIR_TWINS)
+def test_pair_twin_edge_policy(spark, jvm_fold, twin):
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),  # finite: bit-identical
+        (2, [NAN, 1.0], [1.0, 1.0]),  # NaN data: JVM NaN, twin NULL
+        (3, [INF, 1.0], [1.0, 1.0]),  # Inf: both propagate Inf
+        (4, [1.0, 2.0, 3.0], [1.0, 1.0]),  # a wider: NULL both
+        (5, [1.0, 2.0], [1.0, 1.0, 1.0]),  # a narrower: NULL both
+        (6, None, [1.0, 1.0]),  # null array: NULL both
+        (7, [1.0, 1.0], None),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            jvm_fold(F.col("a"), F.col("b")).alias("jvm"),
+            twin(F.col("a"), F.col("b")).alias("tw"),
+        ).collect()
+    }
+    assert out[1]["jvm"] == out[1]["tw"] and out[1]["tw"] is not None
+    assert math.isnan(out[2]["jvm"]) and out[2]["tw"] is None
+    assert math.isinf(out[3]["jvm"]) and math.isinf(out[3]["tw"])
+    for i in (4, 5, 6, 7):
+        assert out[i]["jvm"] is None and out[i]["tw"] is None, (i, out[i])
+
+
+@pytest.mark.parametrize("jvm_fold,twin", PAIR_TWINS)
+def test_pair_twin_uniform_width_mismatch_batches(spark, jvm_fold, twin):
+    """Whole-batch uniform mismatch: vstack succeeds on BOTH sides, so only
+    the explicit width re-check routes these rows to the NULL fallback —
+    the round-9 ADVICE fix (wider a used to IndexError and kill the task;
+    narrower a silently dotted over only a's dims)."""
+    for a, b in ([1.0, 2.0, 3.0], [1.0, 1.0]), ([1.0, 2.0], [1.0, 1.0, 1.0]):
+        df = spark.createDataFrame(
+            [(i, a, b) for i in range(8)], "id long, a array<double>, b array<double>"
+        )
+        got = df.select(
+            jvm_fold(F.col("a"), F.col("b")).alias("jvm"),
+            twin(F.col("a"), F.col("b")).alias("tw"),
+        ).collect()
+        assert all(r["jvm"] is None and r["tw"] is None for r in got), (a, b, got[:2])
+
+
+def test_signature_twins_edge_policy(spark):
+    planes = [lcg_plane(4, 0), lcg_plane(4, 4)]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 3.0]),  # finite: bit-identical everywhere
+            (2, [NAN, 1.0, 1.0, 1.0]),  # NaN: JVM sign bits SET, numpy CLEAR
+            (3, None),  # null: JVM bucket 0, twin NULL
+        ],
+        "id long, v array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            lsh_signature(F.col("v"), planes).alias("jvm_sig"),
+            table_signatures_pandas(F.col("v"), [planes]).alias("tw_sig"),
+            banded_signatures_expr(F.col("v"), 4, 2, 1, 0).alias("jvm_band"),
+            banded_signatures_pandas("v", 4, 2, 1, 0).alias("tw_band"),
+        ).collect()
+    }
+    # finite: all four agree bit-for-bit
+    r = out[1]
+    assert r["tw_sig"] == [r["jvm_sig"]] and r["tw_band"] == r["jvm_band"]
+    # NaN data: every projection is NaN; NaN >= 0 is TRUE JVM-side (sign
+    # bits all set -> 0b11 = 3) but FALSE in numpy (bucket 0) — the
+    # documented divergence: the corrupt vector lands in a bucket real
+    # vectors with those planes cannot produce deterministically
+    r = out[2]
+    assert r["jvm_sig"] == 3 and r["jvm_band"] == [3]
+    assert r["tw_sig"] == [0] and r["tw_band"] == [0]
+    # null vector: the JVM when/otherwise degrades to bucket 0 (would
+    # collide with genuine bucket-0 vectors); the twins return NULL, which
+    # equi-joins nothing — the safe direction
+    r = out[3]
+    assert r["jvm_sig"] == 0 and r["jvm_band"] == [0]
+    assert r["tw_sig"] is None and r["tw_band"] is None
+
+
+def test_normalize_twin_edge_policy(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [NAN, 1.0]), (3, [INF, 1.0]), (4, None)],
+        "id long, embedding array<double>",
+    )
+    jvm = {
+        r["id"]: r["embedding"]
+        for r in normalize_embeddings(df).collect()
+    }
+    tw = {
+        r["id"]: r["embedding"]
+        for r in normalize_embeddings_pandas(df).collect()
+    }
+    assert jvm[1] == tw[1] == [0.6, 0.8]
+    # NaN norm poisons every element JVM-side; the twin's NaN elements map
+    # to NULL through the Arrow list serializer — same safe direction,
+    # element-wise
+    assert all(math.isnan(x) for x in jvm[2]) and tw[2] == [None, None]
+    # Inf: inf/inf = NaN, 1/inf = 0.0 — the finite elements still agree
+    assert math.isnan(jvm[3][0]) and jvm[3][1] == 0.0
+    assert tw[3] == [None, 0.0]
+    assert jvm[4] is None and tw[4] is None

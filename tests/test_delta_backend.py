@@ -64,3 +64,34 @@ def test_delta_merge_end_to_end(spark, tmp_path):
     merge.merge_into(spark, target, batch, on=["k"])
     got = {(r["k"], r["v"]) for r in spark.read.format("delta").load(target).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_delta_path_refuses_a_parquet_swap_era_target(spark, tmp_path):
+    # A dataset the parquet_swap backend built is NOT a Delta table; when
+    # delta-spark later becomes importable the backend must refuse to
+    # CREATE a fresh Delta table over it (which would drop every
+    # pre-existing row from the merge) and demand an explicit one-time
+    # conversion. The guard is stdlib-only (non-empty dir, no _delta_log)
+    # so it is pinned here without the package.
+    target = tmp_path / "fact"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="_delta_log"):
+        merge._merge_into_delta(
+            spark, str(target), None, ["k"], "update_all", "insert_all"
+        )
+    # the old files are untouched
+    assert (target / "part-00000.parquet").read_bytes() == b"PAR1"
+
+
+def test_delta_path_missing_target_guard_ignores_marker_only_dirs(tmp_path):
+    # a dir holding only underscore-marker files (e.g. a leftover
+    # _SUCCESS) carries no data — it must fall through to the
+    # missing-target branch, whose next statement is the delta import
+    target = tmp_path / "empty_fact"
+    target.mkdir()
+    (target / "_SUCCESS").touch()
+    with pytest.raises(ImportError):
+        merge._merge_into_delta(
+            None, str(target), None, ["k"], "update_all", "insert_all"
+        )

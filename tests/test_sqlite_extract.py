@@ -194,3 +194,23 @@ def test_unsharded_read_is_one_task_with_probe_schema(spark, db_path):
     assert df.rdd.getNumPartitions() == 1
     assert [f.name for f in df.schema.fields] == ["asset_id"]
     assert df.count() == N_TXNS
+
+
+def test_probe_clean_column_with_nulls_in_a_later_slice(spark, db_path):
+    # user_id is non-NULL for the first 100 rows (the driver probe
+    # window) so it infers LongType — but the very last row has a NULL
+    # user_id, and pandas hands that slice back as float64/NaN. Without
+    # per-slice coercion to the nullable Int64 extension dtype the Arrow
+    # boundary rejects (or lossily coerces) the drifted slice; with it,
+    # the NULL lands as a proper SQL NULL and every other value is exact.
+    df = read_sqlite(
+        spark, db_path, "streaming_txns",
+        columns=["transaction_id", "user_id"],
+        partition_column="transaction_id",
+        lower_bound=1, upper_bound=N_TXNS, num_partitions=4,
+    )
+    assert df.schema["user_id"].dataType.simpleString() == "bigint"
+    nulls = df.filter(F.col("user_id").isNull()).collect()
+    assert [r["transaction_id"] for r in nulls] == [N_TXNS]
+    assert df.filter(F.col("user_id") == 299).count() > 0  # values intact
+    assert df.count() == N_TXNS
