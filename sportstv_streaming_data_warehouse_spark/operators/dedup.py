@@ -133,6 +133,7 @@ def minhash_signature(
     n: int = 3,
     seed: int = 42,
     portable: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """(id, minhash array) via k affine hash functions over shingle hashes.
 
@@ -146,6 +147,12 @@ def minhash_signature(
     ``portable=True`` swaps the xxhash64 shingle hash for the polynomial
     rolling hash, making the whole signature reproducible in plain SQL
     (the oracle path); xxhash64 stays the fast default.
+
+    ``arrow`` picks how the k affine-min slots evaluate: the
+    bit-identical integer Arrow twin (``minhash_slots_pandas``) or the
+    ``array_min(transform(...))`` expression stack. Default (None) is
+    auto — Arrow on the fast path, expressions on the portable path so
+    the signature stays replayable in plain SQL by the DuckDB oracle.
     """
     coefs = minhash_coefficients(num_hashes, seed)
 
@@ -158,6 +165,12 @@ def minhash_signature(
     with_hashes = _ensure_parallelism(df).select(
         F.col(id_col), hashes.alias("__hs")
     )
+    if arrow is None:
+        arrow = not portable
+    if arrow:
+        return with_hashes.select(
+            id_col, minhash_slots_pandas(F.col("__hs"), coefs).alias("signature")
+        )
     mins = [
         F.array_min(
             F.transform(
@@ -167,6 +180,55 @@ def minhash_signature(
         for a, b in coefs
     ]
     return with_hashes.select(id_col, F.array(*mins).alias("signature"))
+
+
+def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):
+    """All k affine minhash slots in one Arrow batch, BIT-IDENTICAL to
+    the ``array_min(transform(__hs, h -> (h*a+b) % P))`` expression
+    stack — pure 64-bit integer math (h, a < 2^31 so h*a+b < 2^63; the
+    same nonnegative ``%`` in numpy and the JVM), so unlike the float
+    twins there is no rounding question at all. Exists because Catalyst
+    evaluates the k=32 per-slot folds interpreted: 32 passes over every
+    document's shingle array per row dominated minhash_signature's wall
+    (round-9 Arrow-twin triage; adopted on the non-portable path only —
+    the poly path stays expression-based for the SQL oracle, which is
+    what keeps signatures auditable in plain SQL).
+
+    Edge policy mirrors the expression exactly: NULL hash array → k
+    NULL slots (transform propagates NULL per slot, F.array keeps the
+    row); empty array → k NULLs (array_min of empty is NULL); NULL
+    ELEMENTS are skipped per slot the way array_min skips them. The
+    closure captures only the (a, b) ints — executors import nothing
+    from the repo."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = _HASH_PRIME
+
+    @pandas_udf("array<long>")
+    def _slots(s):
+        import numpy as _np
+
+        A = _np.asarray([a for a, _ in coefs], dtype=_np.int64)
+        B = _np.asarray([b for _, b in coefs], dtype=_np.int64)
+        k = len(coefs)
+        empty = [None] * k
+
+        def one(hs):
+            if hs is None:
+                return empty
+            H = _np.asarray(
+                [h for h in hs if h is not None], dtype=_np.int64
+            )
+            if H.size == 0:
+                return empty
+            # (m, k) affine grid, one vectorized pass per row — the
+            # per-slot interpreted fold this replaces walked the m
+            # shingles k times through Catalyst's interpreter
+            return [int(v) for v in ((H[:, None] * A + B) % P).min(axis=0)]
+
+        return s.map(one)
+
+    return _slots(hs_col)
 
 
 def _banded_minhash(

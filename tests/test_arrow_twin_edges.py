@@ -166,3 +166,48 @@ def test_normalize_twin_edge_policy(spark):
     assert math.isnan(jvm[3][0]) and jvm[3][1] == 0.0
     assert tw[3] == [None, 0.0]
     assert jvm[4] is None and tw[4] is None
+
+
+def test_minhash_slots_twin_matches_expression_slots(spark):
+    """The integer Arrow twin (round-9 adoption, 1.75x at 100x) must be
+    bit-identical to the array_min(transform(...)) expression stack on
+    real text AND edge rows — pure 64-bit integer math, so unlike the
+    float twins equality is exact by construction. Note the edge rows
+    are NOT null signatures: word_shingles(distinct=True)'s short-doc
+    fallback gives null/empty/whitespace text the single "" shingle
+    (concat_ws of no tokens), so all degenerate docs share one
+    deterministic signature — established expression semantics the
+    oracle replays, which the twin must reproduce exactly."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with other tokens here"),
+            (4, None),
+            (5, ""),
+            (6, "   \t\n "),
+            (7, "two words"),  # fewer tokens than the 3-shingle width
+        ],
+        "doc_id long, text string",
+    )
+    expr = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signature(docs, "doc_id", "text", arrow=False).collect()
+    }
+    twin = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signature(docs, "doc_id", "text", arrow=True).collect()
+    }
+    assert expr == twin
+    # near-dup docs share most slots
+    shared = sum(a == b for a, b in zip(twin[1], twin[2]))
+    assert shared >= 16, shared
+    # degenerate docs (null/empty/whitespace) share the ""-shingle
+    # signature; a real short doc gets its whole-text shingle instead
+    assert twin[4] == twin[5] == twin[6]
+    assert all(v is not None for v in twin[4])
+    assert twin[7] != twin[4]

@@ -429,6 +429,101 @@ def round8_experiment(spark) -> None:
     )
 
 
+def round9_experiment(spark) -> None:
+    """Round-9 Arrow-twin triage (round-9 verdict task 5): the round-8
+    memory flagged minhash's 32 array_min(transform(...)) slots and
+    text.py's per-row folds as 'cheap — leave them'; verify that with
+    measurements instead of keeping the claim on faith.
+
+    - x_dedup_minhash_lsh: expression slots vs the integer Arrow twin
+      (dedup.minhash_slots_pandas) at 1x/10x/100x on the zipfian corpus.
+      Adoption bar: >=1.5x at 100x AND bit-parity (pinned separately in
+      tests/test_arrow_twin_edges-adjacent minhash parity checks).
+    - x_text_stats: the avg_token_len HOF fold vs its codegen
+      regexp_replace rewrite (sum of token lengths == count of non-\\s
+      chars) at 1x/10x/100x.
+    Statistic: min of 3 (algorithmic cost; JIT/box-load excluded).
+    """
+    from sportstv_streaming_data_warehouse_spark.operators import dedup as D
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
+
+    n1 = 5_000
+    dirs = {}
+    for label, n in (("1x", n1), ("10x", n1 * 10), ("100x", n1 * 100)):
+        # r9 corpus adds the n_chars column x_text_stats projects (the
+        # r8 zipf dirs carry only doc_id/text)
+        d = f"{DST}_r9_zipf_{label}"
+        if not os.path.isdir(f"{d}/documents.parquet"):
+            os.makedirs(d, exist_ok=True)
+            zipf_documents(spark, n).withColumn(
+                "n_chars", F.length("text")
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        dirs[label] = d
+
+    def min3(fn):
+        fn()  # warm (plan + IO cache)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    def force(df):
+        df.select(
+            F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")
+        ).collect()
+
+    # --- minhash signature tier: expression slots vs the Arrow twin ---
+    print(f"\n{'minhash signatures':34} {'1x':>7} {'10x':>8} {'100x':>9}")
+    walls = {}
+    for mode, arrow in (("expr_slots", False), ("arrow_twin", True)):
+        w = {}
+        for label in ("1x", "10x", "100x"):
+            docs = load_table(spark, dirs[label], "documents")
+            w[label] = min3(
+                lambda d=docs: force(
+                    D.minhash_signature(d, "doc_id", "text", arrow=arrow)
+                )
+            )
+        walls[mode] = w
+        print(f"{mode:34} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s")
+    speedup = walls["expr_slots"]["100x"] / walls["arrow_twin"]["100x"]
+    print(f"{'100x signature speedup':34} {speedup:5.2f}x "
+          f"({'ADOPT (>=1.5x bar)' if speedup >= 1.5 else 'below bar — keep expressions'})")
+
+    # --- avg_token_len: the retired HOF fold vs the codegen rewrite ---
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+
+    def old_avg_token_len(text):
+        t = T.tokens(text)
+        total = F.aggregate(
+            F.transform(t, F.length), F.lit(0), lambda a, v: a + v
+        )
+        return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+    print(f"\n{'avg_token_len expression':34} {'1x':>7} {'10x':>8} {'100x':>9}")
+    for mode, expr in (("hof_fold (retired)", old_avg_token_len),
+                       ("codegen_rewrite", T.avg_token_len)):
+        w = {}
+        for label in ("1x", "10x", "100x"):
+            docs = load_table(spark, dirs[label], "documents")
+            w[label] = min3(
+                lambda d=docs, e=expr: force(
+                    d.select("doc_id", e(F.col("text")).alias("atl"))
+                )
+            )
+        print(f"{mode:34} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s")
+
+    # --- the full catalog queries the twins sit inside ---
+    print(f"\n{'catalog queries (shipped paths)':34} {'1x':>7} {'10x':>8} {'100x':>9}")
+    for name in ("x_dedup_minhash_lsh", "x_text_stats"):
+        w = {}
+        for label in ("1x", "10x", "100x"):
+            w[label] = min3(lambda n=name, d=dirs[label]: force(QUERIES[n](spark, d)))
+        print(f"{name:34} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s")
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -457,6 +552,10 @@ def main() -> None:
         return
     if "--round8" in sys.argv:
         round8_experiment(spark)
+        spark.stop()
+        return
+    if "--round9" in sys.argv:
+        round9_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
