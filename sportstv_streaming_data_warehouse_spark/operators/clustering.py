@@ -32,16 +32,31 @@ from pyspark.sql import functions as F
 MEAN_DECIMAL = "decimal(20,8)"
 
 
+def _sq_l2_expr(a, b):
+    """Squared L2 as the zip_with/aggregate expression: a left-to-right
+    fold of (aᵢ-bᵢ)² in index order — the fixed IEEE tree the module
+    docstring promises, identical in any engine that folds in index
+    order (the SQL oracle replays it)."""
+    diff = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def _sq_l2_pandas(a, b):
-    """Squared L2 as an Arrow-batched pandas_udf, BIT-IDENTICAL to the
-    former zip_with/aggregate expression: one correctly-rounded
-    (aᵢ-bᵢ)² added per dimension in ascending order — the same fixed
-    IEEE tree the module docstring promises, so the SQL oracle replay
-    still matches exactly. Exists because Catalyst evaluates the fold
-    interpreted and it runs per (row × centroid) after the broadcast
-    unfold — the k-means hot path. Batching scaffolding and the
-    null/ragged/NaN edge policy live in similarity.arrow_pair_fold
-    (one audited spot, round-8 review finding)."""
+    """Squared L2 as an Arrow-batched pandas_udf, BIT-IDENTICAL to
+    ``_sq_l2_expr``: one correctly-rounded (aᵢ-bᵢ)² added per dimension
+    in ascending order — the same fixed IEEE tree, pinned by
+    tests/test_arrow_twin_edges.py. NOT on the k-means hot path since
+    round 9: the per (row × centroid) broadcast-unfold ships both
+    vectors across the Arrow boundary for ~dim flops, and the measured
+    A/B has the interpreted JVM fold 1.2x FASTER at sf0.1 — kept as the
+    vectorized-Python escape hatch and edge-policy reference. Batching
+    scaffolding and the null/ragged/NaN/width-mismatch policy live in
+    similarity.arrow_pair_fold (one audited spot)."""
     from .similarity import arrow_pair_fold
 
     def _kernel(_np, A, B):
@@ -69,7 +84,7 @@ def assign_clusters(
     partial MINs beats a row_number window (which would sort k rows per
     key after a shuffle) while matching the oracle's
     ROW_NUMBER OVER (ORDER BY dist, cid) = 1 exactly."""
-    dist = _sq_l2_pandas(F.col(vec_col), F.col("__c"))
+    dist = _sq_l2_expr(F.col(vec_col), F.col("__c"))
     joined = vectors.select(id_col, vec_col).crossJoin(
         F.broadcast(centroids.select("cid", F.col("c").alias("__c")))
     )

@@ -104,11 +104,16 @@ def dot_pandas(a: Column, b: Column) -> Column:
     """``dot`` as an Arrow-batched pandas_udf, BIT-IDENTICAL to the JVM
     fold for finite inputs: one correctly-rounded product per dimension
     in ascending order — exactly ``acc + (xᵢ·yᵢ)`` — verified over the
-    full 182K-pair refine table with zero bit mismatches. Exists because
-    Catalyst evaluates higher-order functions interpreted (no codegen):
-    on the pair-refine hot path — the one place dot runs per CANDIDATE
-    PAIR rather than per vector — the Arrow batch is ~25% faster at
-    64-dim. Closure self-contained; edge policy (null/ragged/NaN) in
+    full 182K-pair refine table with zero bit mismatches.
+
+    Deployment is PER-SITE, decided by measurement (round-9 A/B): the
+    twin pays 2 x dim doubles of Arrow serialization per pair for ~dim
+    flops, so it only beats the interpreted JVM fold where the pair
+    volume is large for the bytes shipped — the banded_cosine_pairs
+    refine (1.42x faster inside x_hard_negatives) keeps it; the
+    broadcast-unfold shapes (brute-force kNN 1.9x, IVF assign 1.35x,
+    LSH refine 1.18x FASTER on the JVM fold) were reverted. Closure
+    self-contained; edge policy (null/ragged/NaN/width-mismatch) in
     ``arrow_pair_fold``."""
 
     def _kernel(_np, A, B):
@@ -163,9 +168,13 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
             "cosine_sim",
-            # per-PAIR dot (|queries| x |corpus| rows): the bit-identical
-            # Arrow twin beats the interpreted HOF fold (see dot_pandas)
-            dot_pandas(F.col("__qvec"), F.col("__cvec"))
+            # JVM fold, NOT the Arrow twin: on the broadcast-unfold shape
+            # every pair ships BOTH 64-double vectors across the Arrow
+            # boundary for one dot each — measured 1.9x SLOWER than the
+            # interpreted fold at sf0.1 (round-9 per-site A/B; the twin
+            # stays on shapes where Python work per serialized byte is
+            # high — see banded_cosine_pairs)
+            dot(F.col("__qvec"), F.col("__cvec"))
             / (F.col("__qnorm") * F.col("__cnorm")),
         )
     )
@@ -526,9 +535,11 @@ def ivf_topk(
 
     def assign(df: DataFrame, idc: str, vec: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            # per (row x centroid) dot after the broadcast unfold — the
-            # bit-identical Arrow twin again (see dot_pandas)
-            "__cd", dot_pandas(F.col(vec), F.col("__centroid"))
+            # per (row x centroid) dot after the broadcast unfold: the
+            # JVM fold — the Arrow twin measured 1.35x slower here
+            # (round-9 per-site A/B; both vectors crossing the Arrow
+            # boundary per pair costs more than the interpreted fold)
+            "__cd", dot(F.col(vec), F.col("__centroid"))
         )
         w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
         return (
@@ -643,9 +654,10 @@ def lsh_bucketed_topk(
         .join(qv, query_id_col)
         .withColumn(
             "cosine_sim",
-            # per-candidate-PAIR dot: Arrow twin, bit-identical to the
-            # JVM fold (see dot_pandas) — the poly oracle still matches
-            dot_pandas(F.col("__qvec"), F.col("__cvec"))
+            # per-candidate-PAIR dot: the JVM fold — the Arrow twin
+            # measured 1.18x slower on this refine (round-9 per-site
+            # A/B); the big LSH win stays in table_signatures_pandas
+            dot(F.col("__qvec"), F.col("__cvec"))
             / (F.col("__qn") * F.col("__cn")),
         )
     )
