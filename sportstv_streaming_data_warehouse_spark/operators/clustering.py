@@ -50,13 +50,18 @@ def _sq_l2_pandas(a, b):
     """Squared L2 as an Arrow-batched pandas_udf, BIT-IDENTICAL to
     ``_sq_l2_expr``: one correctly-rounded (aᵢ-bᵢ)² added per dimension
     in ascending order — the same fixed IEEE tree, pinned by
-    tests/test_arrow_twin_edges.py. NOT on the k-means hot path since
-    round 9: the per (row × centroid) broadcast-unfold ships both
-    vectors across the Arrow boundary for ~dim flops, and the measured
-    A/B has the interpreted JVM fold 1.2x FASTER at sf0.1 — kept as the
-    vectorized-Python escape hatch and edge-policy reference. Batching
-    scaffolding and the null/ragged/NaN/width-mismatch policy live in
-    similarity.arrow_pair_fold (one audited spot)."""
+    tests/test_arrow_twin_edges.py.
+
+    This is the k-means hot path BY SCALE MEASUREMENT (round-9 dual-
+    scale A/B): at sf0.1 the interpreted fold is 1.2x faster (Python
+    worker fixed cost dominates 256K pairs), but at 100x the twin is
+    1.8x faster (24.2 s vs 43.5 s over ~26M pairs) — the interpreted
+    zip_with lambda evaluates the subtraction TWICE per element
+    ((x-y)*(x-y) appears twice in the expression tree), so sq_l2 pays
+    ~2x a dot's interpreter cost, which is why this site inverts with
+    scale while the dot sites don't. The 100 TB posture wins the tie.
+    Batching scaffolding and the null/ragged/NaN/width-mismatch policy
+    live in similarity.arrow_pair_fold (one audited spot)."""
     from .similarity import arrow_pair_fold
 
     def _kernel(_np, A, B):
@@ -84,7 +89,7 @@ def assign_clusters(
     partial MINs beats a row_number window (which would sort k rows per
     key after a shuffle) while matching the oracle's
     ROW_NUMBER OVER (ORDER BY dist, cid) = 1 exactly."""
-    dist = _sq_l2_expr(F.col(vec_col), F.col("__c"))
+    dist = _sq_l2_pandas(F.col(vec_col), F.col("__c"))
     joined = vectors.select(id_col, vec_col).crossJoin(
         F.broadcast(centroids.select("cid", F.col("c").alias("__c")))
     )

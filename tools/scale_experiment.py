@@ -492,6 +492,19 @@ def round9_experiment(spark) -> None:
     print(f"{'100x signature speedup':34} {speedup:5.2f}x "
           f"({'ADOPT (>=1.5x bar)' if speedup >= 1.5 else 'below bar — keep expressions'})")
 
+    # --- the per-site Arrow-dot reverts at 100x embeddings (the sf0.1
+    # A/B verdicts are per-pair-cost ratios, which are scale-free — this
+    # leg confirms the shipped JVM-fold plans also scale sanely) ---
+    d100 = f"{DST}_r8_emb_100x"
+    if not os.path.isdir(f"{d100}/embeddings.parquet"):
+        os.makedirs(d100, exist_ok=True)
+        _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
+    print(f"\n{'reverted-to-JVM-fold queries':34} {'1x':>7} {'100x':>9}")
+    for name in ("x_knn_bruteforce", "x_knn_ivf_ann", "x_kmeans_lloyd"):
+        w1 = min3(lambda n=name: force(QUERIES[n](spark, SRC)))
+        w100 = min3(lambda n=name: force(QUERIES[n](spark, d100)))
+        print(f"{name:34} {w1:6.2f}s {w100:8.2f}s ({w100 / w1:.1f}x)")
+
     # --- avg_token_len: the retired HOF fold vs the codegen rewrite ---
     from sportstv_streaming_data_warehouse_spark.functions import text as T
 
