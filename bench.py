@@ -204,6 +204,10 @@ def run_golden_tier(spark) -> dict:
             )
         csv_path = os.path.join(workdir, "activity.csv")
         corpus["csv_txns"].to_csv(csv_path, index=False)
+        # a 20K-row CSV slice for the warm pass, so warming compiles the
+        # plans without first running the full CSV leg
+        warm_csv = os.path.join(workdir, "activity_warm.csv")
+        corpus["csv_txns"].head(20_000).to_csv(warm_csv, index=False)
         csv_schema = (
             "transaction_id long, subscriber_id long, user_id long, "
             "asset_id string, streaming_date string, "
@@ -220,7 +224,12 @@ def run_golden_tier(spark) -> dict:
             "streaming_date", "minutes_streamed", "completed",
         ]
 
-        def etl(n_parts: int, out: str, predicate: str | None = None) -> None:
+        def etl(
+            n_parts: int,
+            out: str,
+            predicate: str | None = None,
+            csv: str | None = None,
+        ) -> None:
             txns = read_sqlite(
                 spark, db_path, "streaming_txns",
                 columns=core,
@@ -230,7 +239,9 @@ def run_golden_tier(spark) -> dict:
                 num_partitions=n_parts,
             )
             csv_txns = (
-                spark.read.schema(csv_schema).option("header", "true").csv(csv_path)
+                spark.read.schema(csv_schema)
+                .option("header", "true")
+                .csv(csv or csv_path)
             )
             star.run_etl(
                 spark,
@@ -244,10 +255,15 @@ def run_golden_tier(spark) -> dict:
                 out_path=out,
             )
 
-        # untimed pass over a 20K-row slice absorbs plan compilation
-        # only — the timed run below still reads the full corpus cold
+        # untimed pass over 20K-row slices of BOTH sources absorbs plan
+        # compilation. Honesty note: the sources were written by this
+        # process seconds earlier, so the timed run below reads a warm
+        # page cache either way — golden_tier measures extract/transform/
+        # load COMPUTE throughput, the same footing as the reference's
+        # 51 s (its R script reads a just-loaded local SQLite file), not
+        # cold-disk I/O.
         warm = os.path.join(workdir, "warm_fact")
-        etl(2, warm, predicate="transaction_id <= 20000")
+        etl(2, warm, predicate="transaction_id <= 20000", csv=warm_csv)
 
         t0 = time.perf_counter()
         out = os.path.join(workdir, "fact")

@@ -5,10 +5,13 @@ PKs, loadAnalyticsDB.PractII.VarmaA.R:234 → exact_dedup here); the fuzzy
 family is the standard LLM-training-pipeline toolkit, built Spark-first:
 
 - exact:     one hash-aggregate shuffle on the dedup key.
-- MinHash+LSH: shingle → minhash signature → band → bucket join. All
-  signature math is JVM-side column expressions (no Python UDFs); the
-  candidate join is an equi-join on (band, band_hash) so Spark hash-
-  partitions buckets — no O(n²) crossJoin at any scale.
+- MinHash+LSH: shingle → minhash signature → band → bucket join. The
+  PORTABLE (oracle) path is pure JVM-side column expressions so plain
+  SQL replays every signature; the fast path computes the k affine-min
+  slots in a bit-identical integer Arrow twin (minhash_slots_pandas,
+  1.75x at 100x — round 9). Either way the candidate join is an
+  equi-join on (band, band_hash) so Spark hash-partitions buckets —
+  no O(n²) crossJoin at any scale.
 - SimHash:   64-bit signature from token hashes; near-dup candidates via
   16-bit chunk equality (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal),
   verified with bit_count(xor).
@@ -216,8 +219,13 @@ def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):
         def one(hs):
             if hs is None:
                 return empty
+            # Arrow presents a null ELEMENT of an array<long> as NaN in a
+            # float array, which `is not None` does not catch — the
+            # h == h test drops both (NaN != NaN), matching array_min's
+            # null-skip exactly
             H = _np.asarray(
-                [h for h in hs if h is not None], dtype=_np.int64
+                [h for h in hs if h is not None and h == h],
+                dtype=_np.int64,
             )
             if H.size == 0:
                 return empty

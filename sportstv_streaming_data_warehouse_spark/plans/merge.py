@@ -91,13 +91,9 @@ def _merge_into_delta(
     # treating it as "missing" would CREATE a fresh Delta table alongside
     # the old files and silently drop every pre-existing row from the
     # merge (round-8 advice). Migration is a deliberate one-time step,
-    # never an implicit branch. Checked with stdlib BEFORE the delta
-    # import so the guard is pinned even where the package is absent.
-    if (
-        os.path.isdir(target_path)
-        and any(not e.startswith("_") for e in os.listdir(target_path))
-        and not os.path.isdir(os.path.join(target_path, "_delta_log"))
-    ):
+    # never an implicit branch. Checked BEFORE the delta import so the
+    # guard is pinned even where the package is absent.
+    if _non_delta_dataset_at(spark, target_path):
         raise ValueError(
             f"target {target_path!r} holds a non-Delta dataset "
             "(parquet_swap-era files, no _delta_log); refusing to "
@@ -126,6 +122,32 @@ def _merge_into_delta(
     if when_not_matched == "insert_all":
         m = m.whenNotMatchedInsertAll()
     m.execute()
+
+
+def _non_delta_dataset_at(spark, target_path: str) -> bool:
+    """True when ``target_path`` holds a non-empty dataset (ignoring
+    underscore marker files) with no ``_delta_log`` — the round-8-advice
+    data-loss hazard. URI paths (s3a://, hdfs://, file:) go through the
+    Hadoop FileSystem API so the guard fires on every filesystem Spark
+    can write, not just the local one (round-9 review finding:
+    os.path.isdir never fires for a URI, silently skipping the guard);
+    schemeless paths use stdlib so the check stays testable without a
+    session or the delta package."""
+    if "://" not in target_path and not target_path.startswith("file:"):
+        return (
+            os.path.isdir(target_path)
+            and any(not e.startswith("_") for e in os.listdir(target_path))
+            and not os.path.isdir(os.path.join(target_path, "_delta_log"))
+        )
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    names = [st.getPath().getName() for st in fs.listStatus(path)]
+    return (
+        any(not n.startswith("_") for n in names) and "_delta_log" not in names
+    )
 
 
 def _paths(target_path: str) -> tuple[str, str, str]:

@@ -110,7 +110,10 @@ def generate(n_sqlite: int = 8000, n_csv: int = 2000) -> dict[str, pd.DataFrame]
         )
 
     sqlite_txns = make_txns(n_sqlite, 1)
-    csv_core = make_txns(n_csv, 1_000_000)
+    # CSV ids offset past the SQLite range AT EVERY SCALE — a fixed
+    # 1_000_000 start collided with SQLite ids at the golden 1.08M-row
+    # scale (~83K shared transaction_ids, round-9 review finding)
+    csv_core = make_txns(n_csv, n_sqlite + 1_000_000)
     # CSV superset columns (etl.R:485-487), completed arrives as string
     csv_txns = csv_core.assign(
         subscriber_id=csv_core["user_id"] + 10_000,

@@ -30,7 +30,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from sportstv_streaming_data_warehouse_spark.operators.clustering import _sq_l2_pandas
+from sportstv_streaming_data_warehouse_spark.operators.clustering import (
+    _sq_l2_expr,
+    _sq_l2_pandas,
+)
 from sportstv_streaming_data_warehouse_spark.operators.similarity import (
     banded_signatures_expr,
     banded_signatures_pandas,
@@ -46,19 +49,11 @@ from sportstv_streaming_data_warehouse_spark.operators.similarity import (
 NAN, INF = float("nan"), float("inf")
 
 
-def _sq_l2_jvm(a, b):
-    diff = F.zip_with(
-        a,
-        b,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-
-
 PAIR_TWINS = [
     pytest.param(dot, dot_pandas, id="dot"),
-    pytest.param(_sq_l2_jvm, _sq_l2_pandas, id="sq_l2"),
+    # the production expression, imported (not re-implemented) so the
+    # bit-identity pin cannot silently drift from the shipped fold
+    pytest.param(_sq_l2_expr, _sq_l2_pandas, id="sq_l2"),
 ]
 
 
@@ -211,3 +206,47 @@ def test_minhash_slots_twin_matches_expression_slots(spark):
     assert twin[4] == twin[5] == twin[6]
     assert all(v is not None for v in twin[4])
     assert twin[7] != twin[4]
+
+
+def test_minhash_slots_twin_null_elements_match_array_min_skip(spark):
+    """Direct pin of minhash_slots_pandas' element-null policy: Arrow
+    presents a null element of array<long> as NaN in a float array,
+    which an `is not None` filter does NOT catch — the round-9 review
+    found the twin crashed with 'cannot convert float NaN to integer'
+    instead of skipping the element the way array_min skips nulls."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _HASH_PRIME,
+        minhash_coefficients,
+        minhash_slots_pandas,
+    )
+
+    coefs = minhash_coefficients(4, 42)
+    df = spark.createDataFrame(
+        [
+            (1, [100, None, 300]),  # null element: skipped per slot
+            (2, [100, 300]),        # the equivalent dense array
+            (3, [None]),            # all-null: k NULL slots
+            (4, []),                # empty: k NULL slots
+        ],
+        "id long, hs array<long>",
+    )
+    expr = df.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hs",
+                        lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_HASH_PRIME),
+                    )
+                )
+                for a, b in coefs
+            ]
+        ).alias("sig"),
+    )
+    twin = df.select("id", minhash_slots_pandas(F.col("hs"), coefs).alias("sig"))
+    e = {r["id"]: r["sig"] for r in expr.collect()}
+    t = {r["id"]: r["sig"] for r in twin.collect()}
+    assert e == t
+    assert t[1] == t[2]  # the null element contributed nothing
+    assert t[3] == t[4] == [None] * 4
