@@ -407,6 +407,89 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 1,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Estimator-quality audit: banded MinHash estimates vs EXACT Jaccard.
+
+    At 100 TB nobody can eyeball whether the banding parameters still
+    fit the corpus — this is the continuous calibration check a
+    production dedup pipeline runs instead: for every banded candidate
+    pair (threshold 0 — the full estimate spectrum, not just accepted
+    dups), group by the signature-agreement count k and compare the
+    estimator k/K against the micro-averaged exact Jaccard of the bin.
+    A well-calibrated family tracks the diagonal; drift at high k means
+    hash-family or shingle-grain trouble, mass at low k means the bands
+    are too coarse (candidate blowup).
+
+    One extra equi-join pair beyond the candidate generation itself
+    (token sets re-attach by id), exact set math via array_intersect/
+    array_union on distinct-shingle arrays, and a ≤(K+1)-row result.
+    Determinism/portability: the micro average is ONE double division
+    of exact integer sums per bin (never an AVG over doubles, whose
+    accumulation order differs between engines), and est k/K is an
+    exact dyadic — so a SQL oracle reproduces every bit.
+
+    Returns (k_agree, n_pairs, sum_inter, sum_union,
+    micro_exact_jaccard, est_jaccard) ordered by k_agree.
+    """
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, num_hashes, bands, n,
+        threshold=0.0, seed=seed, portable=portable,
+    )
+    toksets = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), n, distinct=True).alias("__toks"),
+    )
+    scored = (
+        pairs.join(
+            toksets.select(
+                F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
+            ),
+            "id_a",
+        )
+        .join(
+            toksets.select(
+                F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.round(F.col("est_jaccard") * num_hashes)
+            .cast("int")
+            .alias("k_agree"),
+            F.size(F.array_intersect("__ta", "__tb")).alias("__inter"),
+            F.size(F.array_union("__ta", "__tb")).alias("__union"),
+        )
+    )
+    agg = scored.groupBy("k_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__inter").alias("sum_inter"),
+        F.sum("__union").alias("sum_union"),
+    )
+    return agg.select(
+        "k_agree",
+        "n_pairs",
+        "sum_inter",
+        "sum_union",
+        F.when(
+            F.col("sum_union") > 0, F.col("sum_inter") / F.col("sum_union")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("micro_exact_jaccard"),
+        (F.col("k_agree").cast("double") / float(num_hashes)).alias(
+            "est_jaccard"
+        ),
+    ).orderBy("k_agree")
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -2810,6 +2810,112 @@ def x_dedup_minhash_poly(spark, sf_dir):
     )
 
 
+def _minhash_calibration_oracle() -> str:
+    """Calibration oracle: the poly pipeline's CTEs (same signatures,
+    bands, candidate join at threshold 0) extended with EXACT Jaccard
+    per candidate (token-equality join for |A∩B|, set sizes for |A∪B|)
+    and the per-k-bin micro average. Engine-portability notes: SUMs are
+    CAST to BIGINT (DuckDB SUM(int) is HUGEINT, which poisons the
+    driver's value hash), the micro average is one float division of
+    exact integer sums (never AVG over doubles — accumulation order
+    differs between engines), and est k/K is an exact dyadic."""
+    coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
+    slots = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+
+    def band_key(k: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(k * _MH_RPB, (k + 1) * _MH_RPB):
+            acc = f"(({acc}) * 1000003 + m{i}) % {_MH_P}"
+        return f"{acc} AS bh{k}"
+
+    bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
+    est = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+    )
+    any_band = " OR ".join(f"a.bh{k} = b.bh{k}" for k in range(_MH_BANDS))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_MH_P}) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc,
+             {slots}
+      FROM th GROUP BY doc
+    ),
+    banded AS (
+      SELECT *,
+             {bands}
+      FROM sig
+    ),
+    cand AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, ({est}) AS k_agree
+      FROM banded a JOIN banded b
+        ON a.doc < b.doc AND ({any_band})
+    ),
+    sizes AS (
+      SELECT doc, COUNT(*) AS nt FROM toks GROUP BY doc
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN toks ta ON ta.doc = c.id_a
+      JOIN toks tb ON tb.doc = c.id_b AND tb.tok = ta.tok
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT c.k_agree,
+             COALESCE(i.ni, 0) AS ni,
+             sa.nt + sb.nt - COALESCE(i.ni, 0) AS nu
+      FROM cand c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc = c.id_a
+      JOIN sizes sb ON sb.doc = c.id_b
+    )
+    SELECT CAST(k_agree AS INTEGER) AS k_agree,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(ni) AS BIGINT) AS sum_inter,
+           CAST(SUM(nu) AS BIGINT) AS sum_union,
+           CASE WHEN CAST(SUM(nu) AS BIGINT) > 0
+                THEN CAST(SUM(ni) AS BIGINT) / CAST(SUM(nu) AS BIGINT)
+                ELSE 0.0 END AS micro_exact_jaccard,
+           CAST(k_agree AS DOUBLE) / {float(_MH_K)} AS est_jaccard
+    FROM pairs
+    GROUP BY k_agree
+    ORDER BY k_agree
+    """
+
+
+@query("x_minhash_calibration", oracle=_minhash_calibration_oracle())
+def x_minhash_calibration(spark, sf_dir):
+    # Estimator-quality audit (round-9 debut): for EVERY banded
+    # candidate pair (threshold 0 — the whole estimate spectrum), bin
+    # by signature-agreement count k and set the estimator k/K next to
+    # the bin's micro-averaged exact Jaccard. The continuous check a
+    # 100 TB dedup pipeline runs to see whether its banding parameters
+    # still fit the corpus: drift at high k = hash/shingle trouble,
+    # mass at low k = bands too coarse. Exact set math rides the
+    # candidate join (operators/dedup.minhash_calibration) — never
+    # all-pairs.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_calibration(
+        docs, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+        seed=_MH_SEED, portable=True,
+    )
+
+
 # Portable-ANN oracle: the LSH bucketed top-k with LCG hyperplanes —
 # the same sign-signature machinery as x_dedup_embedding_cosine, plus
 # per-query ROW_NUMBER top-k in SQL. Upgrades the ANN family from
@@ -7412,6 +7518,11 @@ CORRECTNESS_WINDOW = [
     "x_unigram_surprisal",
     "x_weighted_sample",
     "x_zorder_layout_audit",
+    # Round-9 solvency: 10 mandatory above + 37 r6-cohort pre-pays + 1
+    # debut (x_minhash_calibration, listed at the tail) which displaced
+    # the bottom pre-pay (x_quality_deciles, last green r6 -> rolls to
+    # the r10 mandatory cohort; leftover for r10 becomes 11 < 48, still
+    # solvent, inside the judge's k<=4 debut budget).
     # round-10 pre-pay (oldest last-green first); debuts displace from the bottom
     "a45_global_summary",
     "a_cube_matrix",
@@ -7450,7 +7561,8 @@ CORRECTNESS_WINDOW = [
     "x_lang_id",
     "x_pack_shards",
     "x_passage_scrub_crossdoc",
-    "x_quality_deciles",
+    # round-9 debut (displaced x_quality_deciles -> r10 mandatory)
+    "x_minhash_calibration",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

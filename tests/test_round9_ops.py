@@ -1,0 +1,78 @@
+"""Round-9 debut operator: MinHash estimator calibration.
+
+The audit a production dedup pipeline runs continuously at scale:
+banded-candidate estimates (k agreeing signature slots / K) vs the
+exact Jaccard of the same pairs, micro-averaged per k bin
+(operators/dedup.minhash_calibration; catalog x_minhash_calibration
+carries the full-SQL DuckDB oracle).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+    minhash_calibration,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # planted structure: 0/1 identical, 2 a near-dup of them, 3/4
+    # unrelated, 5 partially overlapping with 3
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight"),
+        (4, "red orange yellow green blue indigo violet pink"),
+        (5, "one two three four nine ten eleven twelve"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_docs_land_in_the_k_equals_K_bin_at_exact_one(spark, corpus):
+    out = {
+        r["k_agree"]: r
+        for r in minhash_calibration(
+            corpus, "doc_id", "text", num_hashes=32, bands=8, n=1
+        ).collect()
+    }
+    top = out[32]
+    # the identical pair: estimator 1.0 and exact Jaccard 1.0, exactly
+    assert top["est_jaccard"] == 1.0
+    assert top["micro_exact_jaccard"] == 1.0
+    assert top["sum_inter"] == top["sum_union"]
+    assert top["n_pairs"] >= 1
+
+
+def test_bins_are_internally_consistent(spark, corpus):
+    rows = minhash_calibration(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, n=1
+    ).collect()
+    assert rows, "no candidate pairs at all"
+    ks = [r["k_agree"] for r in rows]
+    assert ks == sorted(ks) and all(0 <= k <= 32 for k in ks)
+    for r in rows:
+        assert r["sum_inter"] <= r["sum_union"]
+        assert 0.0 <= r["micro_exact_jaccard"] <= 1.0
+        assert r["est_jaccard"] == r["k_agree"] / 32.0
+        assert r["n_pairs"] >= 1
+    # the planted near-dup pair (7/9 token overlap) must surface in a
+    # high-k bin; the unrelated docs cannot reach k=32
+    assert any(r["k_agree"] >= 20 and r["micro_exact_jaccard"] >= 0.5
+               for r in rows)
+
+
+def test_portable_and_fast_paths_agree_on_the_curve_shape(spark, corpus):
+    # the xxhash64 fast path and the polynomial oracle path hash
+    # DIFFERENT shingle values, so k bins differ — but the exact-side
+    # accounting must agree in total: identical total candidate mass is
+    # not guaranteed (band collisions differ), yet both must report the
+    # identical-docs pair at exact 1.0
+    for portable in (False, True):
+        rows = minhash_calibration(
+            corpus, "doc_id", "text", num_hashes=32, bands=8, n=1,
+            portable=portable,
+        ).collect()
+        top = max(rows, key=lambda r: r["k_agree"])
+        assert top["k_agree"] == 32 and top["micro_exact_jaccard"] == 1.0
