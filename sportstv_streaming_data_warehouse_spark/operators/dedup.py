@@ -752,6 +752,65 @@ def token_jaccard_pairs(
     )
 
 
+def minhash_precision_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 1,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+    max_token_docs: int | None = None,
+) -> DataFrame:
+    """Retrieval-quality scorecard for the banded MinHash path: the
+    accepted pair set (estimate >= threshold) against the EXACT
+    token-Jaccard ground truth at the same threshold.
+
+    ``minhash_calibration`` answers "is the estimator calibrated?";
+    this answers the operational question "what fraction of true
+    near-dups does the pipeline keep (recall), and how much of what it
+    keeps is real (precision)?" — run continuously at scale, a recall
+    drop is the first sign the banding curve no longer fits the corpus.
+
+    One row: (n_exact, n_accepted, n_true_pos, pair_precision,
+    pair_recall — the prefix keeps clear of SQL's PRECISION keyword).
+    Both ratios are single float divisions of exact pair COUNTS —
+    engine-portable, so a SQL oracle replays them bit-for-bit. Both
+    pair tiers are the existing bounded joins (banded candidates;
+    inverted-index with the frequent-token cap) — never all-pairs.
+    """
+    lsh = minhash_near_duplicates(
+        df, id_col, text_col, num_hashes, bands, n,
+        threshold=threshold, seed=seed, portable=portable,
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    exact = token_jaccard_pairs(
+        df, id_col, text_col, threshold=threshold,
+        max_token_docs=max_token_docs, ngram=n,
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
+    joined = lsh.join(exact, ["id_a", "id_b"], "full_outer")
+    agg = joined.agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__l").alias("n_accepted"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1))
+        .alias("n_true_pos"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_accepted",
+        "n_true_pos",
+        F.when(
+            F.col("n_accepted") > 0, F.col("n_true_pos") / F.col("n_accepted")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pair_precision"),
+        F.when(F.col("n_exact") > 0, F.col("n_true_pos") / F.col("n_exact"))
+        .otherwise(F.lit(0.0))
+        .alias("pair_recall"),
+    )
+
+
 def survivor_manifest(
     df: DataFrame,
     id_col: str,

@@ -2897,6 +2897,100 @@ def _minhash_calibration_oracle() -> str:
     """
 
 
+def _minhash_pr_oracle() -> str:
+    """P/R oracle: the poly pipeline's accepted set (est >= tau) against
+    the exact token-Jaccard ground truth at the same tau, both replayed
+    in SQL from the shared toks CTE. precision/recall are single float
+    divisions of exact pair COUNTS (BIGINT/BIGINT -> DOUBLE in both
+    engines); `pair_` prefixes keep clear of DuckDB's PRECISION
+    keyword."""
+    coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
+    slots = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+
+    def band_key(k: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(k * _MH_RPB, (k + 1) * _MH_RPB):
+            acc = f"(({acc}) * 1000003 + m{i}) % {_MH_P}"
+        return f"{acc} AS bh{k}"
+
+    bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
+    est = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+    )
+    any_band = " OR ".join(f"a.bh{k} = b.bh{k}" for k in range(_MH_BANDS))
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_MH_P}) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc,
+             {slots}
+      FROM th GROUP BY doc
+    ),
+    banded AS (
+      SELECT *,
+             {bands}
+      FROM sig
+    ),
+    lsh AS (
+      SELECT a.doc AS id_a, b.doc AS id_b
+      FROM banded a JOIN banded b
+        ON a.doc < b.doc AND ({any_band})
+      WHERE ({est}) / {float(_MH_K)} >= {_MH_TAU}
+    ),
+    sizes AS (
+      SELECT doc, COUNT(*) AS nt FROM toks GROUP BY doc
+    ),
+    exact AS (
+      SELECT i.id_a, i.id_b
+      FROM (
+        SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc = i.id_a
+      JOIN sizes sb ON sb.doc = i.id_b
+      WHERE i.inter / CAST(sa.nt + sb.nt - i.inter AS DOUBLE) >= {_MH_TAU}
+    ),
+    ne AS (SELECT COUNT(*) AS c FROM exact),
+    nl AS (SELECT COUNT(*) AS c FROM lsh),
+    tp AS (SELECT COUNT(*) AS c FROM lsh JOIN exact USING (id_a, id_b))
+    SELECT ne.c AS n_exact, nl.c AS n_accepted, tp.c AS n_true_pos,
+           CASE WHEN nl.c > 0 THEN tp.c / nl.c ELSE 0.0 END AS pair_precision,
+           CASE WHEN ne.c > 0 THEN tp.c / ne.c ELSE 0.0 END AS pair_recall
+    FROM ne, nl, tp
+    """
+
+
+@query("x_minhash_precision_recall", oracle=_minhash_pr_oracle())
+def x_minhash_precision_recall(spark, sf_dir):
+    # Retrieval-quality scorecard (round-9 debut): the banded pipeline's
+    # ACCEPTED pair set vs exact token-Jaccard ground truth at the same
+    # threshold — precision says how much of what dedup keeps is real,
+    # recall is the first metric to move when the banding curve stops
+    # fitting the corpus. Complements x_minhash_calibration (estimator
+    # bias) with the operational hit-rate view; the pytest recall bound
+    # on the xxhash64 path becomes a driver-gate-verified number here.
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_precision_recall(
+        docs, "doc_id", "text",
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+        threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+    )
+
+
 @query("x_minhash_calibration", oracle=_minhash_calibration_oracle())
 def x_minhash_calibration(spark, sf_dir):
     # Estimator-quality audit (round-9 debut): for EVERY banded
@@ -7518,11 +7612,12 @@ CORRECTNESS_WINDOW = [
     "x_unigram_surprisal",
     "x_weighted_sample",
     "x_zorder_layout_audit",
-    # Round-9 solvency: 10 mandatory above + 37 r6-cohort pre-pays + 1
-    # debut (x_minhash_calibration, listed at the tail) which displaced
-    # the bottom pre-pay (x_quality_deciles, last green r6 -> rolls to
-    # the r10 mandatory cohort; leftover for r10 becomes 11 < 48, still
-    # solvent, inside the judge's k<=4 debut budget).
+    # Round-9 solvency: 10 mandatory above + 36 r6-cohort pre-pays + 2
+    # debuts (x_minhash_calibration, x_minhash_precision_recall — listed
+    # at the tail), each displacing one bottom pre-pay
+    # (x_quality_deciles, x_passage_scrub_crossdoc — last green r6 ->
+    # roll to the r10 mandatory cohort; leftover for r10 becomes 12 <
+    # 48, still solvent, inside the judge's k<=4 debut budget).
     # round-10 pre-pay (oldest last-green first); debuts displace from the bottom
     "a45_global_summary",
     "a_cube_matrix",
@@ -7560,9 +7655,10 @@ CORRECTNESS_WINDOW = [
     "x_knn_lsh_poly",
     "x_lang_id",
     "x_pack_shards",
-    "x_passage_scrub_crossdoc",
-    # round-9 debut (displaced x_quality_deciles -> r10 mandatory)
+    # round-9 debuts (displaced x_quality_deciles and
+    # x_passage_scrub_crossdoc -> r10 mandatory)
     "x_minhash_calibration",
+    "x_minhash_precision_recall",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -76,3 +76,57 @@ def test_portable_and_fast_paths_agree_on_the_curve_shape(spark, corpus):
         ).collect()
         top = max(rows, key=lambda r: r["k_agree"])
         assert top["k_agree"] == 32 and top["micro_exact_jaccard"] == 1.0
+
+
+def test_precision_recall_on_planted_corpus(spark, corpus):
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_precision_recall,
+        minhash_near_duplicates,
+        token_jaccard_pairs,
+    )
+
+    row = minhash_precision_recall(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, n=1,
+        threshold=0.6, portable=True,
+    ).collect()[0]
+    # cross-check against the two pair tiers it composes
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            corpus, "doc_id", "text", 32, 8, 1, threshold=0.6, portable=True
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in token_jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert row["n_accepted"] == len(lsh)
+    assert row["n_exact"] == len(exact)
+    assert row["n_true_pos"] == len(lsh & exact)
+    assert row["pair_precision"] == (
+        len(lsh & exact) / len(lsh) if lsh else 0.0
+    )
+    assert row["pair_recall"] == (
+        len(lsh & exact) / len(exact) if exact else 0.0
+    )
+    # the identical pair (0,1) is a guaranteed true positive
+    assert (0, 1) in lsh and (0, 1) in exact
+
+
+def test_precision_recall_empty_sides_guard(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_precision_recall,
+    )
+
+    # mutually disjoint docs: no exact pairs at tau, so recall's
+    # denominator is 0 — the guard must emit 0.0, never a NULL/NaN
+    rows = [(0, "aa bb cc"), (1, "dd ee ff"), (2, "gg hh ii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = minhash_precision_recall(
+        df, "doc_id", "text", num_hashes=32, bands=8, n=1,
+        threshold=0.9, portable=True,
+    ).collect()[0]
+    assert row["n_exact"] == 0 and row["pair_recall"] == 0.0
+    assert row["pair_precision"] in (0.0, 1.0) or 0.0 <= row["pair_precision"] <= 1.0
