@@ -130,3 +130,64 @@ def test_precision_recall_empty_sides_guard(spark):
     ).collect()[0]
     assert row["n_exact"] == 0 and row["pair_recall"] == 0.0
     assert row["pair_precision"] in (0.0, 1.0) or 0.0 <= row["pair_precision"] <= 1.0
+
+
+def test_rewrites_and_twin_agree_on_a_randomized_unicode_corpus(spark):
+    """Fuzz insurance for the round-9 expression rewrites: on ~240
+    deterministic pseudo-random texts (ASCII, punctuation, unicode
+    letters, exotic whitespace, empties), the regexp_count token_count
+    must equal the retired size(filter(split)) fold, the regexp_replace
+    avg_token_len must equal the retired aggregate fold, and the minhash
+    Arrow twin must stay bit-identical to the expression slots."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    rng = random.Random(99)
+    alphabets = [
+        "abc def ghi",
+        "päö üß éà çñ",
+        "日本 語の テキスト",
+        "a.b,c;d!e?f",
+        "x\ty\nz\ru",
+        "0 12 345",
+        "     ",  # NBSP / em-space: \s matches some, not all
+    ]
+
+    def make_text():
+        pieces = [rng.choice(alphabets) for _ in range(rng.randrange(0, 6))]
+        return " ".join(pieces) if pieces else rng.choice(["", "   ", "\t\n"])
+
+    rows = [(i, make_text()) for i in range(240)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    old_tc = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    t = F.filter(F.split(F.col("text"), r"\s+"), lambda s: s != "")
+    old_total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, v: a + v)
+    old_avg = F.when(F.size(t) > 0, old_total / F.size(t)).otherwise(F.lit(0.0))
+
+    bad = df.select(
+        old_tc.alias("otc"),
+        T.token_count(F.col("text")).alias("ntc"),
+        old_avg.alias("oavg"),
+        T.avg_token_len(F.col("text")).alias("navg"),
+    ).filter(
+        ~F.col("otc").eqNullSafe(F.col("ntc"))
+        | ~F.col("oavg").eqNullSafe(F.col("navg"))
+    )
+    assert bad.count() == 0, bad.limit(3).collect()
+
+    expr = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signature(df, "doc_id", "text", arrow=False).collect()
+    }
+    twin = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signature(df, "doc_id", "text", arrow=True).collect()
+    }
+    assert expr == twin
