@@ -780,6 +780,14 @@ def minhash_precision_recall(
     engine-portable, so a SQL oracle replays them bit-for-bit. Both
     pair tiers are the existing bounded joins (banded candidates;
     inverted-index with the frequent-token cap) — never all-pairs.
+
+    Scale posture: the exact ground-truth side is the expensive tier —
+    on a stopword-heavy corpus an UNCAPPED inverted index is quadratic
+    (measured: the 50K-doc zipf corpus never finished uncapped, seconds
+    with ``max_token_docs``), so always pass a cap beyond toy scale; at
+    production scale run the audit on a document SAMPLE — P/R are
+    ratios, so a uniform sample estimates them without the full
+    ground-truth join.
     """
     lsh = minhash_near_duplicates(
         df, id_col, text_col, num_hashes, bands, n,

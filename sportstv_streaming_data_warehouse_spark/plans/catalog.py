@@ -2897,13 +2897,20 @@ def _minhash_calibration_oracle() -> str:
     """
 
 
+_MH_PR_CAP = 2000  # frequent-token cap for the exact ground-truth side
+
+
 def _minhash_pr_oracle() -> str:
     """P/R oracle: the poly pipeline's accepted set (est >= tau) against
     the exact token-Jaccard ground truth at the same tau, both replayed
     in SQL from the shared toks CTE. precision/recall are single float
     divisions of exact pair COUNTS (BIGINT/BIGINT -> DOUBLE in both
     engines); `pair_` prefixes keep clear of DuckDB's PRECISION
-    keyword."""
+    keyword. The exact side carries the same frequent-token cap as
+    token_jaccard_pairs (QUALIFY window filter) — inactive at the
+    correctness scale, but without it a stopword-heavy corpus makes the
+    inverted-index join quadratic (measured: the 50K-doc zipf corpus
+    never finished uncapped; seconds with the cap)."""
     coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
     slots = ",\n             ".join(
         f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
@@ -2950,14 +2957,23 @@ def _minhash_pr_oracle() -> str:
         ON a.doc < b.doc AND ({any_band})
       WHERE ({est}) / {float(_MH_K)} >= {_MH_TAU}
     ),
+    -- frequent-token cap on the EXACT side only (mirrors
+    -- token_jaccard_pairs' max_token_docs window filter; inactive at
+    -- the sf0.01 correctness scale, bounds the inverted-index blowup
+    -- on stopword-heavy corpora)
+    toks_capped AS (
+      SELECT doc, tok FROM toks
+      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {_MH_PR_CAP}
+    ),
     sizes AS (
-      SELECT doc, COUNT(*) AS nt FROM toks GROUP BY doc
+      SELECT doc, COUNT(*) AS nt FROM toks_capped GROUP BY doc
     ),
     exact AS (
       SELECT i.id_a, i.id_b
       FROM (
         SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS inter
-        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc < b.doc
+        FROM toks_capped a JOIN toks_capped b
+          ON a.tok = b.tok AND a.doc < b.doc
         GROUP BY 1, 2
       ) i
       JOIN sizes sa ON sa.doc = i.id_a
@@ -2988,6 +3004,7 @@ def x_minhash_precision_recall(spark, sf_dir):
         docs, "doc_id", "text",
         num_hashes=_MH_K, bands=_MH_BANDS, n=1,
         threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+        max_token_docs=_MH_PR_CAP,
     )
 
 
