@@ -574,6 +574,59 @@ def ivf_topk(
     )
 
 
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Recall@k scorecard for the LSH ANN path against exact brute force.
+
+    The dedup family's P/R audit, for the similarity-search tier: the
+    LSH top-k's (query, neighbor) set against the exact cosine top-k's.
+    Run continuously at scale, a recall drop is the signal to raise
+    n_tables / lower n_planes before the ANN index silently degrades.
+
+    One row: (n_exact_pairs, n_ann_pairs, n_hits, recall_at_k) — the
+    recall is a single float division of exact pair COUNTS, so a SQL
+    oracle replays it bit-for-bit. Membership comes from ranks only
+    (never the rounded display sims). Cost = one brute-force pass over
+    the query set (the ground truth — at production scale run it on a
+    query SAMPLE; recall is a ratio, a uniform sample estimates it).
+    """
+    bf = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__b"))
+    ann = lsh_bucketed_topk(
+        corpus, queries, k=k, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col,
+        portable=portable,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__a"))
+    agg = bf.join(ann, ["query_id", "neighbor_id"], "full_outer").agg(
+        F.count("__b").alias("n_exact_pairs"),
+        F.count("__a").alias("n_ann_pairs"),
+        F.count(F.when(F.col("__b").isNotNull() & F.col("__a").isNotNull(), 1))
+        .alias("n_hits"),
+    )
+    return agg.select(
+        "n_exact_pairs",
+        "n_ann_pairs",
+        "n_hits",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.col("n_hits") / F.col("n_exact_pairs"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3100,6 +3100,69 @@ def x_knn_lsh_poly(spark, sf_dir):
     )
 
 
+@query(
+    "x_knn_recall_at_k",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 {", ".join(_knn_sig_sql(t) for t in range(_KNN["tables"]))}
+          FROM v),
+    q AS (SELECT * FROM s WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY {_KNN_COS} DESC, ce.vec_id) AS rk
+        FROM v qe, v ce
+        WHERE qe.vec_id < 10 AND ce.vec_id != qe.vec_id
+      ) WHERE rk <= {_KNN["k"]}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q JOIN s c
+        ON c.vec_id != q.vec_id
+       AND ({" OR ".join(f"q.s{t} = c.s{t}" for t in range(_KNN["tables"]))})
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY {_KNN_COS} DESC, cand.neighbor_id) AS rk
+        FROM cand
+        JOIN v qe ON qe.vec_id = cand.query_id
+        JOIN v ce ON ce.vec_id = cand.neighbor_id
+      ) WHERE rk <= {_KNN["k"]}
+    ),
+    nb AS (SELECT COUNT(*) AS c FROM bf),
+    na AS (SELECT COUNT(*) AS c FROM ann),
+    nh AS (SELECT COUNT(*) AS c FROM bf JOIN ann USING (query_id, neighbor_id))
+    SELECT nb.c AS n_exact_pairs, na.c AS n_ann_pairs, nh.c AS n_hits,
+           CASE WHEN nb.c > 0 THEN nh.c / nb.c ELSE 0.0 END AS recall_at_k
+    FROM nb, na, nh
+    """,
+)
+def x_knn_recall_at_k(spark, sf_dir):
+    # ANN retrieval-quality scorecard (round-9 debut): the LSH top-k's
+    # pair set vs exact brute-force top-k — recall@5 as a driver-gate-
+    # verified number (previously a pytest bound only). The continuous
+    # check that tells an embedding-index owner to raise n_tables
+    # before the ANN tier silently degrades. Set membership comes from
+    # ranks, and the recall is one float division of exact counts.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ann_recall_at_k(
+        emb, queries,
+        k=_KNN["k"], dim=_KNN["dim"],
+        n_planes=_KNN["planes"], n_tables=_KNN["tables"],
+        seed=_KNN["seed"], portable=True,
+    )
+
+
 # Portable-SimHash oracle: 28-bit signature from polynomial token-hash
 # bit votes, 4×7-bit pigeonhole chunks, hamming via bit_count(xor) —
 # the whole pipeline as plain SQL (the 64-bit xxhash64 production twin
@@ -7629,12 +7692,13 @@ CORRECTNESS_WINDOW = [
     "x_unigram_surprisal",
     "x_weighted_sample",
     "x_zorder_layout_audit",
-    # Round-9 solvency: 10 mandatory above + 36 r6-cohort pre-pays + 2
-    # debuts (x_minhash_calibration, x_minhash_precision_recall — listed
-    # at the tail), each displacing one bottom pre-pay
-    # (x_quality_deciles, x_passage_scrub_crossdoc — last green r6 ->
-    # roll to the r10 mandatory cohort; leftover for r10 becomes 12 <
-    # 48, still solvent, inside the judge's k<=4 debut budget).
+    # Round-9 solvency: 10 mandatory above + 35 r6-cohort pre-pays + 3
+    # debuts (x_minhash_calibration, x_minhash_precision_recall,
+    # x_knn_recall_at_k — listed at the tail), each displacing one
+    # bottom pre-pay (x_quality_deciles, x_passage_scrub_crossdoc,
+    # x_pack_shards — last green r6 -> roll to the r10 mandatory
+    # cohort; leftover for r10 becomes 13 < 48, still solvent, inside
+    # the judge's k<=4 debut budget).
     # round-10 pre-pay (oldest last-green first); debuts displace from the bottom
     "a45_global_summary",
     "a_cube_matrix",
@@ -7671,11 +7735,11 @@ CORRECTNESS_WINDOW = [
     "x_knn_bruteforce",
     "x_knn_lsh_poly",
     "x_lang_id",
-    "x_pack_shards",
-    # round-9 debuts (displaced x_quality_deciles and
-    # x_passage_scrub_crossdoc -> r10 mandatory)
+    # round-9 debuts (displaced x_quality_deciles,
+    # x_passage_scrub_crossdoc, x_pack_shards -> r10 mandatory)
     "x_minhash_calibration",
     "x_minhash_precision_recall",
+    "x_knn_recall_at_k",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -427,6 +427,10 @@ BNLJ_BUDGET = {
                                   # the AQE reuse)
     "x_kmeans_lloyd": 3,          # broadcast model (k centroids)
     "x_knn_bruteforce": 1,        # the documented brute-force baseline
+    "x_knn_recall_at_k": 1,       # composes that same brute-force ground
+                                  # truth (10-query broadcast side); the
+                                  # ANN side and the set join stay
+                                  # hash/equi joins
     "x_knn_ivf_ann": 2,           # broadcast centroid table (probe+assign)
     "x_knn_lsh_ann": 2,           # broadcast hyperplane set
     "x_tfidf_top_terms": 1,       # 1-row corpus doc count

@@ -191,3 +191,42 @@ def test_rewrites_and_twin_agree_on_a_randomized_unicode_corpus(spark):
         for r in minhash_signature(df, "doc_id", "text", arrow=True).collect()
     }
     assert expr == twin
+
+
+def test_ann_recall_cross_checks_its_composed_operators(spark):
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ann_recall_at_k,
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    # clustered vectors so the LSH path has structure to find (random
+    # vectors are the documented worst case)
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        center = [1.0 if (i % 3) == d % 3 else 0.0 for d in range(8)]
+        rows.append(
+            (i, [c + rng.gauss(0, 0.05) for c in center])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 6")
+
+    kw = dict(k=3, dim=8, n_planes=4, n_tables=6, seed=5, portable=True)
+    row = ann_recall_at_k(df, queries, **kw).collect()[0]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=3).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(df, queries, **kw).collect()
+    }
+    assert row["n_exact_pairs"] == len(bf) == 18  # 6 queries x k=3
+    assert row["n_ann_pairs"] == len(ann)
+    assert row["n_hits"] == len(bf & ann)
+    assert row["recall_at_k"] == len(bf & ann) / len(bf)
+    # clustered data with 6 tables: the ANN tier must find most of it
+    assert row["recall_at_k"] >= 0.5, row
