@@ -7681,65 +7681,56 @@ CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-9 mandatory rotations (last green < r6) — tools/rotate_window.py
-    "x_seq_length_histogram",
-    "x_session_features",
-    "x_shared_passage_flags",
-    "x_source_overlap",
-    "x_split_leakage_audit",
-    "x_text_profile",
-    "x_token_entropy",
-    "x_unigram_surprisal",
-    "x_weighted_sample",
-    "x_zorder_layout_audit",
-    # Round-9 solvency: 10 mandatory above + 35 r6-cohort pre-pays + 3
-    # debuts (x_minhash_calibration, x_minhash_precision_recall,
-    # x_knn_recall_at_k — listed at the tail), each displacing one
-    # bottom pre-pay (x_quality_deciles, x_passage_scrub_crossdoc,
-    # x_pack_shards — last green r6 -> roll to the r10 mandatory
-    # cohort; leftover for r10 becomes 13 < 48, still solvent, inside
-    # the judge's k<=4 debut budget).
-    # round-10 pre-pay (oldest last-green first); debuts displace from the bottom
-    "a45_global_summary",
-    "a_cube_matrix",
-    "a_quantiles_by_flag",
-    "a_share_of_total",
-    "f_from_json_struct",
-    "h_monthly_from_daily",
-    "h_sketch_rollup_hll",
-    "o1_top10_customers",
-    "p67_year_pruning",
-    "q_out_of_order_audit",
-    "q_quality_audit",
-    "r2_unpivot_year_matrix",
-    "s45_source_stats",
-    "sql_surface_weekly_top",
-    "u34_set_ops",
-    "w2_peak_dow_per_flag",
-    "w_event_sequences",
-    "x_cascade_delete_plan",
-    "x_content_hash_split",
-    "x_decontamination",
-    "x_dedup_minhash_poly",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_poly",
-    "x_dedup_survivors",
-    "x_distribution_drift",
-    "x_doc_chunking",
-    "x_doc_stats_by_lang",
-    "x_dupgraph_degree",
-    "x_embedding_quantize",
-    "x_fingerprint",
-    "x_heavy_hitters",
-    "x_kmeans_lloyd",
-    "x_knn_bruteforce",
-    "x_knn_lsh_poly",
-    "x_lang_id",
-    # round-9 debuts (displaced x_quality_deciles,
-    # x_passage_scrub_crossdoc, x_pack_shards -> r10 mandatory)
-    "x_minhash_calibration",
-    "x_minhash_precision_recall",
-    "x_knn_recall_at_k",
+    # round-10 mandatory rotations (last green < r7) — tools/rotate_window.py
+    "x_pack_shards",
+    "x_passage_scrub_crossdoc",
+    "x_quality_deciles",
+    "x_quality_score",
+    "x_repetition_filter",
+    "x_salted_skew_join",
+    "x_salted_skew_rollup",
+    "x_scd2_point_in_time",
+    "x_stratified_sample",
+    "x_temporal_split_purged",
+    "x_text_stats",
+    "x_tfidf_top_terms",
+    "x_top_bigrams",
+    # round-11 pre-pay (oldest last-green first); debuts displace from the bottom
+    "a11_type_dow_matrix",
+    "a12_yearly_validation",
+    "a13_avg_of_precomputed",
+    "a4_global_summary",
+    "a5_year_bounds",
+    "a6_growth_by_year_priority",
+    "a7_weekly_latest_year",
+    "a8_ratio_of_sums_by_type",
+    "a_exact_median_hist",
+    "f10_hours_arithmetic",
+    "f6_date_spine",
+    "f7_regex_inference_precedence",
+    "f_calendar_keys",
+    "h_sketch_rollup_quantile",
+    "j1_snowflake_flatten_distinct",
+    "j2_broadcast_user_enrichment",
+    "j5_fact_by_country",
+    "j6_fact_by_dow_via_date_dim",
+    "j7_enrich_with_fallback",
+    "ja_orphan_anti_join",
+    "js_semi_active_customers",
+    "o2_top_events_full_sort",
+    "o5_distinct_years_sorted",
+    "p2_filter_notnull_nonempty",
+    "p3_p4_p5_quality_clean",
+    "p6_year_equality_prune",
+    "p7_year_range_prune",
+    "p8_guarded_ratio",
+    "p9_null_audit",
+    "r1_pivot_year_matrix",
+    "s4_source_date_bounds",
+    "s5_row_counts",
+    "u2_distinct_pairs",
+    "u3_except_churned",
+    "u4_intersect_retained",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -7750,15 +7741,15 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8],
-    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8, 9],
     "s1_scan_pruned_projection": [1, 2, 5, 8],
-    "s45_source_stats": [2, 3, 6],
+    "s45_source_stats": [2, 3, 6, 9],
     "s4_source_date_bounds": [1, 4, 7],
     "s5_row_counts": [1, 4, 7],
     "p2_filter_notnull_nonempty": [1, 2, 4, 7],
     "p3_p4_p5_quality_clean": [1, 2, 4, 7],
-    "p67_year_pruning": [2, 3, 6],
+    "p67_year_pruning": [2, 3, 6, 9],
     "p6_year_equality_prune": [1, 4, 7],
     "p7_year_range_prune": [1, 4, 7],
     "p8_guarded_ratio": [1, 2, 4, 7],
@@ -7770,7 +7761,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "j7_enrich_with_fallback": [1, 2, 4, 7],
     "ja_orphan_anti_join": [1, 2, 4, 7],
     "js_semi_active_customers": [1, 4, 7],
-    "a45_global_summary": [2, 3, 6],
+    "a45_global_summary": [2, 3, 6, 9],
     "a4_global_summary": [1, 4, 7],
     "a5_year_bounds": [1, 4, 7],
     "a6_growth_by_year_priority": [1, 2, 4, 7],
@@ -7779,73 +7770,73 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a11_type_dow_matrix": [1, 4, 7],
     "a12_yearly_validation": [1, 4, 7],
     "a13_avg_of_precomputed": [1, 4, 7],
-    "a_cube_matrix": [2, 3, 6],
+    "a_cube_matrix": [2, 3, 6, 9],
     "a_rollup_hierarchy": [2, 3, 5, 8],
-    "h_monthly_from_daily": [2, 3, 6],
-    "a_quantiles_by_flag": [2, 3, 6],
-    "a_share_of_total": [2, 3, 6],
+    "h_monthly_from_daily": [2, 3, 6, 9],
+    "a_quantiles_by_flag": [2, 3, 6, 9],
+    "a_share_of_total": [2, 3, 6, 9],
     "w1_peak_week": [1, 4, 7],
-    "w2_peak_dow_per_flag": [1, 2, 3, 6],
+    "w2_peak_dow_per_flag": [1, 2, 3, 6, 9],
     "w3_yoy_order_growth": [1, 2, 4, 7],
     "w_sessionize": [2, 3, 4, 7],
     "w_moving_avg_7d": [2, 3, 5, 8],
-    "o1_top10_customers": [1, 2, 3, 6],
+    "o1_top10_customers": [1, 2, 3, 6, 9],
     "o2_top_events_full_sort": [1, 4, 7],
     "o5_distinct_years_sorted": [1, 4, 7],
     "u1_union_two_sources": [1, 2, 5, 8],
     "u2_distinct_pairs": [1, 4, 7],
-    "u34_set_ops": [2, 3, 6],
+    "u34_set_ops": [2, 3, 6, 9],
     "u3_except_churned": [1, 4, 7],
     "u4_intersect_retained": [1, 4, 7],
     "r1_pivot_year_matrix": [1, 4, 7],
-    "r2_unpivot_year_matrix": [1, 2, 3, 6],
+    "r2_unpivot_year_matrix": [1, 2, 3, 6, 9],
     "f_calendar_keys": [1, 2, 4, 7],
     "f6_date_spine": [1, 2, 4, 7],
     "f7_regex_inference_precedence": [1, 2, 4, 7],
     "f10_hours_arithmetic": [1, 4, 7],
     "f_json_extract": [2, 3, 5, 8],
-    "f_from_json_struct": [2, 3, 6],
-    "sql_surface_weekly_top": [2, 3, 6],
-    "q_quality_audit": [2, 3, 6],
+    "f_from_json_struct": [2, 3, 6, 9],
+    "sql_surface_weekly_top": [2, 3, 6, 9],
+    "q_quality_audit": [2, 3, 6, 9],
     "x_dedup_exact": [1, 2, 5, 8],
     "x_dedup_canonical": [1, 4, 7],
     "x_dedup_token_jaccard": [1, 2, 5, 8],
-    "x_dedup_minhash_poly": [2, 3, 6],
-    "x_dedup_simhash_poly": [2, 3, 6],
+    "x_dedup_minhash_poly": [2, 3, 6, 9],
+    "x_dedup_simhash_poly": [2, 3, 6, 9],
     "x_dedup_clusters": [2, 3, 5, 8],
     "x_dedup_embedding_cosine": [2, 3, 5, 8],
     "x_asof_join_last_signup": [1, 2, 5, 8],
     "x_range_join_value_bands": [1, 2, 3, 5, 8],
     "x_user_value_trend": [1, 2, 3, 4, 8],
-    "x_knn_bruteforce": [2, 3, 6],
-    "x_knn_lsh_poly": [2, 3, 6],
-    "x_text_profile": [2, 3, 5],
-    "x_content_hash_split": [2, 3, 6],
+    "x_knn_bruteforce": [2, 3, 6, 9],
+    "x_knn_lsh_poly": [2, 3, 6, 9],
+    "x_text_profile": [2, 3, 5, 9],
+    "x_content_hash_split": [2, 3, 6, 9],
     "x_quality_deciles": [2, 3, 6],
     "x_cdc_fact_diff": [3, 5, 8],
     "x_salted_skew_rollup": [3, 6],
     "x_knn_ivf_ann": [3, 5, 8],
-    "x_dedup_ngram_jaccard": [3, 6],
-    "x_decontamination": [3, 6],
+    "x_dedup_ngram_jaccard": [3, 6, 9],
+    "x_decontamination": [3, 6, 9],
     "x_stratified_sample": [3, 6],
     "x_pack_shards": [3, 6],
     "x_repetition_filter": [3, 6],
-    "x_fingerprint": [3, 6],
+    "x_fingerprint": [3, 6, 9],
     "x_top_bigrams": [3, 6],
-    "x_doc_stats_by_lang": [3, 6],
+    "x_doc_stats_by_lang": [3, 6, 9],
     "x_text_stats": [3, 6],
-    "x_lang_id": [3, 6],
+    "x_lang_id": [3, 6, 9],
     "x_quality_score": [3, 6],
-    "x_doc_chunking": [3, 6],
+    "x_doc_chunking": [3, 6, 9],
     "x_tfidf_top_terms": [3, 6],
-    "x_embedding_quantize": [3, 6],
-    "x_dupgraph_degree": [3, 6],
-    "x_dedup_survivors": [3, 6],
+    "x_embedding_quantize": [3, 6, 9],
+    "x_dupgraph_degree": [3, 6, 9],
+    "x_dedup_survivors": [3, 6, 9],
     "x_bm25_topk": [4, 7],
     "x_dedup_incremental": [4, 7],
     "x_embedding_normalize": [4, 8],
     "x_global_shuffle": [4, 8],
-    "x_kmeans_lloyd": [4, 6],
+    "x_kmeans_lloyd": [4, 6, 9],
     "x_quality_filter_by_lang": [4, 8],
     "x_scd2_point_in_time": [4, 6],
     "x_vocab_coverage": [4, 8],
@@ -7874,21 +7865,21 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_pagerank_step": [5, 8],
     "x_passage_dedup": [5, 8],
     "x_sample_exact_k": [5, 8],
-    "x_seq_length_histogram": [5],
-    "x_session_features": [5],
-    "x_shared_passage_flags": [5],
-    "x_source_overlap": [5],
-    "x_split_leakage_audit": [5],
-    "x_token_entropy": [5],
-    "x_unigram_surprisal": [5],
-    "x_weighted_sample": [5],
-    "x_zorder_layout_audit": [5],
-    "h_sketch_rollup_hll": [6],
-    "q_out_of_order_audit": [6],
-    "w_event_sequences": [6],
-    "x_cascade_delete_plan": [6],
-    "x_distribution_drift": [6],
-    "x_heavy_hitters": [6],
+    "x_seq_length_histogram": [5, 9],
+    "x_session_features": [5, 9],
+    "x_shared_passage_flags": [5, 9],
+    "x_source_overlap": [5, 9],
+    "x_split_leakage_audit": [5, 9],
+    "x_token_entropy": [5, 9],
+    "x_unigram_surprisal": [5, 9],
+    "x_weighted_sample": [5, 9],
+    "x_zorder_layout_audit": [5, 9],
+    "h_sketch_rollup_hll": [6, 9],
+    "q_out_of_order_audit": [6, 9],
+    "w_event_sequences": [6, 9],
+    "x_cascade_delete_plan": [6, 9],
+    "x_distribution_drift": [6, 9],
+    "x_heavy_hitters": [6, 9],
     "x_passage_scrub_crossdoc": [6],
     "x_salted_skew_join": [6],
     "x_temporal_split_purged": [6],
@@ -7902,6 +7893,9 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "r_top_markets": [8],
     "r_yoy_growth": [8],
     "s_ingest_daily_grain": [8],
+    "x_knn_recall_at_k": [9],
+    "x_minhash_calibration": [9],
+    "x_minhash_precision_recall": [9],
 }
 
 
