@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 # product a*h stays under 2^62, so the math never overflows a signed
 # 64-bit long (Spark 4 runs ANSI mode — overflow is an error, not a wrap).
 _HASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+# deterministic-sample affine family (glibc LCG constants): the
+# multiplier is > P/2 on purpose — see minhash_precision_recall
+_SAMPLE_MULT = 1103515245
+_SAMPLE_INC = 12345
 
 
 def _tokens(text: Column) -> Column:
@@ -439,7 +443,19 @@ def minhash_calibration(
 
     Returns (k_agree, n_pairs, sum_inter, sum_union,
     micro_exact_jaccard, est_jaccard) ordered by k_agree.
+
+    Degenerate documents (zero whitespace tokens: null/empty/
+    whitespace-only text) are EXCLUDED from the audit up front. In the
+    dedup pipeline proper they all share word_shingles' single ""
+    fallback shingle — one signature, one band bucket — which is the
+    established (oracle-replayed) pipeline semantics; but as AUDIT
+    inputs they are noise (exact Jaccard over empty token sets is
+    0/0), and a SQL ground truth that tokenizes with empties dropped
+    never sees them, so keeping them would produce Spark-only pairs
+    at threshold 0 (round-9 ADVICE finding, pinned by
+    test_round9_ops.py's planted degenerate-doc cases).
     """
+    df = df.filter(F.size(_tokens(F.col(text_col))) > 0)
     pairs = minhash_near_duplicates(
         df, id_col, text_col, num_hashes, bands, n,
         threshold=0.0, seed=seed, portable=portable,
@@ -705,6 +721,7 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     max_token_docs: int | None = None,
     ngram: int = 1,
+    uncapped_sizes: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard via inverted-index self-join.
 
@@ -714,6 +731,18 @@ def token_jaccard_pairs(
     switches the unit from single tokens to word n-gram shingles
     (word_shingles) — sharper near-dup signal on stop-word-heavy text,
     since shared phrases are rarer than shared words.
+
+    With the cap active the similarity itself is CAP-REDEFINED by
+    default: both the intersection counts and the doc sizes come from
+    the capped token sets, so ``jaccard`` is the Jaccard of the
+    post-cap sets (the dedup-pipeline semantics every downstream
+    consumer of this operator has been verified against).
+    ``uncapped_sizes=True`` keeps only the candidate JOIN bounded and
+    takes the denominators from the UNCAPPED sets — intersections are
+    then lower bounds but the union term is true, the right definition
+    for audit ground truth (minhash_precision_recall uses it so
+    ``n_exact`` is not measured against a cap-redefined similarity —
+    round-9 ADVICE finding).
     """
     unit = (
         F.array_distinct(_tokens(F.col(text_col)))
@@ -724,13 +753,16 @@ def token_jaccard_pairs(
         F.col(id_col).alias("doc"),
         F.explode(unit).alias("tok"),
     )
+    toks_all = toks
     if max_token_docs is not None:
         w = Window.partitionBy("tok")
         toks = toks.withColumn("__df", F.count("*").over(w)).filter(
             F.col("__df") <= max_token_docs
         ).drop("__df")
 
-    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    sizes = (toks_all if uncapped_sizes else toks).groupBy("doc").agg(
+        F.count("*").alias("n_tok")
+    )
 
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
@@ -763,6 +795,7 @@ def minhash_precision_recall(
     seed: int = 42,
     portable: bool = False,
     max_token_docs: int | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Retrieval-quality scorecard for the banded MinHash path: the
     accepted pair set (estimate >= threshold) against the EXACT
@@ -781,14 +814,53 @@ def minhash_precision_recall(
     pair tiers are the existing bounded joins (banded candidates;
     inverted-index with the frequent-token cap) — never all-pairs.
 
+    Ground-truth definition under the cap: ``max_token_docs`` bounds
+    only the candidate JOIN of the exact side (the inverted index);
+    doc sizes come from the UNCAPPED token sets
+    (token_jaccard_pairs(uncapped_sizes=True)), so the union term in
+    the Jaccard denominator is true set size — the intersection counts
+    are lower bounds for pairs that share capped-away frequent tokens,
+    never a cap-redefined similarity (round-9 ADVICE finding).
+
     Scale posture: the exact ground-truth side is the expensive tier —
     on a stopword-heavy corpus an UNCAPPED inverted index is quadratic
     (measured: the 50K-doc zipf corpus never finished uncapped, seconds
     with ``max_token_docs``), so always pass a cap beyond toy scale; at
     production scale run the audit on a document SAMPLE — P/R are
     ratios, so a uniform sample estimates them without the full
-    ground-truth join.
+    ground-truth join. ``sample_fraction`` executes exactly that
+    prescription: a DETERMINISTIC content-hash sample over ``id_col``
+    (affine hash mod the Mersenne prime — the same integer family the
+    signatures use, so a SQL oracle replays the sample membership
+    bit-for-bit; never rand(), whose draw order is partitioning-
+    dependent). Both the LSH side and the ground-truth side see the
+    same sampled corpus, so the ratios are the sampled-corpus P/R.
+
+    Degenerate documents (zero whitespace tokens) are excluded up
+    front, same rationale as minhash_calibration.
     """
+    df = df.filter(F.size(_tokens(F.col(text_col))) > 0)
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        # membership = affine hash of the id into [0, P) under the cut.
+        # The multiplier must EXCEED P/2 so the map wraps from id=2 —
+        # a small multiplier keeps consecutive small ids consecutive
+        # and the "sample" degenerates to everything for toy id ranges
+        # (measured: 1000003 selected 40/40 of ids 0..39 at fraction
+        # 0.5). 64-bit-safe in ANSI mode for any id < 2^33; exact
+        # integer math both engines reproduce.
+        cut = int(sample_fraction * _HASH_PRIME)
+        df = df.filter(
+            (
+                F.col(id_col).cast("bigint") * F.lit(_SAMPLE_MULT)
+                + F.lit(_SAMPLE_INC)
+            )
+            % F.lit(_HASH_PRIME)
+            < F.lit(cut)
+        )
     lsh = minhash_near_duplicates(
         df, id_col, text_col, num_hashes, bands, n,
         threshold=threshold, seed=seed, portable=portable,
@@ -796,6 +868,7 @@ def minhash_precision_recall(
     exact = token_jaccard_pairs(
         df, id_col, text_col, threshold=threshold,
         max_token_docs=max_token_docs, ngram=n,
+        uncapped_sizes=True,
     ).select("id_a", "id_b", F.lit(1).alias("__e"))
     joined = lsh.join(exact, ["id_a", "id_b"], "full_outer")
     agg = joined.agg(

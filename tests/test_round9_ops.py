@@ -230,3 +230,146 @@ def test_ann_recall_cross_checks_its_composed_operators(spark):
     assert row["recall_at_k"] == len(bf & ann) / len(bf)
     # clustered data with 6 tables: the ANN tier must find most of it
     assert row["recall_at_k"] >= 0.5, row
+
+
+def test_degenerate_docs_are_excluded_from_the_audits(spark, corpus):
+    """Round-9 ADVICE pin: null/empty/whitespace-only docs get
+    word_shingles' single "" fallback shingle in the dedup pipeline
+    proper (they all band together — established, oracle-replayed
+    semantics), but the AUDIT operators exclude them up front, because
+    a SQL ground truth that tokenizes with empties dropped never sees
+    them and Spark-only pairs would break the driver gate."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_precision_recall,
+    )
+
+    degenerate = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "\t\n"), (103, None)],
+        "doc_id long, text string",
+    )
+    dirty = corpus.unionByName(degenerate)
+
+    # pipeline semantics stand: the degenerate docs share one signature
+    # and surface as candidate pairs at threshold 0
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            dirty, "doc_id", "text", 32, 8, 1, threshold=0.0, portable=True
+        ).collect()
+    }
+    assert (100, 101) in cand and (102, 103) in cand
+
+    # audit semantics: planting the degenerate docs changes NOTHING
+    kw = dict(num_hashes=32, bands=8, n=1, portable=True)
+    clean_cal = minhash_calibration(corpus, "doc_id", "text", **kw).collect()
+    dirty_cal = minhash_calibration(dirty, "doc_id", "text", **kw).collect()
+    assert clean_cal == dirty_cal
+    clean_pr = minhash_precision_recall(
+        corpus, "doc_id", "text", threshold=0.6, **kw
+    ).collect()
+    dirty_pr = minhash_precision_recall(
+        dirty, "doc_id", "text", threshold=0.6, **kw
+    ).collect()
+    assert clean_pr == dirty_pr
+
+
+def test_token_jaccard_cap_semantics_capped_vs_uncapped_sizes(spark):
+    """Round-9 ADVICE pin: with max_token_docs active, the default
+    similarity is the Jaccard of the POST-CAP sets; uncapped_sizes=True
+    (what minhash_precision_recall's ground truth uses) keeps only the
+    candidate join bounded and takes true set sizes, so the union term
+    is never cap-redefined."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        token_jaccard_pairs,
+    )
+
+    # "the" appears in all 4 docs -> capped away at max_token_docs=3;
+    # docs 0/1 share {aa bb cc the}, docs 2/3 share only "the"
+    rows = [
+        (0, "the aa bb cc"),
+        (1, "the aa bb cc dd"),
+        (2, "the xx yy"),
+        (3, "the zz ww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.0, max_token_docs=3
+        ).collect()
+    }
+    # post-cap sets: {aa,bb,cc} vs {aa,bb,cc,dd} -> 3/4
+    assert capped[(0, 1)] == 3 / 4
+    # docs 2/3 shared only the capped token -> no candidate pair at all
+    assert (2, 3) not in capped
+
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.0, max_token_docs=3,
+            uncapped_sizes=True,
+        ).collect()
+    }
+    # true sizes 4 and 5, capped intersection 3 -> 3/(4+5-3) = 1/2
+    # (true Jaccard would be 4/5+... = 4/6; the intersection is a lower
+    # bound under the cap, but the union term is the true set size)
+    assert truth[(0, 1)] == 3 / (4 + 5 - 3)
+    # and with no cap both modes are the plain exact Jaccard
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert plain[(0, 1)] == 4 / 5
+
+
+def test_pr_sample_fraction_is_deterministic_and_self_consistent(spark):
+    """The sampled audit (round-9 verdict task 4): membership is exact
+    affine-hash integer math, so the sampled scorecard must equal the
+    scorecard of the hand-pre-filtered corpus, and fraction 1.0 must be
+    a no-op."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _HASH_PRIME,
+        _SAMPLE_INC,
+        _SAMPLE_MULT,
+        minhash_precision_recall,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} shared common")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=8, n=1, threshold=0.5, portable=True)
+
+    frac = 0.5
+    cut = int(frac * _HASH_PRIME)
+    hand = df.filter(
+        (F.col("doc_id").cast("bigint") * _SAMPLE_MULT + _SAMPLE_INC)
+        % _HASH_PRIME
+        < cut
+    )
+    assert 0 < hand.count() < 40  # the sample is real and proper
+    sampled = minhash_precision_recall(
+        df, "doc_id", "text", sample_fraction=frac, **kw
+    ).collect()
+    replay = minhash_precision_recall(hand, "doc_id", "text", **kw).collect()
+    assert sampled == replay
+
+    full = minhash_precision_recall(df, "doc_id", "text", **kw).collect()
+    noop = minhash_precision_recall(
+        df, "doc_id", "text", sample_fraction=1.0, **kw
+    ).collect()
+    assert full == noop
+
+    with pytest.raises(ValueError):
+        minhash_precision_recall(
+            df, "doc_id", "text", sample_fraction=0.0, **kw
+        )
+    with pytest.raises(ValueError):
+        minhash_precision_recall(
+            df, "doc_id", "text", sample_fraction=1.5, **kw
+        )
