@@ -127,26 +127,40 @@ def _merge_into_delta(
 def _non_delta_dataset_at(spark, target_path: str) -> bool:
     """True when ``target_path`` holds a non-empty dataset (ignoring
     underscore marker files) with no ``_delta_log`` — the round-8-advice
-    data-loss hazard. URI paths (s3a://, hdfs://, file:) go through the
-    Hadoop FileSystem API so the guard fires on every filesystem Spark
-    can write, not just the local one (round-9 review finding:
-    os.path.isdir never fires for a URI, silently skipping the guard);
-    schemeless paths use stdlib so the check stays testable without a
-    session or the delta package."""
-    if "://" not in target_path and not target_path.startswith("file:"):
-        return (
-            os.path.isdir(target_path)
-            and any(not e.startswith("_") for e in os.listdir(target_path))
-            and not os.path.isdir(os.path.join(target_path, "_delta_log"))
-        )
+    data-loss hazard. Whenever a session is available, EVERY path —
+    URI (s3a://, hdfs://, file:) and schemeless alike — goes through
+    the Hadoop FileSystem API: a schemeless path is resolved against
+    ``fs.defaultFS``, exactly where Spark/Delta will write it, so on a
+    cluster whose defaultFS is HDFS the guard inspects the HDFS
+    directory rather than a same-named path on the driver's local disk
+    (round-9 ADVICE: the os.path branch silently never fired for
+    schemeless targets off-box). The stdlib branch remains only as the
+    no-session fallback (local defaultFS assumption, which is what
+    no-session implies), keeping the guard testable without a session
+    or the delta package."""
+    if spark is None:
+        return _non_delta_dataset_local(target_path)
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    # resolve schemeless against defaultFS + working dir, like a write
+    path = fs.makeQualified(path)
     if not fs.exists(path):
         return False
     names = [st.getPath().getName() for st in fs.listStatus(path)]
     return (
         any(not n.startswith("_") for n in names) and "_delta_log" not in names
+    )
+
+
+def _non_delta_dataset_local(target_path: str) -> bool:
+    """Driver-local stdlib variant of the guard — the no-session
+    fallback only (assumes defaultFS is the local filesystem, which is
+    what having no session implies)."""
+    return (
+        os.path.isdir(target_path)
+        and any(not e.startswith("_") for e in os.listdir(target_path))
+        and not os.path.isdir(os.path.join(target_path, "_delta_log"))
     )
 
 

@@ -84,6 +84,36 @@ def test_delta_path_refuses_a_parquet_swap_era_target(spark, tmp_path):
     assert (target / "part-00000.parquet").read_bytes() == b"PAR1"
 
 
+def test_guard_resolves_schemeless_paths_via_hadoop_fs(
+    spark, tmp_path, monkeypatch
+):
+    # Round-9 ADVICE: with a session, schemeless paths must go through
+    # the Hadoop FileSystem branch (makeQualified resolves them against
+    # fs.defaultFS — where Spark/Delta will actually write), never the
+    # driver-local stdlib branch, which on a cluster whose defaultFS is
+    # HDFS would inspect a same-named LOCAL path and silently let the
+    # data-loss hazard through. The stdlib helper is booby-trapped:
+    # any touch of it while a session is supplied fails the test.
+    def boom(_):
+        raise AssertionError(
+            "stdlib fallback consulted despite a live session"
+        )
+
+    monkeypatch.setattr(merge, "_non_delta_dataset_local", boom)
+    target = tmp_path / "fact"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"PAR1")
+    assert merge._non_delta_dataset_at(spark, str(target)) is True
+    (target / "_delta_log").mkdir()
+    assert merge._non_delta_dataset_at(spark, str(target)) is False
+    assert merge._non_delta_dataset_at(spark, str(tmp_path / "nope")) is False
+    # and the no-session path still uses (only) the stdlib fallback
+    monkeypatch.undo()
+    assert merge._non_delta_dataset_at(None, str(target)) is False
+    (target / "_delta_log").rmdir()
+    assert merge._non_delta_dataset_at(None, str(target)) is True
+
+
 @pytest.mark.skipif(
     merge.delta_available(),
     reason="fall-through asserted via the delta ImportError, which "
