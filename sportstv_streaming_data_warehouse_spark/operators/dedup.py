@@ -67,6 +67,35 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def deterministic_id_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Deterministic, engine-portable uniform sample by integer id.
+
+    Membership = affine hash of the id into [0, P) under the cut
+    ((id * MULT + INC) mod 2^31-1 < fraction * P). The multiplier must
+    EXCEED P/2 so the map wraps from id=2 — a small multiplier keeps
+    consecutive small ids consecutive and the "sample" degenerates to
+    everything for toy id ranges (measured: 1000003 selected 40/40 of
+    ids 0..39 at fraction 0.5). 64-bit-safe in ANSI mode for any id
+    < 2^33; exact integer math a SQL oracle replays bit-for-bit —
+    never rand(), whose draw order is partitioning-dependent.
+
+    The audit scorecards (minhash_precision_recall, ann_recall_at_k,
+    ivf_recall_at_k) use this as their documented 100 TB posture:
+    their metrics are ratios, so a uniform sample estimates them
+    without paying the full exact-side join.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"sample_fraction must be in (0, 1], got {fraction}")
+    cut = int(fraction * _HASH_PRIME)
+    return df.filter(
+        (F.col(id_col).cast("bigint") * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_INC))
+        % F.lit(_HASH_PRIME)
+        < F.lit(cut)
+    )
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact key — one shuffle."""
     return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
@@ -841,26 +870,7 @@ def minhash_precision_recall(
     """
     df = df.filter(F.size(_tokens(F.col(text_col))) > 0)
     if sample_fraction is not None:
-        if not (0.0 < sample_fraction <= 1.0):
-            raise ValueError(
-                f"sample_fraction must be in (0, 1], got {sample_fraction}"
-            )
-        # membership = affine hash of the id into [0, P) under the cut.
-        # The multiplier must EXCEED P/2 so the map wraps from id=2 —
-        # a small multiplier keeps consecutive small ids consecutive
-        # and the "sample" degenerates to everything for toy id ranges
-        # (measured: 1000003 selected 40/40 of ids 0..39 at fraction
-        # 0.5). 64-bit-safe in ANSI mode for any id < 2^33; exact
-        # integer math both engines reproduce.
-        cut = int(sample_fraction * _HASH_PRIME)
-        df = df.filter(
-            (
-                F.col(id_col).cast("bigint") * F.lit(_SAMPLE_MULT)
-                + F.lit(_SAMPLE_INC)
-            )
-            % F.lit(_HASH_PRIME)
-            < F.lit(cut)
-        )
+        df = deterministic_id_sample(df, id_col, sample_fraction)
     lsh = minhash_near_duplicates(
         df, id_col, text_col, num_hashes, bands, n,
         threshold=threshold, seed=seed, portable=portable,

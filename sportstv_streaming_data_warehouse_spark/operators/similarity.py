@@ -574,40 +574,13 @@ def ivf_topk(
     )
 
 
-def ann_recall_at_k(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    portable: bool = False,
-) -> DataFrame:
-    """Recall@k scorecard for the LSH ANN path against exact brute force.
-
-    The dedup family's P/R audit, for the similarity-search tier: the
-    LSH top-k's (query, neighbor) set against the exact cosine top-k's.
-    Run continuously at scale, a recall drop is the signal to raise
-    n_tables / lower n_planes before the ANN index silently degrades.
-
-    One row: (n_exact_pairs, n_ann_pairs, n_hits, recall_at_k) — the
-    recall is a single float division of exact pair COUNTS, so a SQL
-    oracle replays it bit-for-bit. Membership comes from ranks only
-    (never the rounded display sims). Cost = one brute-force pass over
-    the query set (the ground truth — at production scale run it on a
-    query SAMPLE; recall is a ratio, a uniform sample estimates it).
-    """
-    bf = brute_force_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", F.lit(1).alias("__b"))
-    ann = lsh_bucketed_topk(
-        corpus, queries, k=k, dim=dim, n_planes=n_planes,
-        n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col,
-        portable=portable,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("__a"))
+def _recall_accounting(bf: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared pair-set accounting for the ANN recall scorecards: exact
+    top-k pairs vs an ANN tier's top-k pairs, one row of exact COUNTS
+    plus recall as a single float division (engine-portable — a SQL
+    oracle replays it bit-for-bit). Membership comes from ranks only."""
+    bf = bf.select("query_id", "neighbor_id", F.lit(1).alias("__b"))
+    ann = ann.select("query_id", "neighbor_id", F.lit(1).alias("__a"))
     agg = bf.join(ann, ["query_id", "neighbor_id"], "full_outer").agg(
         F.count("__b").alias("n_exact_pairs"),
         F.count("__a").alias("n_ann_pairs"),
@@ -625,6 +598,98 @@ def ann_recall_at_k(
         .otherwise(F.lit(0.0))
         .alias("recall_at_k"),
     )
+
+
+def _maybe_sample_queries(
+    queries: DataFrame, id_col: str, sample_fraction: float | None
+) -> DataFrame:
+    """The scorecards' 100 TB posture, executed: recall is a ratio, so
+    a uniform QUERY sample estimates it without brute-forcing every
+    query. Deterministic affine-hash membership (dedup.
+    deterministic_id_sample) — a SQL oracle replays the sample."""
+    if sample_fraction is None:
+        return queries
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        deterministic_id_sample,
+    )
+
+    return deterministic_id_sample(queries, id_col, sample_fraction)
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Recall@k scorecard for the LSH ANN path against exact brute force.
+
+    The dedup family's P/R audit, for the similarity-search tier: the
+    LSH top-k's (query, neighbor) set against the exact cosine top-k's.
+    Run continuously at scale, a recall drop is the signal to raise
+    n_tables / lower n_planes before the ANN index silently degrades.
+
+    One row: (n_exact_pairs, n_ann_pairs, n_hits, recall_at_k) — the
+    recall is a single float division of exact pair COUNTS, so a SQL
+    oracle replays it bit-for-bit. Membership comes from ranks only
+    (never the rounded display sims). Cost = one brute-force pass over
+    the query set — the ground truth; at production scale pass
+    ``sample_fraction`` to run it on a deterministic QUERY sample
+    (recall is a ratio, a uniform sample estimates it; membership is
+    exact affine-hash integer math the oracle replays).
+    """
+    queries = _maybe_sample_queries(queries, id_col, sample_fraction)
+    bf = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    ann = lsh_bucketed_topk(
+        corpus, queries, k=k, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col,
+        portable=portable,
+    )
+    return _recall_accounting(bf, ann)
+
+
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Recall@k scorecard for the IVF cell-probe ANN path (ivf_topk)
+    against exact brute force — completes the retrieval-quality tier:
+    both scale paths (LSH tables, IVF cells) now publish a continuously
+    measurable recall number instead of a fixed pytest bound.
+
+    For the IVF family the recall curve is the n_probe tuning signal:
+    probing more cells monotonically raises recall at linear cost, so
+    an index owner reads this scorecard to pick the smallest n_probe
+    that clears their recall target. Same accounting, portability and
+    sampling posture as ann_recall_at_k; the whole IVF pipeline is
+    deterministic (stride-sampled centroids, tie-broken argmax), so a
+    SQL oracle replays the entire scorecard.
+    """
+    queries = _maybe_sample_queries(queries, id_col, sample_fraction)
+    bf = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    ann = ivf_topk(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, portable=portable,
+    )
+    return _recall_accounting(bf, ann)
 
 
 def lsh_bucketed_topk(

@@ -3202,6 +3202,74 @@ def x_knn_recall_at_k(spark, sf_dir):
     )
 
 
+_IVF_ORACLE_COS = (
+    "list_dot_product(qa.e, ca.e)"
+    " / (sqrt(list_dot_product(qa.e, qa.e))"
+    " * sqrt(list_dot_product(ca.e, ca.e)))"
+)
+
+
+@query(
+    "x_knn_ivf_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    st AS (SELECT GREATEST(COUNT(*) // 32, 1) AS step FROM v),
+    cent AS (SELECT vec_id AS centroid_id, e AS ce
+             FROM v, st WHERE vec_id % step = 0
+             ORDER BY vec_id LIMIT 32),
+    ca AS (SELECT vec_id AS neighbor_id, e, centroid_id
+           FROM ({_IVF_ASSIGN.format(flt="")}) WHERE rn = 1),
+    qa AS (SELECT vec_id AS query_id, e, centroid_id
+           FROM ({_IVF_ASSIGN.format(flt="WHERE v.vec_id < 10")}) WHERE rn <= 8),
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT qa.query_id, ca.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY qa.query_id
+                                  ORDER BY {_IVF_ORACLE_COS} DESC,
+                                           ca.neighbor_id) AS rk
+        FROM qa JOIN ca USING (centroid_id)
+        WHERE ca.neighbor_id != qa.query_id
+      ) WHERE rk <= {_KNN["k"]}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY {_KNN_COS} DESC, ce.vec_id) AS rk
+        FROM v qe, v ce
+        WHERE qe.vec_id < 10 AND ce.vec_id != qe.vec_id
+      ) WHERE rk <= {_KNN["k"]}
+    ),
+    nb AS (SELECT COUNT(*) AS c FROM bf),
+    na AS (SELECT COUNT(*) AS c FROM ann),
+    nh AS (SELECT COUNT(*) AS c FROM bf JOIN ann USING (query_id, neighbor_id))
+    SELECT nb.c AS n_exact_pairs, na.c AS n_ann_pairs, nh.c AS n_hits,
+           CASE WHEN nb.c > 0 THEN nh.c / nb.c ELSE 0.0 END AS recall_at_k
+    FROM nb, na, nh
+    """,
+)
+def x_knn_ivf_recall(spark, sf_dir):
+    # IVF recall@k scorecard (round-10 debut, round-9 verdict task 3):
+    # the cell-probe ANN path's top-k pair set vs exact brute force —
+    # completes the retrieval-quality tier started in round 9 (X122
+    # covers the LSH path). The recall curve is the n_probe tuning
+    # signal: an IVF index owner reads this number to pick the smallest
+    # n_probe clearing their recall target. The whole pipeline is
+    # deterministic (stride-sampled centroids, tie-broken argmax), so
+    # the oracle replays centroids, assignment, probe join, ranking,
+    # AND the recall division end-to-end in SQL.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_recall_at_k(
+        emb, queries, k=_KNN["k"], n_centroids=32, n_probe=8,
+        portable=True,
+    )
+
+
 # Portable-SimHash oracle: 28-bit signature from polynomial token-hash
 # bit votes, 4×7-bit pigeonhole chunks, hamming via bit_count(xor) —
 # the whole pipeline as plain SQL (the 64-bit xxhash64 production twin

@@ -207,3 +207,73 @@ def test_catalog_lsh_ann_emits_recall_bound(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     independent = len(exact & got) / len(exact)
     assert abs(recalls.pop() - independent) < 1e-12
+
+
+def test_ivf_recall_scorecard_cross_checks_its_composed_operators(spark):
+    """x_knn_ivf_recall (round-10 debut): the scorecard's counts must
+    equal the set algebra of the two tiers it composes, and probing
+    more cells must never lower recall (the n_probe tuning property
+    the scorecard exists to expose)."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ivf_recall_at_k,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 12)
+    kw = dict(k=5, n_centroids=32, n_probe=8, portable=True)
+    row = ivf_recall_at_k(emb, queries, **kw).collect()[0]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, **kw).collect()
+    }
+    assert row["n_exact_pairs"] == len(bf) == 60  # 12 queries x k=5
+    assert row["n_ann_pairs"] == len(ann)
+    assert row["n_hits"] == len(bf & ann)
+    assert row["recall_at_k"] == len(bf & ann) / len(bf)
+
+    # monotonicity in n_probe: more probed cells => superset candidates
+    lo = ivf_recall_at_k(
+        emb, queries, k=5, n_centroids=32, n_probe=2, portable=True
+    ).collect()[0]
+    hi = ivf_recall_at_k(
+        emb, queries, k=5, n_centroids=32, n_probe=16, portable=True
+    ).collect()[0]
+    assert lo["recall_at_k"] <= row["recall_at_k"] <= hi["recall_at_k"]
+
+
+def test_recall_scorecards_sample_fraction_is_deterministic(spark):
+    """sample_fraction on both recall scorecards must equal the
+    scorecard of the hand-pre-filtered query set (the affine-hash
+    membership is exact integer math), and 1.0 must be a no-op."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        deterministic_id_sample,
+    )
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ann_recall_at_k,
+        ivf_recall_at_k,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    hand = deterministic_id_sample(queries, "vec_id", 0.5)
+    n_hand = hand.count()
+    assert 0 < n_hand < 40
+
+    ivf_kw = dict(k=5, n_centroids=32, n_probe=8, portable=True)
+    assert (
+        ivf_recall_at_k(emb, queries, sample_fraction=0.5, **ivf_kw).collect()
+        == ivf_recall_at_k(emb, hand, **ivf_kw).collect()
+    )
+    lsh_kw = dict(k=5, dim=64, n_planes=5, n_tables=6, seed=9, portable=True)
+    assert (
+        ann_recall_at_k(emb, queries, sample_fraction=0.5, **lsh_kw).collect()
+        == ann_recall_at_k(emb, hand, **lsh_kw).collect()
+    )
+    assert (
+        ivf_recall_at_k(emb, queries, sample_fraction=1.0, **ivf_kw).collect()
+        == ivf_recall_at_k(emb, queries, **ivf_kw).collect()
+    )
