@@ -7496,6 +7496,56 @@ def s_ingest_daily_grain(spark, sf_dir):
 
 
 @query(
+    "s_rolling_distinct_grain",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    contrib AS (
+      SELECT d + CAST(i AS INTEGER) AS obs_day, user_id
+      FROM du, UNNEST(range(0, 7)) AS t(i)
+    )
+    SELECT strftime(obs_day, '%Y-%m-%d') AS obs_day,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM contrib
+    GROUP BY 1
+    """,
+)
+def s_rolling_distinct_grain(spark, sf_dir):
+    # The rolling-distinct STREAM's finalized-output grain, surfaced
+    # through the driver gate the s_ingest_daily_grain way (round-9
+    # verdict task 5 — a second streaming module transitively
+    # oracle-verified). pkg/streaming/rolling_distinct.py emits exactly
+    # this algebra in append mode (contribution explode →
+    # dropDuplicatesWithinWatermark → tumbling-day count);
+    # tests/test_stream_rolling_distinct.py pins stream output == this
+    # batch model row-for-row on planted rows, and this entry pins the
+    # batch model against the DuckDB oracle — closing the loop. NOTE
+    # the grain differs from w_rolling_distinct_7d on purpose: the
+    # stream emits EVERY observation day a contribution covers
+    # (including event-free carry-over days, which its consumers rely
+    # on for gap-free dashboards); the batch operator restricts to
+    # observed days via the day-spine join. Same single shuffle + one
+    # exact countDistinct; the factor-7 explode is byte-bounded.
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias(
+            "obs_day"
+        ),
+        "user_id",
+    )
+    return (
+        contrib.groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("obs_day"),
+            "active_users",
+        )
+    )
+
+
+@query(
     "r_top_markets",
     oracle="""
     WITH fact AS (

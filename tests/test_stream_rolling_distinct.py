@@ -156,3 +156,24 @@ def test_cross_batch_same_day_users_both_count(spark, tmp_path):
     # every window covering Jan 5 must see BOTH users
     for d in range(5, 12):
         assert got[f"2024-01-{d:02d}"] == 2, (d, got)
+
+
+def test_catalog_grain_matches_the_stream_batch_model(spark):
+    """Transitive-oracle closure (round-9 verdict task 5): the catalog
+    entry s_rolling_distinct_grain must compute EXACTLY the algebra
+    _batch_model pins the stream against — same contribution explode,
+    same dedup, no observed-day restriction — so the driver's DuckDB
+    gate on the catalog entry verifies the stream's output grain."""
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["obs_day"]: r["active_users"]
+        for r in QUERIES["s_rolling_distinct_grain"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rows = [
+        {"user_id": r["user_id"], "ts": str(r["ts"])}
+        for r in ev.select("user_id", "ts").collect()
+    ]
+    assert got == _batch_model(spark, rows)
