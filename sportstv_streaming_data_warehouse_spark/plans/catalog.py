@@ -7885,9 +7885,10 @@ CORRECTNESS_WINDOW = [
     "r1_pivot_year_matrix",
     "s4_source_date_bounds",
     "s5_row_counts",
-    "u2_distinct_pairs",
-    "u3_except_churned",
-    "u4_intersect_retained",
+    # round-10 debuts (displace the newest pre-pays, per policy)
+    "x_minhash_pr_sampled",
+    "x_knn_ivf_recall",
+    "s_rolling_distinct_grain",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
