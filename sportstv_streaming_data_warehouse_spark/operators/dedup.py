@@ -29,10 +29,11 @@ from pyspark.sql import functions as F
 # product a*h stays under 2^62, so the math never overflows a signed
 # 64-bit long (Spark 4 runs ANSI mode — overflow is an error, not a wrap).
 _HASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
-# deterministic-sample affine family (glibc LCG constants): the
-# multiplier is > P/2 on purpose — see minhash_precision_recall
+# deterministic-sample hash family — degree-2 polynomial mod P (see
+# deterministic_id_sample for why LINEAR is not enough)
 _SAMPLE_MULT = 1103515245
 _SAMPLE_INC = 12345
+_SAMPLE_INC2 = 456789
 
 
 def _tokens(text: Column) -> Column:
@@ -72,27 +73,37 @@ def deterministic_id_sample(
 ) -> DataFrame:
     """Deterministic, engine-portable uniform sample by integer id.
 
-    Membership = affine hash of the id into [0, P) under the cut
-    ((id * MULT + INC) mod 2^31-1 < fraction * P). The multiplier must
-    EXCEED P/2 so the map wraps from id=2 — a small multiplier keeps
-    consecutive small ids consecutive and the "sample" degenerates to
-    everything for toy id ranges (measured: 1000003 selected 40/40 of
-    ids 0..39 at fraction 0.5). 64-bit-safe in ANSI mode for any id
-    < 2^33; exact integer math a SQL oracle replays bit-for-bit —
-    never rand(), whose draw order is partitioning-dependent.
+    Membership = degree-2 polynomial hash of the id into [0, P) under
+    the cut: h = ((id*A + B) mod P) * id + C) mod P < fraction * P,
+    with P = 2^31-1. Exact integer math a SQL oracle replays
+    bit-for-bit — never rand(), whose draw order is
+    partitioning-dependent. 64-bit-safe in ANSI mode for any id
+    < 2^31 (h1 < 2^31, so h1 * id < 2^62).
+
+    The hash must be at least PAIRWISE well-mixed, not merely
+    uniform: the audits these samples feed (minhash P/R) count PAIR
+    survival, and a pair survives only when BOTH ids are sampled. A
+    LINEAR map (id*A + B) mod P is a Weyl sequence — marginally
+    uniform, but joint membership at small id offsets is structured:
+    measured at fraction 0.25, ids (i, i+1) were NEVER both sampled
+    and (i, i+2) co-survived at 22% instead of 6.25%, so id-adjacent
+    near-dup families (exactly how corpus dup families are laid out)
+    were annihilated and the "unbiased ratio" claim was false. The
+    degree-2 polynomial measured joint membership within 1% of
+    fraction² at every offset tested (1,2,3,5,10,100; N=200K).
 
     The audit scorecards (minhash_precision_recall, ann_recall_at_k,
     ivf_recall_at_k) use this as their documented 100 TB posture:
-    their metrics are ratios, so a uniform sample estimates them
-    without paying the full exact-side join.
+    their metrics are ratios, so a uniform pairwise-well-mixed sample
+    estimates them without paying the full exact-side join.
     """
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"sample_fraction must be in (0, 1], got {fraction}")
     cut = int(fraction * _HASH_PRIME)
+    idc = F.col(id_col).cast("bigint")
+    h1 = (idc * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_INC)) % F.lit(_HASH_PRIME)
     return df.filter(
-        (F.col(id_col).cast("bigint") * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_INC))
-        % F.lit(_HASH_PRIME)
-        < F.lit(cut)
+        (h1 * idc + F.lit(_SAMPLE_INC2)) % F.lit(_HASH_PRIME) < F.lit(cut)
     )
 
 
@@ -764,14 +775,17 @@ def token_jaccard_pairs(
     With the cap active the similarity itself is CAP-REDEFINED by
     default: both the intersection counts and the doc sizes come from
     the capped token sets, so ``jaccard`` is the Jaccard of the
-    post-cap sets (the dedup-pipeline semantics every downstream
-    consumer of this operator has been verified against).
+    post-cap (stopword-filtered) sets — the self-consistent semantics
+    every downstream consumer of this operator is verified against.
     ``uncapped_sizes=True`` keeps only the candidate JOIN bounded and
-    takes the denominators from the UNCAPPED sets — intersections are
-    then lower bounds but the union term is true, the right definition
-    for audit ground truth (minhash_precision_recall uses it so
-    ``n_exact`` is not measured against a cap-redefined similarity —
-    round-9 ADVICE finding).
+    takes the denominators from the UNCAPPED sets; the result is a
+    strict LOWER BOUND on true Jaccard (intersections still lose the
+    capped tokens). Round-10 measured that lower bound collapsing on
+    stopword-heavy corpora (50K-doc zipf: pair counts at tau=0.5 fell
+    from hundreds to ~1 because shared mid-frequency tokens were
+    capped out of the numerator but kept in the denominator), so the
+    audits ship the capped definition and this flag stays for callers
+    who explicitly want the conservative bound.
     """
     unit = (
         F.array_distinct(_tokens(F.col(text_col)))
@@ -843,13 +857,22 @@ def minhash_precision_recall(
     pair tiers are the existing bounded joins (banded candidates;
     inverted-index with the frequent-token cap) — never all-pairs.
 
-    Ground-truth definition under the cap: ``max_token_docs`` bounds
-    only the candidate JOIN of the exact side (the inverted index);
-    doc sizes come from the UNCAPPED token sets
-    (token_jaccard_pairs(uncapped_sizes=True)), so the union term in
-    the Jaccard denominator is true set size — the intersection counts
-    are lower bounds for pairs that share capped-away frequent tokens,
-    never a cap-redefined similarity (round-9 ADVICE finding).
+    Ground-truth definition under the cap (round-9 ADVICE, resolved by
+    measurement in round 10): with ``max_token_docs`` active the ground
+    truth is CAPPED-Jaccard — the Jaccard of the post-cap token sets,
+    i.e. similarity over the stopword-filtered vocabulary (the same
+    self-consistent definition every other consumer of
+    token_jaccard_pairs is verified against). It is NOT exact
+    full-vocabulary Jaccard, and this docstring says so instead of
+    overstating it. The measured alternative
+    (token_jaccard_pairs(uncapped_sizes=True): capped intersections
+    over TRUE set sizes) is strictly a lower bound and COLLAPSES on
+    stopword-heavy corpora — on the 50K-doc zipf corpus the cap drops
+    enough shared mid-frequency tokens that n_exact fell from hundreds
+    to 1 and the audit went blind (SCALE.md round-10 table) — so the
+    self-consistent capped definition ships. With the cap inactive
+    (the correctness-scale catalog entry) both definitions coincide
+    with exact Jaccard.
 
     Scale posture: the exact ground-truth side is the expensive tier —
     on a stopword-heavy corpus an UNCAPPED inverted index is quadratic
@@ -878,7 +901,6 @@ def minhash_precision_recall(
     exact = token_jaccard_pairs(
         df, id_col, text_col, threshold=threshold,
         max_token_docs=max_token_docs, ngram=n,
-        uncapped_sizes=True,
     ).select("id_a", "id_b", F.lit(1).alias("__e"))
     joined = lsh.join(exact, ["id_a", "id_b"], "full_outer")
     agg = joined.agg(

@@ -2918,7 +2918,8 @@ def _minhash_pr_oracle(sample_fraction: float | None = None) -> str:
     if sample_fraction is not None:
         cut = int(sample_fraction * 2147483647)
         sample_pred = (
-            f" WHERE (doc_id * {D._SAMPLE_MULT} + {D._SAMPLE_INC})"
+            f" WHERE ((doc_id * {D._SAMPLE_MULT} + {D._SAMPLE_INC})"
+            f" % 2147483647 * doc_id + {D._SAMPLE_INC2})"
             f" % 2147483647 < {cut}"
         )
     coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
@@ -2967,18 +2968,19 @@ def _minhash_pr_oracle(sample_fraction: float | None = None) -> str:
         ON a.doc < b.doc AND ({any_band})
       WHERE ({est}) / {float(_MH_K)} >= {_MH_TAU}
     ),
-    -- frequent-token cap on the EXACT side's candidate JOIN only
-    -- (mirrors token_jaccard_pairs' max_token_docs window filter;
-    -- inactive at the sf0.01 correctness scale, bounds the
-    -- inverted-index blowup on stopword-heavy corpora). Doc sizes
-    -- come from the UNCAPPED toks (uncapped_sizes=True — the union
-    -- term stays true set size; round-9 ADVICE finding).
+    -- frequent-token cap on the EXACT side (mirrors
+    -- token_jaccard_pairs' max_token_docs window filter; inactive at
+    -- the sf0.01 correctness scale, bounds the inverted-index blowup
+    -- on stopword-heavy corpora). Sizes come from the SAME capped
+    -- sets: the ground truth is capped-Jaccard — self-consistent
+    -- post-cap-set similarity; the uncapped-size lower bound was
+    -- measured collapsing on zipf corpora (SCALE.md round 10).
     toks_capped AS (
       SELECT doc, tok FROM toks
       QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {_MH_PR_CAP}
     ),
     sizes AS (
-      SELECT doc, COUNT(*) AS nt FROM toks GROUP BY doc
+      SELECT doc, COUNT(*) AS nt FROM toks_capped GROUP BY doc
     ),
     exact AS (
       SELECT i.id_a, i.id_b
@@ -3031,12 +3033,13 @@ def x_minhash_pr_sampled(spark, sf_dir):
     # The 100 TB posture of the P/R audit, EXECUTED (round-10 debut —
     # the round-9 verdict noted the sample-don't-scan prescription was
     # documented but nothing ran it): the same scorecard on a
-    # deterministic affine-hash document sample. P/R are ratios, so a
-    # uniform sample estimates them without the full ground-truth join;
-    # membership is exact integer math ((id*1000003+12345) mod 2^31-1
-    # under the cut), never rand(), so the DuckDB oracle replays the
-    # sample bit-for-bit. SCALE.md records the capped-10x wall dropping
-    # under sampling with the ratios stable.
+    # deterministic degree-2-polynomial-hash document sample (pairwise
+    # well-mixed on purpose — a linear hash annihilates id-adjacent
+    # dup pairs; see dedup.deterministic_id_sample). P/R are ratios,
+    # so a uniform sample estimates them without the full ground-truth
+    # join; membership is exact integer math, never rand(), so the
+    # DuckDB oracle replays the sample bit-for-bit. SCALE.md records
+    # the capped-10x wall dropping under sampling.
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_precision_recall(
         docs, "doc_id", "text",

@@ -276,10 +276,12 @@ def test_degenerate_docs_are_excluded_from_the_audits(spark, corpus):
 
 def test_token_jaccard_cap_semantics_capped_vs_uncapped_sizes(spark):
     """Round-9 ADVICE pin: with max_token_docs active, the default
-    similarity is the Jaccard of the POST-CAP sets; uncapped_sizes=True
-    (what minhash_precision_recall's ground truth uses) keeps only the
-    candidate join bounded and takes true set sizes, so the union term
-    is never cap-redefined."""
+    similarity is the Jaccard of the POST-CAP (stopword-filtered) sets
+    — the self-consistent definition the audits ship, stated honestly
+    in the docstrings. uncapped_sizes=True keeps only the candidate
+    join bounded and takes true set sizes: a strict LOWER BOUND, kept
+    for callers who want the conservative semantics (round-10 measured
+    it collapsing on zipf corpora, so it is NOT the audit default)."""
     from sportstv_streaming_data_warehouse_spark.operators.dedup import (
         token_jaccard_pairs,
     )
@@ -334,6 +336,7 @@ def test_pr_sample_fraction_is_deterministic_and_self_consistent(spark):
     from sportstv_streaming_data_warehouse_spark.operators.dedup import (
         _HASH_PRIME,
         _SAMPLE_INC,
+        _SAMPLE_INC2,
         _SAMPLE_MULT,
         minhash_precision_recall,
     )
@@ -347,9 +350,11 @@ def test_pr_sample_fraction_is_deterministic_and_self_consistent(spark):
 
     frac = 0.5
     cut = int(frac * _HASH_PRIME)
+    h1 = (
+        F.col("doc_id").cast("bigint") * _SAMPLE_MULT + _SAMPLE_INC
+    ) % _HASH_PRIME
     hand = df.filter(
-        (F.col("doc_id").cast("bigint") * _SAMPLE_MULT + _SAMPLE_INC)
-        % _HASH_PRIME
+        (h1 * F.col("doc_id").cast("bigint") + _SAMPLE_INC2) % _HASH_PRIME
         < cut
     )
     assert 0 < hand.count() < 40  # the sample is real and proper
@@ -373,3 +378,31 @@ def test_pr_sample_fraction_is_deterministic_and_self_consistent(spark):
         minhash_precision_recall(
             df, "doc_id", "text", sample_fraction=1.5, **kw
         )
+
+
+def test_sample_hash_is_pairwise_well_mixed():
+    """The sampled audits count PAIR survival, so the id-sample hash
+    must be pairwise well-mixed, not merely uniform: a linear (Weyl)
+    map never co-samples adjacent ids at fraction 0.25 and would
+    annihilate id-adjacent dup families (measured in round 10). Pins
+    joint membership ~= fraction^2 at small offsets for the shipped
+    degree-2 polynomial (pure integer math, no Spark)."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _HASH_PRIME,
+        _SAMPLE_INC,
+        _SAMPLE_INC2,
+        _SAMPLE_MULT,
+    )
+
+    def h(i):
+        h1 = (i * _SAMPLE_MULT + _SAMPLE_INC) % _HASH_PRIME
+        return (h1 * i + _SAMPLE_INC2) % _HASH_PRIME
+
+    frac = 0.25
+    cut = int(frac * _HASH_PRIME)
+    n = 50_000
+    mem = [h(i) < cut for i in range(n)]
+    assert abs(sum(mem) / n - frac) < 0.01
+    for d in (1, 2, 3, 5, 10):
+        joint = sum(mem[i] and mem[i + d] for i in range(n - d)) / (n - d)
+        assert abs(joint - frac * frac) < 0.01, (d, joint)

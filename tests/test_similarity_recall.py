@@ -259,7 +259,7 @@ def test_recall_scorecards_sample_fraction_is_deterministic(spark):
 
     emb = load_table(spark, SF01, "embeddings")
     queries = emb.filter(F.col("vec_id") < 40)
-    hand = deterministic_id_sample(queries, "vec_id", 0.5)
+    hand = deterministic_id_sample(queries, "vec_id", 0.5)  # quad hash
     n_hand = hand.count()
     assert 0 < n_hand < 40
 

@@ -537,6 +537,75 @@ def round9_experiment(spark) -> None:
         print(f"{name:34} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s")
 
 
+def round10_experiment(spark) -> None:
+    """Round-10 debut audits (round-9 verdict tasks 3/4):
+
+    - x_minhash_pr_sampled: the sampled P/R audit vs the full capped
+      audit on the zipfian corpus at 1x/10x — the SCALE.md claim is
+      that the capped 10x wall (61 s in round 9) drops to seconds under
+      a deterministic document sample while the ratios move only by
+      sampling noise. min-of-3, warmed.
+    - x_knn_ivf_recall: the IVF recall scorecard at 1x (sf0.1
+      embeddings) and on the 100x noise-replicated embeddings — the
+      scorecard must stay brute-force-bounded (10 queries x corpus),
+      never corpus x corpus.
+    - s_rolling_distinct_grain: the stream's finalized grain on 1x and
+      10x replicated events — grain-constant output (fixed 30-day
+      fixture span), so wall tracks the day-user distinct scan.
+    """
+    from sportstv_streaming_data_warehouse_spark.operators import dedup as D
+
+    def min3(fn):
+        fn()  # warm (plan + IO cache)
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(time.perf_counter() - t0)
+        return min(walls), out
+
+    # --- sampled P/R on the zipf corpus (cap ACTIVE at 2000) ---------
+    print(f"\n{'sampled P/R (zipf, cap 2000)':38} {'wall':>7} "
+          f"{'n_exact':>8} {'P':>7} {'R':>7}")
+    for label in ("1x", "10x"):
+        d = f"{DST}_r9_zipf_{label}"
+        docs = load_table(spark, d, "documents")
+        for frac in (None, 0.25, 0.1):
+            def run(frac=frac, docs=docs):
+                return D.minhash_precision_recall(
+                    docs, "doc_id", "text", num_hashes=32, bands=8, n=1,
+                    threshold=0.5, portable=True, max_token_docs=2000,
+                    sample_fraction=frac,
+                ).collect()[0]
+
+            w, row = min3(run)
+            tag = f"{label} frac={frac if frac else 'FULL'}"
+            print(f"{tag:38} {w:6.2f}s {row['n_exact']:8d} "
+                  f"{row['pair_precision']:7.4f} {row['pair_recall']:7.4f}")
+
+    # --- IVF recall scorecard at 1x / 100x embeddings ----------------
+    d100 = f"{DST}_r8_emb_100x"
+    if not os.path.isdir(f"{d100}/embeddings.parquet"):
+        os.makedirs(d100, exist_ok=True)
+        _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
+    print(f"\n{'x_knn_ivf_recall':38} {'wall':>7} {'recall@5':>9}")
+    for label, d in (("1x (sf0.1)", SRC), ("100x", d100)):
+        w, rows = min3(lambda d=d: QUERIES["x_knn_ivf_recall"](spark, d).collect())
+        print(f"{label:38} {w:6.2f}s {rows[0]['recall_at_k']:9.3f}")
+
+    # --- rolling-distinct stream grain at 1x / 10x events ------------
+    print(f"\n{'s_rolling_distinct_grain':38} {'wall':>7} {'rows':>6}")
+    for label, d in (("1x (sf0.1)", SRC), ("10x", DST)):
+        # fixture tables are single parquet FILES, replicas are dirs
+        if not os.path.exists(f"{d}/events.parquet"):
+            print(f"{label:38}  (replica dir missing — run build first)")
+            continue
+        w, rows = min3(
+            lambda d=d: QUERIES["s_rolling_distinct_grain"](spark, d).collect()
+        )
+        print(f"{label:38} {w:6.2f}s {len(rows):6d}")
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -569,6 +638,10 @@ def main() -> None:
         return
     if "--round9" in sys.argv:
         round9_experiment(spark)
+        spark.stop()
+        return
+    if "--round10" in sys.argv:
+        round10_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
