@@ -432,6 +432,11 @@ BNLJ_BUDGET = {
                                   # ANN side and the set join stay
                                   # hash/equi joins
     "x_knn_ivf_ann": 2,           # broadcast centroid table (probe+assign)
+    "x_knn_ivf_recall": 3,        # composes the brute-force ground truth
+                                  # (1, the documented baseline) plus
+                                  # ivf_topk's broadcast-centroid assigns
+                                  # (2); the probe join and the pair-set
+                                  # join stay hash/equi joins
     "x_knn_lsh_ann": 2,           # broadcast hyperplane set
     "x_tfidf_top_terms": 1,       # 1-row corpus doc count
     "x_unigram_surprisal": 1,     # 1-row corpus token total
