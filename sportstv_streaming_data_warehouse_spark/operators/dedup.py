@@ -74,11 +74,11 @@ def deterministic_id_sample(
     """Deterministic, engine-portable uniform sample by integer id.
 
     Membership = degree-2 polynomial hash of the id into [0, P) under
-    the cut: h = ((id*A + B) mod P) * id + C) mod P < fraction * P,
-    with P = 2^31-1. Exact integer math a SQL oracle replays
-    bit-for-bit — never rand(), whose draw order is
-    partitioning-dependent. 64-bit-safe in ANSI mode for any id
-    < 2^31 (h1 < 2^31, so h1 * id < 2^62).
+    the cut: h = ((m*A + B) mod P) * m + C) mod P < fraction * P,
+    where m = id mod P and P = 2^31-1. Exact integer math a SQL oracle
+    replays bit-for-bit — never rand(), whose draw order is
+    partitioning-dependent. 64-bit-safe in ANSI mode for any
+    NON-NEGATIVE 64-bit id (both factors stay below 2^31).
 
     The hash must be at least PAIRWISE well-mixed, not merely
     uniform: the audits these samples feed (minhash P/R) count PAIR
@@ -100,10 +100,17 @@ def deterministic_id_sample(
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"sample_fraction must be in (0, 1], got {fraction}")
     cut = int(fraction * _HASH_PRIME)
-    idc = F.col(id_col).cast("bigint")
-    h1 = (idc * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_INC)) % F.lit(_HASH_PRIME)
+    # pre-reduce the id mod P so BOTH multiplies stay under 2^62 for
+    # any non-negative 64-bit id (review finding: h1 * id overflowed
+    # signed 64-bit — an ANSI ArithmeticException — from id >= 2^32,
+    # exactly the snowflake-style id space the sampling posture
+    # targets). Ids P apart share membership, which is harmless for a
+    # sampling hash; ids are assumed non-negative (% keeps the
+    # dividend's sign in both engines).
+    idm = F.col(id_col).cast("bigint") % F.lit(_HASH_PRIME)
+    h1 = (idm * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_INC)) % F.lit(_HASH_PRIME)
     return df.filter(
-        (h1 * idc + F.lit(_SAMPLE_INC2)) % F.lit(_HASH_PRIME) < F.lit(cut)
+        (h1 * idm + F.lit(_SAMPLE_INC2)) % F.lit(_HASH_PRIME) < F.lit(cut)
     )
 
 
@@ -894,6 +901,15 @@ def minhash_precision_recall(
     df = df.filter(F.size(_tokens(F.col(text_col))) > 0)
     if sample_fraction is not None:
         df = deterministic_id_sample(df, id_col, sample_fraction)
+        if max_token_docs is not None:
+            # scale the cap with the sample so the sampled ground
+            # truth applies the SAME effective stopword filter as the
+            # full audit it estimates: a token at doc-frequency df in
+            # the corpus appears at ~df*fraction in the sample, so an
+            # absolute cap would admit tokens the full audit excludes
+            # (review finding — the ratios would then shift
+            # systematically, not by sampling noise)
+            max_token_docs = max(1, int(max_token_docs * sample_fraction))
     lsh = minhash_near_duplicates(
         df, id_col, text_col, num_hashes, bands, n,
         threshold=threshold, seed=seed, portable=portable,

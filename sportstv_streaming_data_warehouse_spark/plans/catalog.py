@@ -1534,11 +1534,13 @@ _IVF_ASSIGN = """
       FROM v, cent {flt}
 """
 
-
-@query(
-    "x_knn_ivf_ann",
-    oracle=f"""
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+# The deterministic IVF pipeline prologue, shared VERBATIM by the
+# x_knn_ivf_ann oracle and the x_knn_ivf_recall oracle (review
+# finding: a duplicated prologue lets the two oracle-verified entries
+# silently diverge on what "the IVF pipeline" is): vector cast, stride
+# sample, 32 centroids, corpus assignment (rn=1), query probes (rn<=8
+# over vec_id < 10).
+_IVF_PIPELINE_CTES = f"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings),
     st AS (SELECT GREATEST(COUNT(*) // 32, 1) AS step FROM v),
     cent AS (SELECT vec_id AS centroid_id, e AS ce
@@ -1547,7 +1549,13 @@ _IVF_ASSIGN = """
     ca AS (SELECT vec_id AS neighbor_id, e, centroid_id
            FROM ({_IVF_ASSIGN.format(flt="")}) WHERE rn = 1),
     qa AS (SELECT vec_id AS query_id, e, centroid_id
-           FROM ({_IVF_ASSIGN.format(flt="WHERE v.vec_id < 10")}) WHERE rn <= 8),
+           FROM ({_IVF_ASSIGN.format(flt="WHERE v.vec_id < 10")}) WHERE rn <= 8)"""
+
+
+@query(
+    "x_knn_ivf_ann",
+    oracle=f"""
+    WITH {_IVF_PIPELINE_CTES},
     scored AS (
       SELECT qa.query_id, ca.neighbor_id,
              list_dot_product(qa.e, ca.e)
@@ -2915,13 +2923,17 @@ def _minhash_pr_oracle(sample_fraction: float | None = None) -> str:
     deterministic affine-hash document sample (exact integer math —
     both engines agree on membership bit-for-bit)."""
     sample_pred = ""
+    cap = _MH_PR_CAP
     if sample_fraction is not None:
         cut = int(sample_fraction * 2147483647)
         sample_pred = (
-            f" WHERE ((doc_id * {D._SAMPLE_MULT} + {D._SAMPLE_INC})"
-            f" % 2147483647 * doc_id + {D._SAMPLE_INC2})"
-            f" % 2147483647 < {cut}"
+            f" WHERE (((doc_id % 2147483647) * {D._SAMPLE_MULT}"
+            f" + {D._SAMPLE_INC}) % 2147483647 * (doc_id % 2147483647)"
+            f" + {D._SAMPLE_INC2}) % 2147483647 < {cut}"
         )
+        # the operator scales the cap with the sample (same effective
+        # stopword filter as the full audit) — mirror it
+        cap = max(1, int(_MH_PR_CAP * sample_fraction))
     coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
     slots = ",\n             ".join(
         f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
@@ -2977,7 +2989,7 @@ def _minhash_pr_oracle(sample_fraction: float | None = None) -> str:
     -- measured collapsing on zipf corpora (SCALE.md round 10).
     toks_capped AS (
       SELECT doc, tok FROM toks
-      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {_MH_PR_CAP}
+      QUALIFY COUNT(*) OVER (PARTITION BY tok) <= {cap}
     ),
     sizes AS (
       SELECT doc, COUNT(*) AS nt FROM toks_capped GROUP BY doc
@@ -3215,16 +3227,7 @@ _IVF_ORACLE_COS = (
 @query(
     "x_knn_ivf_recall",
     oracle=f"""
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings),
-    st AS (SELECT GREATEST(COUNT(*) // 32, 1) AS step FROM v),
-    cent AS (SELECT vec_id AS centroid_id, e AS ce
-             FROM v, st WHERE vec_id % step = 0
-             ORDER BY vec_id LIMIT 32),
-    ca AS (SELECT vec_id AS neighbor_id, e, centroid_id
-           FROM ({_IVF_ASSIGN.format(flt="")}) WHERE rn = 1),
-    qa AS (SELECT vec_id AS query_id, e, centroid_id
-           FROM ({_IVF_ASSIGN.format(flt="WHERE v.vec_id < 10")}) WHERE rn <= 8),
+    WITH {_IVF_PIPELINE_CTES},
     ann AS (
       SELECT query_id, neighbor_id
       FROM (

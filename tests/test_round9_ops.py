@@ -406,3 +406,19 @@ def test_sample_hash_is_pairwise_well_mixed():
     for d in (1, 2, 3, 5, 10):
         joint = sum(mem[i] and mem[i + d] for i in range(n - d)) / (n - d)
         assert abs(joint - frac * frac) < 0.01, (d, joint)
+
+
+def test_sample_hash_is_ansi_safe_for_64bit_ids(spark):
+    """Review pin: ids >= 2^32 (snowflake-style) must not overflow the
+    sample hash in ANSI mode — the id is pre-reduced mod P so both
+    multiplies stay under 2^62."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        deterministic_id_sample,
+    )
+
+    big = 5_000_000_000  # > 2^32
+    df = spark.createDataFrame(
+        [(big + i, "a b c") for i in range(64)], "doc_id long, text string"
+    )
+    n = deterministic_id_sample(df, "doc_id", 0.5).count()
+    assert 0 < n < 64  # no ArithmeticException, and a real sample

@@ -369,6 +369,21 @@ def heavy_hitters_experiment(spark) -> None:
         )
 
 
+def min3(fn):
+    """Warm once, then min-of-3 wall of ``fn()`` — the shared statistic
+    of every round's experiment (algorithmic cost; JIT/box-load
+    excluded). Returns (min_wall, last_result) so callers that need the
+    output don't re-run the plan. One definition on purpose (round-10
+    review: three local near-twins had already drifted in signature)."""
+    fn()  # warm (plan + IO cache)
+    walls, out = [], None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn()
+        walls.append(time.perf_counter() - t0)
+    return min(walls), out
+
+
 def round8_experiment(spark) -> None:
     """Round-8 re-measurement of the three round-7-rewritten plans
     (round-7 verdict task #6): the CATALOG queries — packed-bigint
@@ -393,7 +408,9 @@ def round8_experiment(spark) -> None:
             )
         dirs[label] = d
 
-    def min3(name, sf_dir):
+    def min3_query(name, sf_dir):
+        # time_query wrapper (forcing probe + its own warm pass); the
+        # generic module-level min3 times a bare thunk instead
         walls = []
         time_query(spark, name, sf_dir)  # warm beyond time_query's own
         for _ in range(3):
@@ -405,7 +422,7 @@ def round8_experiment(spark) -> None:
     for name in ("x_dedup_minhash_lsh", "x_dedup_incremental"):
         w, r = {}, {}
         for label in ("1x", "10x", "100x"):
-            w[label], r[label] = min3(name, dirs[label])
+            w[label], r[label] = min3_query(name, dirs[label])
         print(
             f"{name:28} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s"
             f"  {r['1x']}/{r['10x']}/{r['100x']}"
@@ -420,9 +437,9 @@ def round8_experiment(spark) -> None:
     if not os.path.isdir(f"{d100}/embeddings.parquet"):
         os.makedirs(d100, exist_ok=True)
         _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
-    w1, r1 = min3("x_knn_lsh_ann", SRC)
-    wN, rN = min3("x_knn_lsh_ann", DST)
-    w100, r100 = min3("x_knn_lsh_ann", d100)
+    w1, r1 = min3_query("x_knn_lsh_ann", SRC)
+    wN, rN = min3_query("x_knn_lsh_ann", DST)
+    w100, r100 = min3_query("x_knn_lsh_ann", d100)
     print(
         f"{'x_knn_lsh_ann':28} {w1:6.2f}s {wN:7.2f}s ({REPLICAS}x) "
         f"{w100:7.2f}s (100x)   rows {r1}/{rN}/{r100}"
@@ -460,14 +477,6 @@ def round9_experiment(spark) -> None:
             ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         dirs[label] = d
 
-    def min3(fn):
-        fn()  # warm (plan + IO cache)
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn()
-            walls.append(time.perf_counter() - t0)
-        return min(walls)
 
     def force(df):
         df.select(
@@ -481,7 +490,7 @@ def round9_experiment(spark) -> None:
         w = {}
         for label in ("1x", "10x", "100x"):
             docs = load_table(spark, dirs[label], "documents")
-            w[label] = min3(
+            w[label], _ = min3(
                 lambda d=docs: force(
                     D.minhash_signature(d, "doc_id", "text", arrow=arrow)
                 )
@@ -501,8 +510,8 @@ def round9_experiment(spark) -> None:
         _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
     print(f"\n{'reverted-to-JVM-fold queries':34} {'1x':>7} {'100x':>9}")
     for name in ("x_knn_bruteforce", "x_knn_ivf_ann", "x_kmeans_lloyd"):
-        w1 = min3(lambda n=name: force(QUERIES[n](spark, SRC)))
-        w100 = min3(lambda n=name: force(QUERIES[n](spark, d100)))
+        w1, _ = min3(lambda n=name: force(QUERIES[n](spark, SRC)))
+        w100, _ = min3(lambda n=name: force(QUERIES[n](spark, d100)))
         print(f"{name:34} {w1:6.2f}s {w100:8.2f}s ({w100 / w1:.1f}x)")
 
     # --- avg_token_len: the retired HOF fold vs the codegen rewrite ---
@@ -521,7 +530,7 @@ def round9_experiment(spark) -> None:
         w = {}
         for label in ("1x", "10x", "100x"):
             docs = load_table(spark, dirs[label], "documents")
-            w[label] = min3(
+            w[label], _ = min3(
                 lambda d=docs, e=expr: force(
                     d.select("doc_id", e(F.col("text")).alias("atl"))
                 )
@@ -533,7 +542,7 @@ def round9_experiment(spark) -> None:
     for name in ("x_dedup_minhash_lsh", "x_text_stats"):
         w = {}
         for label in ("1x", "10x", "100x"):
-            w[label] = min3(lambda n=name, d=dirs[label]: force(QUERIES[n](spark, d)))
+            w[label], _ = min3(lambda n=name, d=dirs[label]: force(QUERIES[n](spark, d)))
         print(f"{name:34} {w['1x']:6.2f}s {w['10x']:7.2f}s {w['100x']:8.2f}s")
 
 
@@ -555,20 +564,20 @@ def round10_experiment(spark) -> None:
     """
     from sportstv_streaming_data_warehouse_spark.operators import dedup as D
 
-    def min3(fn):
-        fn()  # warm (plan + IO cache)
-        walls = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = fn()
-            walls.append(time.perf_counter() - t0)
-        return min(walls), out
 
     # --- sampled P/R on the zipf corpus (cap ACTIVE at 2000) ---------
     print(f"\n{'sampled P/R (zipf, cap 2000)':38} {'wall':>7} "
           f"{'n_exact':>8} {'P':>7} {'R':>7}")
-    for label in ("1x", "10x"):
+    n1 = 5_000
+    for label, n in (("1x", n1), ("10x", n1 * 10)):
+        # self-build when /tmp was cleared (review finding: every other
+        # section guards its corpus; same dirs/content as --round9)
         d = f"{DST}_r9_zipf_{label}"
+        if not os.path.isdir(f"{d}/documents.parquet"):
+            os.makedirs(d, exist_ok=True)
+            zipf_documents(spark, n).withColumn(
+                "n_chars", F.length("text")
+            ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
         docs = load_table(spark, d, "documents")
         for frac in (None, 0.25, 0.1):
             def run(frac=frac, docs=docs):
