@@ -894,6 +894,12 @@ def minhash_precision_recall(
     bit-for-bit; never rand(), whose draw order is partitioning-
     dependent). Both the LSH side and the ground-truth side see the
     same sampled corpus, so the ratios are the sampled-corpus P/R.
+    With both a cap and a sample, the cap SCALES by the fraction
+    (cap·fraction): a token at corpus doc-frequency df appears at
+    ~df·fraction in the sample, so an absolute cap would apply a
+    weaker stopword filter than the full audit being estimated — and
+    the scaled cap bounds the sampled inverted index proportionally
+    (measured 3× faster at bit-identical ratios; SCALE.md round 10).
 
     Degenerate documents (zero whitespace tokens) are excluded up
     front, same rationale as minhash_calibration.

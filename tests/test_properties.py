@@ -471,3 +471,44 @@ def test_efraimidis_spirakis_key_order_matches_python(spark, rows):
 
     model = [i for i, _ in sorted(enumerate(rows), key=key)]
     assert got == model
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=80,
+        unique=True,
+    ),
+    frac=st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_deterministic_sample_properties(spark, ids, frac):
+    """deterministic_id_sample (round-10): membership is a pure
+    function of (id, fraction) — idempotent, monotone in fraction,
+    order/partitioning-independent, and a subset of the input —
+    for arbitrary non-negative 64-bit ids (hypothesis drives the id
+    space, including > 2^32 where the naive hash overflowed)."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        deterministic_id_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"] for r in deterministic_id_sample(df, "doc_id", frac).collect()}
+    # pure function: a re-run and a reshuffled input give the same set
+    again = {
+        r["doc_id"]
+        for r in deterministic_id_sample(
+            df.repartition(7), "doc_id", frac
+        ).collect()
+    }
+    assert got == again
+    assert got <= set(ids)
+    if frac == 1.0:
+        assert got == set(ids)
+    # monotone: a larger fraction never drops a sampled id
+    bigger = {
+        r["doc_id"]
+        for r in deterministic_id_sample(
+            df, "doc_id", min(1.0, frac + 0.1)
+        ).collect()
+    }
+    assert got <= bigger
