@@ -7838,6 +7838,17 @@ def r_yoy_growth(spark, sf_dir):
 # round cycles all 133+ oracles through the driver every 3 rounds,
 # inside the 50-slot budget. Round-6 debuts displace r4-cohort picks
 # (never mandatory entries) as they land.
+#
+# Round-10 rotation (tools/rotate_window.py, ledger folded from
+# CORRECTNESS_r09's 50/50 green): 2 anchors + the 13 mandatory
+# r6-cohort queries + 32 r7-cohort pre-pays + 3 debuts displacing the
+# newest pre-pays (x_minhash_pr_sampled — the sampled P/R audit;
+# x_knn_ivf_recall — the IVF recall scorecard completing the
+# retrieval-quality tier; s_rolling_distinct_grain — the second
+# streaming module surfaced through the driver gate). Round-11 plan:
+# the 12 r7-cohort queries NOT pre-paid here become mandatory
+# (12 < 48 ⇒ solvent, wide debut capacity); the ~40-query r8 cohort
+# becomes round-12's pressure — pre-pay it across the r11 free slots.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
