@@ -3276,6 +3276,114 @@ def x_knn_ivf_recall(spark, sf_dir):
     )
 
 
+_PQ = {"m": 32, "d": 2, "k_codes": 32, "k": 5}
+
+
+def _pq_recall_oracle() -> str:
+    """PQ/ADC recall oracle: the ENTIRE product-quantization pipeline
+    replayed in SQL — unit normalization, stride-sampled per-subspace
+    codebooks (rank-ordered like the operator's collect), first-minimum
+    code assignment (ROW_NUMBER ORDER BY dist, c == array_position's
+    first-equal semantics), per-query M×K distance tables, and the
+    ordered M-term ADC fold (list_reduce over list_prepend keeps the
+    subspace order, so every double matches Spark's aggregate fold
+    bit-for-bit) — then the same exact-count recall accounting as the
+    LSH/IVF scorecards. Every squared-L2 is an in-order fold of
+    (x-y)², never a dot-product identity whose rounding path differs."""
+    M, d, K, k = _PQ["m"], _PQ["d"], _PQ["k_codes"], _PQ["k"]
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+          FROM v),
+    st AS (SELECT GREATEST(COUNT(*) // {K}, 1) AS step FROM n),
+    cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, e
+           FROM (SELECT vec_id, e FROM n, st WHERE vec_id % step = 0
+                 ORDER BY vec_id LIMIT {K}) s),
+    ms AS (SELECT UNNEST(range(0, {M})) AS m),
+    cd AS (
+      SELECT n.vec_id, ms.m, cb.c,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, {d}),
+                 i -> (n.e[ms.m*{d} + i] - cb.e[ms.m*{d} + i])
+                    * (n.e[ms.m*{d} + i] - cb.e[ms.m*{d} + i]))),
+               (a, b) -> a + b) AS dist
+      FROM n, ms, cb
+    ),
+    codes AS (
+      SELECT vec_id AS neighbor_id, list(c ORDER BY m) AS codes
+      FROM (SELECT vec_id, m, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, c) AS rn
+            FROM cd) z WHERE rn = 1
+      GROUP BY 1
+    ),
+    qt AS (
+      SELECT vec_id AS query_id, list(dl ORDER BY m) AS qt
+      FROM (SELECT vec_id, m, list(dist ORDER BY c) AS dl
+            FROM cd WHERE vec_id < 10 GROUP BY 1, 2) z
+      GROUP BY 1
+    ),
+    adc AS (
+      SELECT qt.query_id, codes.neighbor_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(generate_series(1, {M}),
+                 m -> qt.qt[m][codes.codes[m] + 1])),
+               (a, b) -> a + b) AS ad
+      FROM qt, codes WHERE codes.neighbor_id != qt.query_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ad, neighbor_id) AS rk
+            FROM adc) z WHERE rk <= {k}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY {_KNN_COS} DESC, ce.vec_id) AS rk
+        FROM v qe, v ce
+        WHERE qe.vec_id < 10 AND ce.vec_id != qe.vec_id
+      ) z WHERE rk <= {k}
+    ),
+    nb AS (SELECT COUNT(*) AS c FROM bf),
+    na AS (SELECT COUNT(*) AS c FROM ann),
+    nh AS (SELECT COUNT(*) AS c FROM bf JOIN ann USING (query_id, neighbor_id))
+    SELECT nb.c AS n_exact_pairs, na.c AS n_ann_pairs, nh.c AS n_hits,
+           CASE WHEN nb.c > 0 THEN nh.c / nb.c ELSE 0.0 END AS recall_at_k
+    FROM nb, na, nh
+    """
+
+
+@query("x_knn_pq_recall", oracle=_pq_recall_oracle())
+def x_knn_pq_recall(spark, sf_dir):
+    # Product-quantization recall@k scorecard (round-10 debut): the
+    # THIRD leg of the retrieval-quality tier — LSH covers the
+    # table-bucketing path, IVF the cell-probe path, and PQ/ADC the
+    # memory-compression path (dim doubles -> M small codes; the scan
+    # reads ~16x fewer bytes per candidate and does table lookups
+    # instead of vector math). For PQ the recall number is the
+    # compression-loss dial: an index owner reads it to pick the
+    # smallest (M, K) budget clearing their target. Stride-sampled
+    # codebooks keep the whole pipeline deterministic, so the oracle
+    # replays normalization, codebooks, codes, ADC tables and the
+    # ordered fold end-to-end. Random gaussian fixtures are the
+    # documented worst case (~0.6 recall at M=32, K=32 — same band as
+    # the LSH/IVF tier on this data; clustered real corpora quantize
+    # far better).
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_recall_at_k(
+        emb, queries, k=_PQ["k"], dim=64,
+        m_subspaces=_PQ["m"], k_codes=_PQ["k_codes"],
+    )
+
+
 # Portable-SimHash oracle: 28-bit signature from polynomial token-hash
 # bit votes, 4×7-bit pigeonhole chunks, hamming via bit_count(xor) —
 # the whole pipeline as plain SQL (the 64-bit xxhash64 production twin
@@ -7841,14 +7949,15 @@ def r_yoy_growth(spark, sf_dir):
 #
 # Round-10 rotation (tools/rotate_window.py, ledger folded from
 # CORRECTNESS_r09's 50/50 green): 2 anchors + the 13 mandatory
-# r6-cohort queries + 32 r7-cohort pre-pays + 3 debuts displacing the
+# r6-cohort queries + 31 r7-cohort pre-pays + 4 debuts displacing the
 # newest pre-pays (x_minhash_pr_sampled — the sampled P/R audit;
-# x_knn_ivf_recall — the IVF recall scorecard completing the
-# retrieval-quality tier; s_rolling_distinct_grain — the second
-# streaming module surfaced through the driver gate). Round-11 plan:
-# the 12 r7-cohort queries NOT pre-paid here become mandatory
-# (12 < 48 ⇒ solvent, wide debut capacity); the ~40-query r8 cohort
-# becomes round-12's pressure — pre-pay it across the r11 free slots.
+# x_knn_ivf_recall and x_knn_pq_recall — the IVF and PQ/ADC recall
+# scorecards completing the retrieval-quality tier across all three
+# ANN paths; s_rolling_distinct_grain — the second streaming module
+# surfaced through the driver gate). Round-11 plan: the 13 r7-cohort
+# queries NOT pre-paid here become mandatory (13 < 48 ⇒ solvent, wide
+# debut capacity); the ~40-query r8 cohort becomes round-12's
+# pressure — pre-pay it across the r11 free slots.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -7901,11 +8010,11 @@ CORRECTNESS_WINDOW = [
     "p9_null_audit",
     "r1_pivot_year_matrix",
     "s4_source_date_bounds",
-    "s5_row_counts",
     # round-10 debuts (displace the newest pre-pays, per policy)
     "x_minhash_pr_sampled",
     "x_knn_ivf_recall",
     "s_rolling_distinct_grain",
+    "x_knn_pq_recall",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

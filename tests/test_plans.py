@@ -437,6 +437,11 @@ BNLJ_BUDGET = {
                                   # ivf_topk's broadcast-centroid assigns
                                   # (2); the probe join and the pair-set
                                   # join stay hash/equi joins
+    "x_knn_pq_recall": 2,         # brute-force ground truth (1) plus the
+                                  # ADC scan's broadcast of the tiny query
+                                  # table side (1) — same deliberate shape
+                                  # as brute force; encode has no join at
+                                  # all (codebooks are plan literals)
     "x_knn_lsh_ann": 2,           # broadcast hyperplane set
     "x_tfidf_top_terms": 1,       # 1-row corpus doc count
     "x_unigram_surprisal": 1,     # 1-row corpus token total

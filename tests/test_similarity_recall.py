@@ -277,3 +277,95 @@ def test_recall_scorecards_sample_fraction_is_deterministic(spark):
         ivf_recall_at_k(emb, queries, sample_fraction=1.0, **ivf_kw).collect()
         == ivf_recall_at_k(emb, queries, **ivf_kw).collect()
     )
+
+
+def test_pq_scorecard_cross_checks_its_composed_operators(spark):
+    """x_knn_pq_recall (round-10 debut): scorecard counts equal the set
+    algebra of brute force vs the PQ/ADC top-k; codes are valid
+    codebook indices; the encode is deterministic under reshuffle."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        normalize_embeddings,
+        pq_codebooks,
+        pq_encode,
+        pq_recall_at_k,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 12)
+    kw = dict(k=5, dim=64, m_subspaces=32, k_codes=32)
+    row = pq_recall_at_k(emb, queries, **kw).collect()[0]
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, queries, **kw).collect()
+    }
+    assert row["n_exact_pairs"] == len(bf) == 60
+    assert row["n_ann_pairs"] == len(ann) == 60
+    assert row["n_hits"] == len(bf & ann)
+    assert row["recall_at_k"] == len(bf & ann) / len(bf)
+    # random vectors are the documented worst case; M=32/K=32 must
+    # still beat chance by a wide margin (matches the LSH/IVF band)
+    assert row["recall_at_k"] >= 0.3, row
+
+    books = pq_codebooks(emb, dim=64, m_subspaces=32, k_codes=32)
+    assert len(books) == 32 and all(len(b) == 32 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    enc = pq_encode(
+        normalize_embeddings(emb.select("vec_id", "embedding")), books
+    )
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert all(
+        len(cs) == 32 and all(0 <= c < 32 for c in cs)
+        for cs in codes.values()
+    )
+    again = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(
+            normalize_embeddings(
+                emb.select("vec_id", "embedding").repartition(7)
+            ),
+            books,
+        ).collect()
+    }
+    assert codes == again
+
+
+def test_pq_arrow_twin_is_bit_identical_to_the_expression_fold(spark):
+    """The shipped PQ path (pq_dists_pandas) must equal the interpreted
+    nested-HOF fold EXACTLY — same ascending-order (x-y)^2 accumulation,
+    so every double and therefore every code, table entry, ADC sum and
+    rank matches bit-for-bit (the property that lets the twin ship
+    inside the oracle-verified catalog query). Also pins the null /
+    wrong-width edge: a NULL table drops the row, like the JVM path."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        normalize_embeddings,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fast = sorted(map(tuple, pq_topk(emb, q, k=5, arrow=True).collect()))
+    ref = sorted(map(tuple, pq_topk(emb, q, k=5, arrow=False).collect()))
+    assert fast == ref and len(fast) == 50
+
+    books = pq_codebooks(emb)
+    nn = normalize_embeddings(emb.select("vec_id", "embedding"))
+    ea = {r["vec_id"]: r["codes"] for r in pq_encode(nn, books, arrow=True).collect()}
+    eb = {r["vec_id"]: r["codes"] for r in pq_encode(nn, books, arrow=False).collect()}
+    assert ea == eb
+
+    bad = spark.createDataFrame(
+        [(1, None), (2, [0.5] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(bad, books, arrow=True).collect()
+    }
+    assert got == {1: None, 2: None}

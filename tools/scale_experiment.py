@@ -597,10 +597,11 @@ def round10_experiment(spark) -> None:
     if not os.path.isdir(f"{d100}/embeddings.parquet"):
         os.makedirs(d100, exist_ok=True)
         _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
-    print(f"\n{'x_knn_ivf_recall':38} {'wall':>7} {'recall@5':>9}")
-    for label, d in (("1x (sf0.1)", SRC), ("100x", d100)):
-        w, rows = min3(lambda d=d: QUERIES["x_knn_ivf_recall"](spark, d).collect())
-        print(f"{label:38} {w:6.2f}s {rows[0]['recall_at_k']:9.3f}")
+    for qname in ("x_knn_ivf_recall", "x_knn_pq_recall"):
+        print(f"\n{qname:38} {'wall':>7} {'recall@5':>9}")
+        for label, d in (("1x (sf0.1)", SRC), ("100x", d100)):
+            w, rows = min3(lambda q=qname, d=d: QUERIES[q](spark, d).collect())
+            print(f"{label:38} {w:6.2f}s {rows[0]['recall_at_k']:9.3f}")
 
     # --- rolling-distinct stream grain at 1x / 10x events ------------
     print(f"\n{'s_rolling_distinct_grain':38} {'wall':>7} {'rows':>6}")
