@@ -7964,57 +7964,56 @@ CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-10 mandatory rotations (last green < r7) — tools/rotate_window.py
-    "x_pack_shards",
-    "x_passage_scrub_crossdoc",
-    "x_quality_deciles",
-    "x_quality_score",
-    "x_repetition_filter",
-    "x_salted_skew_join",
-    "x_salted_skew_rollup",
-    "x_scd2_point_in_time",
-    "x_stratified_sample",
-    "x_temporal_split_purged",
-    "x_text_stats",
-    "x_tfidf_top_terms",
-    "x_top_bigrams",
-    # round-11 pre-pay (oldest last-green first); debuts displace from the bottom
-    "a11_type_dow_matrix",
-    "a12_yearly_validation",
-    "a13_avg_of_precomputed",
-    "a4_global_summary",
-    "a5_year_bounds",
-    "a6_growth_by_year_priority",
-    "a7_weekly_latest_year",
-    "a8_ratio_of_sums_by_type",
-    "a_exact_median_hist",
-    "f10_hours_arithmetic",
-    "f6_date_spine",
-    "f7_regex_inference_precedence",
-    "f_calendar_keys",
-    "h_sketch_rollup_quantile",
-    "j1_snowflake_flatten_distinct",
-    "j2_broadcast_user_enrichment",
-    "j5_fact_by_country",
-    "j6_fact_by_dow_via_date_dim",
-    "j7_enrich_with_fallback",
-    "ja_orphan_anti_join",
-    "js_semi_active_customers",
-    "o2_top_events_full_sort",
-    "o5_distinct_years_sorted",
-    "p2_filter_notnull_nonempty",
-    "p3_p4_p5_quality_clean",
-    "p6_year_equality_prune",
-    "p7_year_range_prune",
-    "p8_guarded_ratio",
-    "p9_null_audit",
-    "r1_pivot_year_matrix",
-    "s4_source_date_bounds",
-    # round-10 debuts (displace the newest pre-pays, per policy)
-    "x_minhash_pr_sampled",
-    "x_knn_ivf_recall",
-    "s_rolling_distinct_grain",
-    "x_knn_pq_recall",
+    # round-11 mandatory rotations (last green < r8) — tools/rotate_window.py
+    "s5_row_counts",
+    "u2_distinct_pairs",
+    "u3_except_churned",
+    "u4_intersect_retained",
+    "w1_peak_week",
+    "w3_yoy_order_growth",
+    "w_interpolate_linear",
+    "w_sessionize",
+    "x_bm25_topk",
+    "x_dedup_canonical",
+    "x_dedup_incremental",
+    "x_domain_mix_apply",
+    "x_interval_overlap_join",
+    # round-12 pre-pay (oldest last-green first); debuts displace from the bottom
+    "a2_approx_distinct_scale",
+    "a_approx_quantile_audit",
+    "a_cohort_retention",
+    "a_pareto_abc",
+    "a_rollup_hierarchy",
+    "a_winsorized_stats",
+    "f_json_extract",
+    "q_key_skew_report",
+    "r_retention_funnel",
+    "r_streaming_by_type",
+    "r_top_markets",
+    "r_yoy_growth",
+    "s1_scan_pruned_projection",
+    "s_ingest_daily_grain",
+    "u1_union_two_sources",
+    "w_active_streaks",
+    "w_daily_ohlc",
+    "w_event_funnel",
+    "w_event_transitions",
+    "w_forward_fill",
+    "w_interarrival_stats",
+    "w_moving_avg_7d",
+    "w_rfm_segmentation",
+    "w_rolling_distinct_7d",
+    "x_anomaly_zscore",
+    "x_asof_join_last_signup",
+    "x_bigram_surprisal",
+    "x_boilerplate_ngrams",
+    "x_cdc_fact_diff",
+    "x_containment_dedup",
+    "x_copurchase_pairs",
+    "x_dedup_clusters",
+    "x_dedup_embedding_cosine",
+    "x_dedup_exact",
+    "x_dedup_token_jaccard",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -8025,35 +8024,35 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8, 9],
-    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
     "s1_scan_pruned_projection": [1, 2, 5, 8],
     "s45_source_stats": [2, 3, 6, 9],
-    "s4_source_date_bounds": [1, 4, 7],
+    "s4_source_date_bounds": [1, 4, 7, 10],
     "s5_row_counts": [1, 4, 7],
-    "p2_filter_notnull_nonempty": [1, 2, 4, 7],
-    "p3_p4_p5_quality_clean": [1, 2, 4, 7],
+    "p2_filter_notnull_nonempty": [1, 2, 4, 7, 10],
+    "p3_p4_p5_quality_clean": [1, 2, 4, 7, 10],
     "p67_year_pruning": [2, 3, 6, 9],
-    "p6_year_equality_prune": [1, 4, 7],
-    "p7_year_range_prune": [1, 4, 7],
-    "p8_guarded_ratio": [1, 2, 4, 7],
-    "p9_null_audit": [1, 2, 4, 7],
-    "j1_snowflake_flatten_distinct": [1, 2, 4, 7],
-    "j2_broadcast_user_enrichment": [1, 2, 4, 7],
-    "j5_fact_by_country": [1, 2, 4, 7],
-    "j6_fact_by_dow_via_date_dim": [1, 4, 7],
-    "j7_enrich_with_fallback": [1, 2, 4, 7],
-    "ja_orphan_anti_join": [1, 2, 4, 7],
-    "js_semi_active_customers": [1, 4, 7],
+    "p6_year_equality_prune": [1, 4, 7, 10],
+    "p7_year_range_prune": [1, 4, 7, 10],
+    "p8_guarded_ratio": [1, 2, 4, 7, 10],
+    "p9_null_audit": [1, 2, 4, 7, 10],
+    "j1_snowflake_flatten_distinct": [1, 2, 4, 7, 10],
+    "j2_broadcast_user_enrichment": [1, 2, 4, 7, 10],
+    "j5_fact_by_country": [1, 2, 4, 7, 10],
+    "j6_fact_by_dow_via_date_dim": [1, 4, 7, 10],
+    "j7_enrich_with_fallback": [1, 2, 4, 7, 10],
+    "ja_orphan_anti_join": [1, 2, 4, 7, 10],
+    "js_semi_active_customers": [1, 4, 7, 10],
     "a45_global_summary": [2, 3, 6, 9],
-    "a4_global_summary": [1, 4, 7],
-    "a5_year_bounds": [1, 4, 7],
-    "a6_growth_by_year_priority": [1, 2, 4, 7],
-    "a7_weekly_latest_year": [1, 4, 7],
-    "a8_ratio_of_sums_by_type": [1, 4, 7],
-    "a11_type_dow_matrix": [1, 4, 7],
-    "a12_yearly_validation": [1, 4, 7],
-    "a13_avg_of_precomputed": [1, 4, 7],
+    "a4_global_summary": [1, 4, 7, 10],
+    "a5_year_bounds": [1, 4, 7, 10],
+    "a6_growth_by_year_priority": [1, 2, 4, 7, 10],
+    "a7_weekly_latest_year": [1, 4, 7, 10],
+    "a8_ratio_of_sums_by_type": [1, 4, 7, 10],
+    "a11_type_dow_matrix": [1, 4, 7, 10],
+    "a12_yearly_validation": [1, 4, 7, 10],
+    "a13_avg_of_precomputed": [1, 4, 7, 10],
     "a_cube_matrix": [2, 3, 6, 9],
     "a_rollup_hierarchy": [2, 3, 5, 8],
     "h_monthly_from_daily": [2, 3, 6, 9],
@@ -8065,19 +8064,19 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "w_sessionize": [2, 3, 4, 7],
     "w_moving_avg_7d": [2, 3, 5, 8],
     "o1_top10_customers": [1, 2, 3, 6, 9],
-    "o2_top_events_full_sort": [1, 4, 7],
-    "o5_distinct_years_sorted": [1, 4, 7],
+    "o2_top_events_full_sort": [1, 4, 7, 10],
+    "o5_distinct_years_sorted": [1, 4, 7, 10],
     "u1_union_two_sources": [1, 2, 5, 8],
     "u2_distinct_pairs": [1, 4, 7],
     "u34_set_ops": [2, 3, 6, 9],
     "u3_except_churned": [1, 4, 7],
     "u4_intersect_retained": [1, 4, 7],
-    "r1_pivot_year_matrix": [1, 4, 7],
+    "r1_pivot_year_matrix": [1, 4, 7, 10],
     "r2_unpivot_year_matrix": [1, 2, 3, 6, 9],
-    "f_calendar_keys": [1, 2, 4, 7],
-    "f6_date_spine": [1, 2, 4, 7],
-    "f7_regex_inference_precedence": [1, 2, 4, 7],
-    "f10_hours_arithmetic": [1, 4, 7],
+    "f_calendar_keys": [1, 2, 4, 7, 10],
+    "f6_date_spine": [1, 2, 4, 7, 10],
+    "f7_regex_inference_precedence": [1, 2, 4, 7, 10],
+    "f10_hours_arithmetic": [1, 4, 7, 10],
     "f_json_extract": [2, 3, 5, 8],
     "f_from_json_struct": [2, 3, 6, 9],
     "sql_surface_weekly_top": [2, 3, 6, 9],
@@ -8096,23 +8095,23 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_knn_lsh_poly": [2, 3, 6, 9],
     "x_text_profile": [2, 3, 5, 9],
     "x_content_hash_split": [2, 3, 6, 9],
-    "x_quality_deciles": [2, 3, 6],
+    "x_quality_deciles": [2, 3, 6, 10],
     "x_cdc_fact_diff": [3, 5, 8],
-    "x_salted_skew_rollup": [3, 6],
+    "x_salted_skew_rollup": [3, 6, 10],
     "x_knn_ivf_ann": [3, 5, 8],
     "x_dedup_ngram_jaccard": [3, 6, 9],
     "x_decontamination": [3, 6, 9],
-    "x_stratified_sample": [3, 6],
-    "x_pack_shards": [3, 6],
-    "x_repetition_filter": [3, 6],
+    "x_stratified_sample": [3, 6, 10],
+    "x_pack_shards": [3, 6, 10],
+    "x_repetition_filter": [3, 6, 10],
     "x_fingerprint": [3, 6, 9],
-    "x_top_bigrams": [3, 6],
+    "x_top_bigrams": [3, 6, 10],
     "x_doc_stats_by_lang": [3, 6, 9],
-    "x_text_stats": [3, 6],
+    "x_text_stats": [3, 6, 10],
     "x_lang_id": [3, 6, 9],
-    "x_quality_score": [3, 6],
+    "x_quality_score": [3, 6, 10],
     "x_doc_chunking": [3, 6, 9],
-    "x_tfidf_top_terms": [3, 6],
+    "x_tfidf_top_terms": [3, 6, 10],
     "x_embedding_quantize": [3, 6, 9],
     "x_dupgraph_degree": [3, 6, 9],
     "x_dedup_survivors": [3, 6, 9],
@@ -8122,7 +8121,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_global_shuffle": [4, 8],
     "x_kmeans_lloyd": [4, 6, 9],
     "x_quality_filter_by_lang": [4, 8],
-    "x_scd2_point_in_time": [4, 6],
+    "x_scd2_point_in_time": [4, 6, 10],
     "x_vocab_coverage": [4, 8],
     "a2_approx_distinct_scale": [5, 8],
     "a_approx_quantile_audit": [5, 8],
@@ -8164,11 +8163,11 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_cascade_delete_plan": [6, 9],
     "x_distribution_drift": [6, 9],
     "x_heavy_hitters": [6, 9],
-    "x_passage_scrub_crossdoc": [6],
-    "x_salted_skew_join": [6],
-    "x_temporal_split_purged": [6],
-    "a_exact_median_hist": [7],
-    "h_sketch_rollup_quantile": [7],
+    "x_passage_scrub_crossdoc": [6, 10],
+    "x_salted_skew_join": [6, 10],
+    "x_temporal_split_purged": [6, 10],
+    "a_exact_median_hist": [7, 10],
+    "h_sketch_rollup_quantile": [7, 10],
     "w_interpolate_linear": [7],
     "x_domain_mix_apply": [7],
     "x_interval_overlap_join": [7],
@@ -8180,6 +8179,10 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_knn_recall_at_k": [9],
     "x_minhash_calibration": [9],
     "x_minhash_precision_recall": [9],
+    "s_rolling_distinct_grain": [10],
+    "x_knn_ivf_recall": [10],
+    "x_knn_pq_recall": [10],
+    "x_minhash_pr_sampled": [10],
 }
 
 
