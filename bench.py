@@ -32,6 +32,14 @@ trustworthy.
 Every clean run appends its full record (including raw per-iteration
 samples) to BENCH_history.jsonl so rounds can be diffed
 median-to-median.
+
+Representative stamping (round 11): the stdout record carries
+`representative` — false when this run's own empty_job_ms or fixed-work
+cpu probe exceeds 1.5x the history medians (hypervisor contention the
+load gate cannot see), in which case `representative_run` points at the
+latest qualifying quiet-box history entry so a stamped BENCH_rN.json
+can never silently be the inflated run (round-10 verdict: the stamped
+86.6 s artifact hid the round's real 41.5 s).
 """
 
 from __future__ import annotations
@@ -167,6 +175,80 @@ def cpu_speed_probe() -> float:
         acc += i ^ (i >> 3)
     assert acc != 0
     return round(time.perf_counter() - t0, 3)
+
+
+# band beyond which a run's own box-speed signals (empty_job_ms, the
+# fixed-work cpu probe) vs the history medians mark the record
+# non-representative (round-10 verdict task 3)
+REPRESENTATIVE_BAND = 1.5
+
+
+def representative_verdict(
+    hist_records: list[dict],
+    headline_set: set[str],
+    empty_job_ms: float | None,
+    speed_probe: float,
+    quiet: bool,
+) -> tuple[bool, list[str], dict | None]:
+    """Decide whether THIS run may stamp the round artifact.
+
+    A run is non-representative when its own empty-job floor or
+    fixed-work cpu probe exceeds REPRESENTATIVE_BAND x the history
+    medians — hypervisor contention the loadavg gate cannot see
+    (round-10: the stamped artifact's empty_job_ms was 3.4x the quiet
+    floor and every query read 1.5-14x slow). Returns
+    ``(representative, evidence, fallback)`` where fallback is the
+    LATEST qualifying history entry (same headline set, not
+    contaminated, own empty_job_ms inside the band) — the round's real
+    numbers for a cross-round reader. Needs >=2 historical values per
+    signal so a single early record cannot set the band."""
+    hist_ej = [
+        r["empty_job_ms"] for r in hist_records
+        if isinstance(r.get("empty_job_ms"), (int, float))
+    ]
+    hist_probe = [
+        r["cpu_speed_probe"] for r in hist_records
+        if isinstance(r.get("cpu_speed_probe"), (int, float))
+    ]
+    checks = []
+    if empty_job_ms is not None and len(hist_ej) >= 2:
+        checks.append(
+            ("empty_job_ms", empty_job_ms, statistics.median(hist_ej))
+        )
+    if len(hist_probe) >= 2:
+        checks.append(
+            ("cpu_speed_probe", speed_probe, statistics.median(hist_probe))
+        )
+    evidence = [
+        f"{k} {v} = {v / ref:.2f}x history median {round(ref, 3)}"
+        for k, v, ref in checks
+        if v > REPRESENTATIVE_BAND * ref
+    ]
+    if not evidence:
+        return quiet, [], None
+    fallback = None
+    ej_ref = statistics.median(hist_ej) if hist_ej else None
+    for r in reversed(hist_records):
+        if set(r.get("queries", {})) != headline_set:
+            continue
+        if r.get("contaminated"):
+            continue
+        r_ej = r.get("empty_job_ms")
+        if (
+            ej_ref is not None
+            and isinstance(r_ej, (int, float))
+            and r_ej > REPRESENTATIVE_BAND * ej_ref
+        ):
+            continue
+        fallback = {
+            k: r.get(k)
+            for k in (
+                "value", "queries", "empty_job_ms",
+                "cpu_speed_probe", "git", "wall_clock",
+            )
+        }
+        break
+    return False, evidence, fallback
 
 
 def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:
@@ -396,11 +478,14 @@ def main() -> None:
     # noise; if the inflation reproduces on this (bottom-3, adaptive)
     # statistic, it is flagged for investigation instead of explained away.
     noise_audit: dict[str, str] = {}
+    hist_records: list[dict] = []  # comparable history (also feeds the
+    # representative-stamping guard below)
     try:
         hist_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_history.jsonl"
         )
         hist_vals: dict[str, list[float]] = {}
+        cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
         with open(hist_path) as f:
             for line in f:
                 rec = json.loads(line)
@@ -413,10 +498,9 @@ def main() -> None:
                     # those set the reference would bias the verdicts
                     # the audit exists to separate
                     continue
-                rec_sf = rec.get("sf")
-                cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
-                if rec_sf != cur_sf:
+                if rec.get("sf") != cur_sf:
                     continue  # cross-sf values are not comparable
+                hist_records.append(rec)
                 for n, v in rec.get("queries", {}).items():
                     if n in NOISE_AUDIT:
                         hist_vals.setdefault(n, []).append(v)
@@ -439,6 +523,17 @@ def main() -> None:
         if hist_vals.get("__total__"):
             run_norm = max(
                 total / statistics.median(hist_vals["__total__"]), 1.0
+            )
+        else:
+            # fail-visible (round-10 ADVICE): with no same-set history —
+            # exactly the round a headline query debuts — the audit loses
+            # its global-inflation correction, biasing verdicts toward
+            # 'investigate' on an inflated box. Say so in the record
+            # instead of silently normalizing by 1.0.
+            noise_audit["__run_norm__"] = (
+                "un-normalized: no same-headline-set __total__ history "
+                "(set changed this round) — verdicts below lack the "
+                "global-inflation correction"
             )
         for n in NOISE_AUDIT:
             if n not in per_query or n not in hist_vals:
@@ -572,6 +667,26 @@ def main() -> None:
     except Exception:
         empty_job_ms = None
 
+    # Representative-run stamping guard (round-10 verdict task 3): the
+    # stamped BENCH_r10.json was a box-inflated run (empty_job_ms 261.8
+    # vs the round's ~77 ms quiet floor; every query 1.5-14x its quiet
+    # twin) while the representative 41.5 s run lived only in history —
+    # a cross-round reader of the round artifacts saw a phantom
+    # regression. The run's own box-speed signals (empty_job_ms, the
+    # fixed-work cpu probe) are compared against the history medians;
+    # beyond REPRESENTATIVE_BAND the record is explicitly marked
+    # non-representative and carries a pointer to the latest qualifying
+    # history entry (same headline set, quiet, its own empty_job_ms in
+    # band) so the round stamp re-points instead of misleading.
+    try:
+        representative, rep_evidence, rep_fallback = representative_verdict(
+            hist_records, set(per_query), empty_job_ms, speed_probe_start,
+            quiet,
+        )
+    except Exception:
+        # the guard is advisory; the stdout contract must not break
+        representative, rep_evidence, rep_fallback = quiet, [], None
+
     detail = {
         "metric": "headline_queries_detail",
         "queries_min": per_query_min,
@@ -631,7 +746,16 @@ def main() -> None:
         # round 10+: per-job scheduling floor (ms) — the report tier's
         # hard lower bound on this box; see the BASELINE.md note
         "empty_job_ms": empty_job_ms,
+        # round 11+: representative-stamping guard verdict. False means
+        # this run's own box-speed signals sit >1.5x the history medians
+        # — read `representative_run` (the latest qualifying quiet-box
+        # history entry) for the round's real numbers instead.
+        "representative": representative,
     }
+    if rep_evidence:
+        record["inflation_evidence"] = rep_evidence
+    if rep_fallback is not None:
+        record["representative_run"] = rep_fallback
     if not quiet:
         # the box never went quiet: still honor the JSON-line stdout
         # contract, but mark the record and refuse to stamp history below

@@ -74,7 +74,7 @@ def deterministic_id_sample(
     """Deterministic, engine-portable uniform sample by integer id.
 
     Membership = degree-2 polynomial hash of the id into [0, P) under
-    the cut: h = ((m*A + B) mod P) * m + C) mod P < fraction * P,
+    the cut: h = (((m*A + B) mod P) * m + C) mod P < fraction * P,
     where m = id mod P and P = 2^31-1. Exact integer math a SQL oracle
     replays bit-for-bit — never rand(), whose draw order is
     partitioning-dependent. 64-bit-safe in ANSI mode for any

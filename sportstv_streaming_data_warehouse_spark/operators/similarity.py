@@ -769,22 +769,31 @@ def _pq_subspace_dists(vec: Column, books: Column, d: int) -> Column:
     this one is the same math in a fixed-shape tree. The fold is in
     element order, so a SQL oracle folding the same way reproduces
     every double bit-for-bit (never a dot-product identity, whose
-    rounding path differs)."""
-    return F.transform(
-        books,
-        lambda book, m: F.transform(
-            book,
-            lambda cent: F.aggregate(
-                F.zip_with(
-                    F.slice(vec, m * d + 1, d),
-                    cent,
-                    lambda x, y: (x - y) * (x - y),
+    rounding path differs).
+
+    Edge policy matches ``pq_dists_pandas`` exactly: a NULL or
+    wrong-width vector yields a NULL table. Without the guard a short
+    vector would silently encode to valid-looking leading codes (the
+    slice of a 7-dim vector against 64-dim codebooks still folds its
+    first subspaces) — the round-10 ADVICE finding."""
+    return F.when(
+        vec.isNotNull() & (F.size(vec) == F.size(books) * d),
+        F.transform(
+            books,
+            lambda book, m: F.transform(
+                book,
+                lambda cent: F.aggregate(
+                    F.zip_with(
+                        F.slice(vec, m * d + 1, d),
+                        cent,
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
                 ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
             ),
         ),
-    )
+    ).otherwise(F.lit(None).cast("array<array<double>>"))
 
 
 def pq_codebooks(

@@ -1,0 +1,105 @@
+"""Representative-run stamping guard (round-10 verdict task 3).
+
+BENCH_r10.json was stamped from a box-inflated run (its own
+empty_job_ms 261.8 ms vs the round's ~77 ms quiet floor) while the
+representative 41.5 s run lived only in BENCH_history.jsonl — a
+cross-round reader of the round artifacts saw a phantom regression.
+`bench.representative_verdict` compares the run's own box-speed
+signals to the history medians and, when inflated, re-points the
+record at the latest qualifying quiet history entry. Pure-Python —
+no SparkSession."""
+
+from __future__ import annotations
+
+from bench import REPRESENTATIVE_BAND, representative_verdict
+
+HEADLINE = {"q_a", "q_b"}
+
+
+def _rec(ej, probe, value, queries=None, contaminated=False, git="abc"):
+    r = {
+        "empty_job_ms": ej,
+        "cpu_speed_probe": probe,
+        "value": value,
+        "queries": queries if queries is not None else {q: 1.0 for q in HEADLINE},
+        "git": git,
+        "wall_clock": "2026-08-15T12:00:00",
+    }
+    if contaminated:
+        r["contaminated"] = True
+    return r
+
+
+HIST = [
+    _rec(77.0, 0.44, 41.5, git="r10a"),
+    _rec(80.0, 0.45, 41.9, git="r10b"),
+    _rec(75.0, 0.43, 41.2, git="r10c"),
+]
+
+
+def test_quiet_in_band_run_is_representative():
+    ok, evidence, fallback = representative_verdict(
+        HIST, HEADLINE, empty_job_ms=82.0, speed_probe=0.46, quiet=True
+    )
+    assert ok is True and evidence == [] and fallback is None
+
+
+def test_inflated_empty_job_floor_is_flagged_with_fallback():
+    # 261.8 ms vs the ~77 ms median — the literal round-10 stamp
+    ok, evidence, fallback = representative_verdict(
+        HIST, HEADLINE, empty_job_ms=261.8, speed_probe=0.44, quiet=True
+    )
+    assert ok is False
+    assert any("empty_job_ms" in e and "3.4" in e for e in evidence)
+    # fallback = the LATEST qualifying entry (r10c is last in file order)
+    assert fallback is not None and fallback["git"] == "r10c"
+    assert fallback["value"] == 41.2
+
+
+def test_inflated_cpu_probe_alone_is_flagged():
+    ok, evidence, _ = representative_verdict(
+        HIST, HEADLINE, empty_job_ms=78.0, speed_probe=0.70, quiet=True
+    )
+    assert ok is False and any("cpu_speed_probe" in e for e in evidence)
+
+
+def test_fallback_skips_contaminated_inflated_and_foreign_set_entries():
+    hist = HIST + [
+        _rec(76.0, 0.44, 40.0, queries={"q_a": 1.0}, git="other-set"),
+        _rec(250.0, 0.44, 60.0, git="inflated"),
+        _rec(77.0, 0.44, 41.0, contaminated=True, git="dirty"),
+    ]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=400.0, speed_probe=0.44, quiet=True
+    )
+    assert ok is False and fallback["git"] == "r10c"
+
+
+def test_thin_history_never_verdicts():
+    # <2 values per signal: a single early record must not set the band
+    ok, evidence, fallback = representative_verdict(
+        HIST[:1], HEADLINE, empty_job_ms=500.0, speed_probe=5.0, quiet=True
+    )
+    assert ok is True and evidence == [] and fallback is None
+    # ... and the loadavg gate's own verdict still passes through
+    ok, _, _ = representative_verdict(
+        HIST[:1], HEADLINE, empty_job_ms=500.0, speed_probe=5.0, quiet=False
+    )
+    assert ok is False
+
+
+def test_missing_empty_job_signal_degrades_to_probe_only():
+    ok, evidence, _ = representative_verdict(
+        HIST, HEADLINE, empty_job_ms=None, speed_probe=0.44, quiet=True
+    )
+    assert ok is True and evidence == []
+
+
+def test_band_boundary_is_exclusive():
+    med_ej = 77.0  # median of HIST's empty_job_ms
+    ok, evidence, _ = representative_verdict(
+        HIST, HEADLINE,
+        empty_job_ms=med_ej * REPRESENTATIVE_BAND, speed_probe=0.44,
+        quiet=True,
+    )
+    assert ok is True and evidence == []

@@ -369,3 +369,11 @@ def test_pq_arrow_twin_is_bit_identical_to_the_expression_fold(spark):
         for r in pq_encode(bad, books, arrow=True).collect()
     }
     assert got == {1: None, 2: None}
+    # the JVM fold must null out the SAME malformed rows — unguarded,
+    # a 7-dim vector silently encoded to valid-looking leading codes
+    # ([27, 28, 20, None, ...]; round-10 ADVICE finding)
+    got_jvm = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(bad, books, arrow=False).collect()
+    }
+    assert got_jvm == {1: None, 2: None}
