@@ -498,6 +498,49 @@ def table_signatures_pandas(
     return _sigs(vec_col)
 
 
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """The IVF cell centroids: a deterministic stride sample of corpus
+    vectors (every n-th by id — kmeans would tighten cells but sampling
+    keeps the operator dependency-free and reproducible). Shared by
+    ivf_topk and ivfpq_topk so the two tiers cannot silently diverge on
+    what "the IVF cells" are (the same discipline as the oracles'
+    shared _IVF_PIPELINE_CTES prologue)."""
+    total = corpus.count()
+    step = max(total // n_centroids, 1)
+    return (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__centroid"),
+        )
+    )
+
+
+def _ivf_assign(
+    df: DataFrame, centroids: DataFrame, idc: str, vec: str, keep: int
+) -> DataFrame:
+    """Cell assignment: argmax-dot against the broadcast centroid set,
+    tie-broken by centroid_id; ``keep`` = 1 assigns (corpus side),
+    ``keep`` = n_probe probes (query side)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        # per (row x centroid) dot after the broadcast unfold: the
+        # JVM fold — the Arrow twin measured 1.35x slower here
+        # (round-9 per-site A/B; both vectors crossing the Arrow
+        # boundary per pair costs more than the interpreted fold)
+        "__cd", dot(F.col(vec), F.col("__centroid"))
+    )
+    w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= keep)
+        .drop("__centroid", "__cd", "__cr")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -524,37 +567,14 @@ def ivf_topk(
     the scale path when even LSH tables are too coarse.
     """
     corpus = _ensure_parallelism(corpus)
-    total = corpus.count()
-    step = max(total // n_centroids, 1)
-    centroids = (
-        corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__centroid"))
-    )
-
-    def assign(df: DataFrame, idc: str, vec: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-            # per (row x centroid) dot after the broadcast unfold: the
-            # JVM fold — the Arrow twin measured 1.35x slower here
-            # (round-9 per-site A/B; both vectors crossing the Arrow
-            # boundary per pair costs more than the interpreted fold)
-            "__cd", dot(F.col(vec), F.col("__centroid"))
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= keep)
-            .drop("__centroid", "__cd", "__cr")
-        )
-
-    c_assigned = assign(
+    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c_assigned = _ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
-        "neighbor_id", "__cvec", 1,
+        centroids, "neighbor_id", "__cvec", 1,
     )
-    q_probes = assign(
+    q_probes = _ivf_assign(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")),
-        query_id_col, "__qvec", n_probe,
+        centroids, query_id_col, "__qvec", n_probe,
     )
 
     cand = c_assigned.join(q_probes, "centroid_id").filter(
@@ -987,6 +1007,148 @@ def pq_recall_at_k(
     ann = pq_topk(
         corpus, queries, k=k, dim=dim, m_subspaces=m_subspaces,
         k_codes=k_codes, id_col=id_col, vec_col=vec_col, arrow=arrow,
+    )
+    return _recall_accounting(bf, ann)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    dim: int = 64,
+    m_subspaces: int = 32,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    arrow: bool = True,
+) -> DataFrame:
+    """IVF × PQ composed ANN top-k — the actual 100 TB architecture
+    (pq_topk's own docstring prescribes it: "compose with IVF cells
+    when even a compressed linear scan is too much"). The two tiers
+    multiply: IVF cell-probing cuts the CANDIDATE COUNT to
+    |corpus| * n_probe / n_centroids per query, and PQ/ADC cuts the
+    BYTES PER CANDIDATE to M small ints — per-query work drops from
+    |corpus| * dim doubles (brute force) to
+    (|corpus| * n_probe / n_centroids) * M table lookups.
+
+    Composition contract: cells come from the IVF tier verbatim
+    (_ivf_centroids stride sample + raw-vector argmax-dot assignment,
+    tie-broken — identical cells to ivf_topk's), codes and ADC tables
+    from the PQ tier verbatim (unit-normalized vectors, stride-sampled
+    codebooks, first-min assignment, ordered M-term fold — identical
+    codes to pq_topk's). A candidate pair is scored iff the neighbor's
+    single cell is among the query's n_probe probed cells, so the
+    candidate set is exactly ivf_topk's and each surviving pair's
+    approximate distance is exactly pq_topk's — which is what lets the
+    SQL oracle compose the two existing pipeline prologues unchanged.
+
+    Scale shape: the only non-equi joins are the two broadcast-centroid
+    assigns (k-row build side, the audited ivf_topk shape); the probe
+    join is an equi-join on centroid_id and the M×K ADC table
+    re-attaches by query_id AFTER it, ids-only until then (the
+    lsh_bucketed_topk discipline). At 100 TB the encoded corpus is
+    bucketed by centroid_id on disk and a probe touches only those
+    buckets' files.
+
+    Returns (query_id, neighbor_id, rank, approx_sq_l2), self-pairs
+    excluded, ties broken by neighbor_id. Deterministic end-to-end.
+    """
+    corpus = _ensure_parallelism(corpus)
+    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    books = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        m_subspaces=m_subspaces, k_codes=k_codes,
+    )
+    d = len(books[0][0])
+    # corpus: ONE cell per vector (raw-vector argmax dot — the IVF
+    # contract) + M PQ codes from the normalized vector (the PQ
+    # contract). Both are ingest-time map-side work at scale.
+    c_assigned = _ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        ),
+        centroids, "neighbor_id", "__v", 1,
+    )
+    enc = pq_encode(
+        normalize_embeddings(c_assigned, "__v"), books, "__v", arrow=arrow
+    ).select("neighbor_id", "centroid_id", "codes")
+    probes = _ivf_assign(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
+        ),
+        centroids, query_id_col, "__v", n_probe,
+    ).select(query_id_col, "centroid_id")
+    qn = normalize_embeddings(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
+        ),
+        "__v",
+    )
+    tables = (
+        pq_dists_pandas(F.col("__v"), books)
+        if arrow
+        else _pq_subspace_dists(F.col("__v"), _books_literal(books), d)
+    )
+    # the M×K table is computed ONCE per query (not once per probe row)
+    # and re-attached by query_id after the cell equi-join
+    qt = qn.select(F.col(query_id_col), tables.alias("__qt"))
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__qt"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        enc.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(F.broadcast(qt), query_id_col)
+        .withColumn("approx_sq_l2", approx)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_sq_l2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "approx_sq_l2")
+    )
+
+
+def ivfpq_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    dim: int = 64,
+    m_subspaces: int = 32,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    arrow: bool = True,
+) -> DataFrame:
+    """Recall@k scorecard for the composed IVF×PQ path against exact
+    brute force — the quality dial for the full production ANN stack.
+    The composed recall is bounded above by BOTH tiers' own recalls
+    (a neighbor is found iff its cell is probed AND its compressed
+    distance ranks it), so an index owner reads the three scorecards
+    (IVF, PQ, IVF×PQ) together: which tier to spend budget on is
+    whichever bound is binding. Same accounting, portability and
+    query-sampling posture as the other scorecards.
+    """
+    queries = _maybe_sample_queries(queries, id_col, sample_fraction)
+    bf = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    ann = ivfpq_topk(
+        corpus, queries, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        dim=dim, m_subspaces=m_subspaces, k_codes=k_codes,
+        id_col=id_col, vec_col=vec_col, arrow=arrow,
     )
     return _recall_accounting(bf, ann)
 

@@ -442,6 +442,15 @@ BNLJ_BUDGET = {
                                   # table side (1) — same deliberate shape
                                   # as brute force; encode has no join at
                                   # all (codebooks are plan literals)
+    "x_knn_ivfpq_recall": 3,      # composes the brute-force ground truth
+                                  # (1) plus the two broadcast-centroid
+                                  # assigns (2) — the same audited trio as
+                                  # x_knn_ivf_recall; the cell-probe join,
+                                  # the qt re-attach and the pair-set join
+                                  # are all hash/equi joins, and the ADC
+                                  # scan itself adds NO loop join (the
+                                  # composed candidate set replaces the
+                                  # flat scan's query broadcast)
     "x_knn_lsh_ann": 2,           # broadcast hyperplane set
     "x_tfidf_top_terms": 1,       # 1-row corpus doc count
     "x_unigram_surprisal": 1,     # 1-row corpus token total

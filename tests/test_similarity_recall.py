@@ -377,3 +377,55 @@ def test_pq_arrow_twin_is_bit_identical_to_the_expression_fold(spark):
         for r in pq_encode(bad, books, arrow=False).collect()
     }
     assert got_jvm == {1: None, 2: None}
+
+
+def test_ivfpq_composition_law_and_recall_bounds(spark):
+    """The composed IVF×PQ top-k must equal the PQ/ADC ranking
+    RESTRICTED to the IVF candidate set — pair for pair, rank for
+    rank, double for double (the property that lets the SQL oracle
+    compose the two existing pipeline prologues unchanged). Recall is
+    bounded by both tiers' own scorecards and must still beat chance
+    on the random worst-case fixtures."""
+    import collections
+
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_recall_at_k,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["approx_sq_l2"])
+        for r in ivfpq_topk(emb, q, k=5).collect()
+    }
+    # the IVF candidate set (k unbounded) x the PQ approximate distance
+    ivf_cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, k=10**9, n_centroids=32, n_probe=8, portable=True
+        ).collect()
+    }
+    pq_ad = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sq_l2"]
+        for r in pq_topk(emb, q, k=10**9).collect()
+    }
+    per_q = collections.defaultdict(list)
+    for qq, nn in ivf_cand:
+        per_q[qq].append((pq_ad[(qq, nn)], nn))
+    expect = {
+        (qq, nn, rank, ad)
+        for qq, lst in per_q.items()
+        for rank, (ad, nn) in enumerate(sorted(lst)[:5], 1)
+    }
+    assert got == expect and len(got) == 50
+
+    row = ivfpq_recall_at_k(emb, q, k=5).collect()[0]
+    assert row["n_exact_pairs"] == row["n_ann_pairs"] == 50
+    assert row["recall_at_k"] == row["n_hits"] / 50
+    # bounded above by each tier alone; chance on 1000 vectors is
+    # ~0.005 — the composed path must still clearly beat it (measured
+    # 0.36 vs IVF 0.58 x PQ 0.60 on these fixtures)
+    assert 0.2 <= row["recall_at_k"] <= 0.75, row

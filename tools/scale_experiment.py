@@ -27,6 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sportstv_streaming_data_warehouse_spark.plans.catalog import QUERIES
@@ -616,6 +617,142 @@ def round10_experiment(spark) -> None:
         print(f"{label:38} {w:6.2f}s {len(rows):6d}")
 
 
+def round11_experiment(spark) -> None:
+    """Round-11 debut audit (round-10 verdict task 5): the composed
+    IVF×PQ serve path vs the flat ADC scan at 1x/100x embeddings.
+
+    The index artifacts (PQ codes, cell assignments, codebooks,
+    centroids) are PREBUILT and parquet-materialized — cells and codes
+    are ingest-time map work a production index pays once; what scales
+    with query volume is the SERVE-side scan, and that is what the two
+    timed legs compare over the identical prebuilt codes:
+
+    - flat ADC: every query's M×K table against EVERY corpus code row
+      (x_knn_pq_recall's ann leg) — linear in corpus per query.
+    - cell-probe ADC: the probed cells' ids are pushed as a partition
+      filter on the centroid_id-partitioned codes table (the scan
+      prunes to n_probe/n_centroids = 8/32 of the files) and the ADC
+      fold runs only on those cells' rows — the ivfpq_topk plan over a
+      bucketed-on-disk index.
+
+    Also times the end-to-end x_knn_ivfpq_recall scorecard (brute-
+    force-bounded, like the IVF/PQ rows in the round-10 table) and
+    prints its recall so SCALE.md carries the composed quality number
+    next to the two tiers it multiplies."""
+    from sportstv_streaming_data_warehouse_spark.operators import (
+        similarity as S,
+    )
+
+    d100 = f"{DST}_r8_emb_100x"
+    if not os.path.isdir(f"{d100}/embeddings.parquet"):
+        os.makedirs(d100, exist_ok=True)
+        _replicated_embeddings(spark, 100, f"{d100}/embeddings.parquet")
+
+    for label, src in (("1x (sf0.1)", SRC), ("100x", d100)):
+        emb = load_table(spark, src, "embeddings")
+        tag = label.split(" ")[0]
+        idx = f"{DST}_r11_ivfpq_{tag}"
+        books = S.pq_codebooks(emb)
+        centroids = S._ivf_centroids(emb, "vec_id", "embedding", 32)
+        if not os.path.isdir(f"{idx}/codes_cells"):
+            # ingest leg, untimed: one cell + M codes per corpus vector
+            enc = S.pq_encode(
+                S.normalize_embeddings(
+                    S._ivf_assign(
+                        emb.select(
+                            F.col("vec_id").alias("neighbor_id"),
+                            F.col("embedding").alias("__v"),
+                        ),
+                        centroids, "neighbor_id", "__v", 1,
+                    ),
+                    "__v",
+                ),
+                books, "__v",
+            ).select("neighbor_id", "centroid_id", "codes")
+            enc.write.partitionBy("centroid_id").mode("overwrite").parquet(
+                f"{idx}/codes_cells"
+            )
+            enc.drop("centroid_id").write.mode("overwrite").parquet(
+                f"{idx}/codes_flat"
+            )
+        flat = spark.read.parquet(f"{idx}/codes_flat")
+        cells = spark.read.parquet(f"{idx}/codes_cells")
+
+        print(f"\n{'IVF×PQ serve side ' + label:42} {'wall':>7} {'rows':>6}")
+        for nq in (10, 100):
+            queries = emb.filter(F.col("vec_id") < nq)
+            qn = S.normalize_embeddings(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("__v"),
+                ),
+                "__v",
+            )
+            qt = qn.select(
+                "query_id",
+                S.pq_dists_pandas(F.col("__v"), books).alias("__qt"),
+            )
+            probes = S._ivf_assign(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("__v"),
+                ),
+                centroids, "query_id", "__v", 8,
+            ).select("query_id", "centroid_id")
+            # bounded driver collect: <= n_centroids distinct cell ids —
+            # the pushed-down partition filter a production serve layer
+            # derives from the probe set
+            probed = sorted(
+                {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+            )
+            adc = F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("__qt"),
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.asc("approx_sq_l2"), F.asc("neighbor_id")
+            )
+
+            def topk(scored):
+                return (
+                    scored.withColumn("approx_sq_l2", adc)
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 5)
+                    .select("query_id", "neighbor_id", "rank", "approx_sq_l2")
+                    .collect()
+                )
+
+            wf, rf = min3(
+                lambda: topk(
+                    flat.crossJoin(F.broadcast(qt)).filter(
+                        F.col("neighbor_id") != F.col("query_id")
+                    )
+                )
+            )
+            wc, rc = min3(
+                lambda: topk(
+                    cells.filter(F.col("centroid_id").isin(probed))
+                    .join(F.broadcast(probes), "centroid_id")
+                    .filter(F.col("neighbor_id") != F.col("query_id"))
+                    .join(F.broadcast(qt), "query_id")
+                )
+            )
+            print(f"{f'  flat ADC scan ({nq} queries)':42} {wf:6.2f}s {len(rf):6d}")
+            print(f"{f'  cell-probe ADC ({nq} queries)':42} {wc:6.2f}s {len(rc):6d}"
+                  f"  ({wf / wc:.2f}x vs flat)")
+
+    # --- the end-to-end composed scorecard, like the round-10 rows ---
+    print(f"\n{'x_knn_ivfpq_recall':38} {'wall':>7} {'recall@5':>9}")
+    for label, d in (("1x (sf0.1)", SRC), ("100x", d100)):
+        w, rows = min3(
+            lambda d=d: QUERIES["x_knn_ivfpq_recall"](spark, d).collect()
+        )
+        print(f"{label:38} {w:6.2f}s {rows[0]['recall_at_k']:9.3f}")
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -652,6 +789,10 @@ def main() -> None:
         return
     if "--round10" in sys.argv:
         round10_experiment(spark)
+        spark.stop()
+        return
+    if "--round11" in sys.argv:
+        round11_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
