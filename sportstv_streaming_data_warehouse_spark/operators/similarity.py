@@ -1095,7 +1095,29 @@ def ivfpq_topk(
     # the M×K table is computed ONCE per query (not once per probe row)
     # and re-attached by query_id after the cell equi-join
     qt = qn.select(F.col(query_id_col), tables.alias("__qt"))
-    approx = F.aggregate(
+    scored = (
+        enc.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .join(F.broadcast(qt), query_id_col)
+        .withColumn("approx_sq_l2", _adc_approx_expr())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_sq_l2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "approx_sq_l2")
+    )
+
+
+def _adc_approx_expr() -> Column:
+    """The ADC score: ordered M-term fold of per-subspace table lookups
+    — expects `codes` (int array) and `__qt` (M×K double table) columns
+    in scope. One definition for the inline and the prebuilt-index
+    serve paths, so the fold order (and therefore every double) cannot
+    diverge between them."""
+    return F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.col("__qt"),
@@ -1104,11 +1126,153 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 32,
+    dim: int = 64,
+    m_subspaces: int = 32,
+    k_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build and materialize the IVF×PQ index — the ingest half of the
+    build-once / serve-many posture ivfpq_topk's inline form audits:
+
+    - ``<index_dir>/codes``: one row per corpus vector
+      (neighbor_id, codes[M]) written PARTITIONED BY centroid_id, so a
+      serve-time probe set prunes the parquet scan to
+      n_probe/n_centroids of the files (measured 2.9-3.0x vs the flat
+      ADC scan at 100 queries — SCALE.md round 11);
+    - ``<index_dir>/model.json``: the centroids (raw vectors, as
+      sampled) and PQ codebooks — a few KB; an ANN model IS a small
+      model, the serving layer broadcasts it as plan literals.
+
+    At 100 TB this is the once-per-ingest map job: one argmax-dot cell
+    assignment + one PQ encode per vector, no shuffle except the
+    partitioned write. Returns the model dict (also usable directly by
+    ivfpq_serve_topk to skip the JSON re-read). JSON round-trips the
+    float values exactly (Python doubles; the fixture float32s widen
+    exactly), and every distance is computed in double either way.
+    """
+    import json
+    import os
+
+    corpus = _ensure_parallelism(corpus)
+    centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    books = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim,
+        m_subspaces=m_subspaces, k_codes=k_codes,
+    )
+    enc = pq_encode(
+        normalize_embeddings(
+            _ivf_assign(
+                corpus.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__v"),
+                ),
+                centroids, "neighbor_id", "__v", 1,
+            ),
+            "__v",
+        ),
+        books, "__v",
+    ).select("neighbor_id", "centroid_id", "codes")
+    enc.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    model = {
+        "dim": dim,
+        "m_subspaces": m_subspaces,
+        "k_codes": k_codes,
+        "n_centroids": n_centroids,
+        "centroids": [
+            [int(r["centroid_id"]), [float(x) for x in r["__centroid"]]]
+            for r in centroids.collect()  # bounded: n_centroids rows
+        ],
+        "codebooks": books,
+    }
+    with open(os.path.join(index_dir, "model.json"), "w") as f:
+        json.dump(model, f)
+    return model
+
+
+def ivfpq_serve_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 8,
+    model: dict | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    arrow: bool = True,
+) -> DataFrame:
+    """Serve top-k from a prebuilt ivfpq_index_build index — the query
+    half of build-once / serve-many, bit-identical to the inline
+    ivfpq_topk over the same corpus (pinned in tests):
+
+    1. probe: argmax-dot of each query against the model's centroid
+       literal (broadcast; k rows);
+    2. prune: the probed cell ids (a bounded <= n_centroids driver
+       collect) become a PARTITION FILTER on the centroid_id-partitioned
+       codes table — the parquet scan reads only the probed cells'
+       files (PartitionFilters in the scan node, asserted in tests);
+    3. score: the M×K ADC table per query (computed ONCE per query),
+       re-attached by query_id after the cell equi-join, then the
+       shared ordered fold and per-query rank.
+
+    Per-query serve cost is (|corpus| * n_probe / n_centroids) * M
+    table lookups and the scan reads only compressed codes — the shape
+    that holds at 100 TB where neither a flat vector scan nor a flat
+    code scan does.
+    """
+    import json
+    import os
+
+    if model is None:
+        with open(os.path.join(index_dir, "model.json")) as f:
+            model = json.load(f)
+    books = model["codebooks"]
+    d = len(books[0][0])
+    cent_df = spark.createDataFrame(
+        [(int(cid), list(map(float, vec))) for cid, vec in model["centroids"]],
+        schema="centroid_id long, __centroid array<double>",
+    )
+    probes = _ivf_assign(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
+        ),
+        cent_df, query_id_col, "__v", n_probe,
+    ).select(query_id_col, "centroid_id")
+    # bounded driver collect (<= n_centroids ints): the partition
+    # filter a serving layer derives from the probe set
+    probed = sorted(
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("centroid_id").isin(probed)
+    )
+    qn = normalize_embeddings(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
+        ),
+        "__v",
+    )
+    tables = (
+        pq_dists_pandas(F.col("__v"), books)
+        if arrow
+        else _pq_subspace_dists(F.col("__v"), _books_literal(books), d)
+    )
+    qt = qn.select(F.col(query_id_col), tables.alias("__qt"))
     scored = (
-        enc.join(F.broadcast(probes), "centroid_id")
+        codes.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .join(F.broadcast(qt), query_id_col)
-        .withColumn("approx_sq_l2", approx)
+        .withColumn("approx_sq_l2", _adc_approx_expr())
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("approx_sq_l2"), F.asc("neighbor_id")

@@ -429,3 +429,38 @@ def test_ivfpq_composition_law_and_recall_bounds(spark):
     # ~0.005 — the composed path must still clearly beat it (measured
     # 0.36 vs IVF 0.58 x PQ 0.60 on these fixtures)
     assert 0.2 <= row["recall_at_k"] <= 0.75, row
+
+
+def test_ivfpq_prebuilt_index_serve_matches_inline(spark, tmp_path):
+    """Build-once / serve-many parity: ivfpq_serve_topk over the
+    materialized index (centroid_id-partitioned codes + model.json)
+    must equal the inline ivfpq_topk BIT-FOR-BIT — both through the
+    in-memory model and through the JSON reload (floats round-trip
+    exactly) — and the serve scan must carry the probed-cell partition
+    filter so the parquet read prunes to n_probe/n_centroids of the
+    files (the measured 2.9-3.0x serve win, SCALE.md round 11)."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_serve_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivfpq_index")
+    model = ivfpq_index_build(emb, idx)
+    assert len(model["centroids"]) == 32
+    assert len(model["codebooks"]) == 32
+
+    inline = sorted(map(tuple, ivfpq_topk(emb, q, k=5).collect()))
+    served = ivfpq_serve_topk(spark, idx, q, k=5, n_probe=8, model=model)
+    assert sorted(map(tuple, served.collect())) == inline
+    # the model.json reload path must be identical too
+    reloaded = ivfpq_serve_topk(spark, idx, q, k=5, n_probe=8)
+    assert sorted(map(tuple, reloaded.collect())) == inline
+
+    # partition pruning: the codes scan carries the probed-cell IN list
+    # as a PartitionFilter (not a post-scan Filter over all files)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "centroid_id" in seg[: seg.index("]") + 1]

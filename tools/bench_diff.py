@@ -45,6 +45,14 @@ def main() -> None:
               "— min3-median (round 7+) reads systematically FASTER than "
               "the full-sample median on a noisy box. For a like-for-like "
               "diff use queries_median_all from the detail record.")
+    for tag, e in (("prev", prev), ("cur", cur)):
+        # round 11+: bench.representative_verdict stamps this flag when
+        # the run's own box-speed signals sit >1.5x the history medians
+        if e.get("representative") is False:
+            print(f"WARNING: {tag} run is marked NON-REPRESENTATIVE "
+                  f"(evidence: {e.get('inflation_evidence')}) — ratios "
+                  f"against it measure box inflation, not code; diff "
+                  f"against its representative_run pointer instead.")
     sp, sc = prev.get("cpu_speed_probe"), cur.get("cpu_speed_probe")
     if sp and sc:
         # hypervisor-level contention is invisible to loadavg (round-8
