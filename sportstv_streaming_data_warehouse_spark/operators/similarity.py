@@ -499,15 +499,21 @@ def table_signatures_pandas(
 
 
 def _ivf_centroids(
-    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    total: int | None = None,
 ) -> DataFrame:
     """The IVF cell centroids: a deterministic stride sample of corpus
     vectors (every n-th by id — kmeans would tighten cells but sampling
     keeps the operator dependency-free and reproducible). Shared by
-    ivf_topk and ivfpq_topk so the two tiers cannot silently diverge on
-    what "the IVF cells" are (the same discipline as the oracles'
-    shared _IVF_PIPELINE_CTES prologue)."""
-    total = corpus.count()
+    ivf_topk, ivfpq_topk and ivf_cell_stats so the tiers cannot
+    silently diverge on what "the IVF cells" are (the same discipline
+    as the oracles' shared _IVF_PIPELINE_CTES prologue). ``total``
+    skips the row count when the caller already holds it."""
+    if total is None:
+        total = corpus.count()
     step = max(total // n_centroids, 1)
     return (
         corpus.filter(F.pmod(F.col(id_col), F.lit(step)) == 0)
@@ -1108,6 +1114,58 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "approx_sq_l2")
+    )
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-occupancy audit for the IVF tier — q_key_skew_report's
+    analog for the ANN index. IVF's cost model assumes cells are
+    roughly uniform: a probe costs |corpus| * n_probe / n_centroids
+    only if no cell is hot, and a cell holding 10x its uniform share
+    makes every query that probes it pay 10x (the ANN equivalent of a
+    skewed join key). Run continuously at scale, a rising max
+    occupancy_ratio is the signal to re-train/re-stride centroids or
+    split hot cells BEFORE p99 serve latency degrades.
+
+    One row per occupied cell: (centroid_id, n_vectors,
+    occupancy_ratio) where occupancy_ratio = n_vectors * n_centroids /
+    total (1.0 = exactly uniform). Shares _ivf_centroids/_ivf_assign
+    with ivf_topk and ivfpq_topk, so the audit measures exactly the
+    cells the serve paths probe. The denominator is the corpus row
+    count the centroid stride already computed driver-side (assignment
+    is row-preserving, so assigned rows == corpus rows) — a plan
+    literal, not a grand-total join re-deriving the assignment
+    subtree."""
+    corpus = _ensure_parallelism(corpus)
+    total = corpus.count()
+    centroids = _ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, total=total
+    )
+    assigned = _ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        ),
+        centroids, "neighbor_id", "__v", 1,
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            "centroid_id",
+            "n_vectors",
+            (
+                (
+                    F.col("n_vectors").cast("double")
+                    * F.lit(float(n_centroids))
+                )
+                / F.lit(float(total))
+            ).alias("occupancy_ratio"),
+        )
     )
 
 

@@ -3429,6 +3429,33 @@ def _ivfpq_recall_oracle() -> str:
     """
 
 
+@query(
+    "q_ivf_cell_skew",
+    oracle=f"""
+    WITH {_IVF_PIPELINE_CTES},
+    pc AS (SELECT centroid_id, COUNT(*) AS n_vectors FROM ca GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS t FROM pc)
+    SELECT pc.centroid_id, pc.n_vectors,
+           (CAST(pc.n_vectors AS DOUBLE) * 32.0) / CAST(tot.t AS DOUBLE)
+             AS occupancy_ratio
+    FROM pc, tot
+    """,
+)
+def q_ivf_cell_skew(spark, sf_dir):
+    # IVF cell-occupancy audit (round-11 debut) — q_key_skew_report's
+    # analog for the ANN index: a hot cell makes every query probing it
+    # pay its full size, so the serve cost model (|corpus| * n_probe /
+    # n_centroids, the measured 2.9-3.0x SCALE.md round-11 win) only
+    # holds while occupancy_ratio stays near 1.0. Run continuously, a
+    # rising max ratio says re-train/re-stride centroids or split hot
+    # cells before p99 serve latency degrades. The oracle reuses the
+    # shared _IVF_PIPELINE_CTES assignment verbatim, so the audit is
+    # pinned to exactly the cells ivf_topk/ivfpq_topk probe. Operator:
+    # operators/similarity.ivf_cell_stats.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_cell_stats(emb, n_centroids=32)
+
+
 @query("x_knn_ivfpq_recall", oracle=_ivfpq_recall_oracle())
 def x_knn_ivfpq_recall(spark, sf_dir):
     # IVF × PQ composed ANN recall scorecard (round-11 debut) — the
@@ -8092,15 +8119,17 @@ def r_yoy_growth(spark, sf_dir):
 #
 # Round-11 rotation (tools/rotate_window.py, ledger folded from
 # CORRECTNESS_r10's 50/50 green): 2 anchors + the 13 mandatory
-# r7-cohort queries the staleness guard printed + 33 r8-cohort
-# pre-pays + 2 debuts displacing the two newest pre-pays
+# r7-cohort queries the staleness guard printed + 32 r8-cohort
+# pre-pays + 3 debuts displacing the three newest pre-pays
 # (x_knn_ivfpq_recall — the IVF×PQ composed ANN recall scorecard, the
 # round-10 verdict's task-5 architecture; s_sessionize_grain — the
 # THIRD streaming module transitively oracle-verified, riding the
-# w_sessionize batch algebra already mandatory this round). Displaced:
-# x_dedup_exact and x_dedup_token_jaccard (both r8-green). Round-12
-# projected mandatory: the 13 r8-cohort queries not pre-paid here + the
-# 2 displaced = 15 of 48 slots — solvent, wide debut capacity again.
+# w_sessionize batch algebra already mandatory this round;
+# q_ivf_cell_skew — the ANN index's cell-occupancy audit on the shared
+# IVF prologue). Displaced: x_dedup_exact, x_dedup_token_jaccard,
+# x_dedup_embedding_cosine (all r8-green). Round-12 projected
+# mandatory: the 13 r8-cohort queries not pre-paid here + the 3
+# displaced = 16 of 48 slots — solvent, wide debut capacity again.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -8154,11 +8183,12 @@ CORRECTNESS_WINDOW = [
     "x_containment_dedup",
     "x_copurchase_pairs",
     "x_dedup_clusters",
-    "x_dedup_embedding_cosine",
-    # round-11 debuts (displacing the two newest pre-pays, x_dedup_exact
-    # and x_dedup_token_jaccard — both r8-green, re-mandatory r12)
+    # round-11 debuts (displacing the three newest pre-pays —
+    # x_dedup_exact, x_dedup_token_jaccard, x_dedup_embedding_cosine —
+    # all r8-green, re-mandatory r12)
     "x_knn_ivfpq_recall",
     "s_sessionize_grain",
+    "q_ivf_cell_skew",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -442,6 +442,12 @@ BNLJ_BUDGET = {
                                   # table side (1) — same deliberate shape
                                   # as brute force; encode has no join at
                                   # all (codebooks are plan literals)
+    "q_ivf_cell_skew": 1,         # the broadcast-centroid assign only (the
+                                  # audited ivf_topk shape); the ratio
+                                  # denominator is the driver-known corpus
+                                  # count as a plan literal, never a
+                                  # grand-total join re-deriving the
+                                  # assignment subtree
     "x_knn_ivfpq_recall": 3,      # composes the brute-force ground truth
                                   # (1) plus the two broadcast-centroid
                                   # assigns (2) — the same audited trio as

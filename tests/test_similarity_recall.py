@@ -431,6 +431,40 @@ def test_ivfpq_composition_law_and_recall_bounds(spark):
     assert 0.2 <= row["recall_at_k"] <= 0.75, row
 
 
+def test_ivf_cell_stats_occupancy_audit(spark):
+    """q_ivf_cell_skew's operator: exact occupancy accounting on the
+    fixtures, and a PLANTED two-hot-cell corpus (two orthogonal
+    directions; ties send each direction to its first centroid) where
+    the expected histogram is computable by hand — the audit must read
+    exactly (2 cells x 32 vectors, ratio 16.0)."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ivf_cell_stats,
+    )
+
+    emb = load_table(spark, SF01, "embeddings")
+    rows = ivf_cell_stats(emb, n_centroids=32).collect()
+    total = emb.count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    for r in rows:
+        assert r["occupancy_ratio"] == r["n_vectors"] * 32.0 / total
+
+    planted = spark.createDataFrame(
+        [
+            (i, [1.0, 0.0, 0.0, 0.0] if i < 32 else [0.0, 1.0, 0.0, 0.0])
+            for i in range(64)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["centroid_id"], r["n_vectors"], r["occupancy_ratio"])
+        for r in ivf_cell_stats(planted, n_centroids=32).collect()
+    }
+    # stride 2 samples even ids: 16 centroids per direction; every
+    # vector ties across its direction's centroids and the tie-break
+    # lands on the first (ids 0 and 32) — 2 hot cells, 30 empty
+    assert got == {(0, 32, 16.0), (32, 32, 16.0)}
+
+
 def test_ivfpq_prebuilt_index_serve_matches_inline(spark, tmp_path):
     """Build-once / serve-many parity: ivfpq_serve_topk over the
     materialized index (centroid_id-partitioned codes + model.json)
