@@ -1,0 +1,172 @@
+"""Broadcast Bloom-filter prefilter — map-side membership screening.
+
+The 100 TB decontamination problem: the exact n-gram leakage check
+(catalog ``x_decontamination``) broadcasts the DISTINCT eval-gram set
+and equi-joins the exploded train grams against it. That is already
+map-side, but the broadcast is the exact STRING set — at a billion eval
+grams that is tens of GB and stops fitting. The classic fix is a Bloom
+filter: a billion grams at 1% false-positive rate pack into ~1.2 GB of
+bits, the big-corpus scan stays fully map-side (broadcast one row
+holding the bitset; zero shuffle of corpus grams), and only the ~fpp
+false-positive fraction plus the true hits continue to the exact
+confirmation join. Membership errors are ONE-SIDED: the bloom never
+misses a real hit, so prefilter → exact join is exactly equal to the
+exact join alone (pinned in tests/test_bloom.py).
+
+Hashing: ``pos_i(key) = ((a_i·h(key) + b_i) mod P) mod n_bits`` with the
+same affine family the MinHash tier draws (operators/dedup.
+minhash_coefficients) over either the xxhash64 fast path or the
+polynomial rolling hash (``portable=True``) — the portable path's whole
+pipeline (hash, positions, word/bit packing, membership conjunction)
+re-runs in plain SQL, so a DuckDB oracle can replay it bit-for-bit
+(tests/test_bloom.py pins that replay; a catalog registration carries
+it to the driver gate).
+
+Plan shape (the PQ lesson applied): the bitset rides ONE broadcast row
+holding a dense ``array<long>`` — k ``getbit(element_at(...))`` terms
+reference that single column, never k copies of a literal. Beyond the
+~8 GB broadcast ceiling the bitset shards into word-range rows joined
+by ``word_idx`` range instead (noted, not built — the fixtures are
+nowhere near it).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _poly_hash, minhash_coefficients
+
+_P = 2147483647  # 2^31 - 1, the shared portable-hash modulus
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: optimal (n_bits, n_hashes) for ``n_items`` keys
+    at false-positive rate ``fpp``. n_bits is rounded up to a multiple
+    of 64 (whole words)."""
+    if n_items <= 0:
+        raise ValueError(f"n_items must be positive, got {n_items}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n_bits = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    n_bits = ((n_bits + 63) // 64) * 64
+    n_hashes = max(1, round(n_bits / n_items * math.log(2)))
+    return n_bits, n_hashes
+
+
+def _key_hash(key: Column, portable: bool) -> Column:
+    if portable:
+        return _poly_hash(key)
+    return F.pmod(F.xxhash64(key), F.lit(_P))
+
+
+def _positions(
+    key: Column, n_bits: int, n_hashes: int, seed: int, portable: bool
+) -> list[Column]:
+    h = _key_hash(key, portable)
+    return [
+        ((h * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(int(n_bits))
+        for a, b in minhash_coefficients(n_hashes, seed)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int,
+    n_hashes: int,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Aggregate ``key_col`` into a Bloom bitset: one row per NON-EMPTY
+    64-bit word, (word_idx BIGINT, bits BIGINT). A distributed bit_or
+    aggregate — the bitset never touches the driver."""
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), n_bits, n_hashes, seed, portable))
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "__bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def _dense_bloom_row(bloom: DataFrame, n_bits: int) -> DataFrame:
+    """Fold the sparse (word_idx, bits) rows into ONE row holding the
+    dense array<long> (missing words = 0) — the broadcast payload."""
+    n_words = n_bits // 64
+    sparse = bloom.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
+            "__m"
+        )
+    )
+    return sparse.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(
+                F.element_at(F.col("__m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom_words")
+    )
+
+
+def with_bloom_maybe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+    seed: int = 42,
+    portable: bool = False,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Map-side membership: broadcast the dense bitset as one row and
+    test all ``n_hashes`` bits per key — true iff the key MIGHT be in
+    the built set (no false negatives). Zero shuffle of ``df``."""
+    dense = _dense_bloom_row(bloom, n_bits)
+    probes = _positions(F.col(key_col), n_bits, n_hashes, seed, portable)
+    hit = None
+    for p in probes:
+        word = F.element_at(F.col("__bloom_words"), (p / 64).cast("int") + 1)
+        one = F.getbit(word, (p % 64).cast("int")) == 1
+        hit = one if hit is None else (hit & one)
+    return (
+        df.crossJoin(F.broadcast(dense))
+        .withColumn(out_col, hit)
+        .drop("__bloom_words")
+    )
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    fpp: float = 0.01,
+    n_items: int | None = None,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The composed screen: build a bloom over ``small[key_col]``, keep
+    only ``big`` rows whose key might be present, then CONFIRM with the
+    exact semi join — result rows are exactly ``big ⋉ small`` (the bloom
+    only shrinks what reaches the join; one-sided errors guarantee
+    equality). ``n_items`` sizes the filter (default: count(small) —
+    one cheap aggregate job)."""
+    if n_items is None:
+        n_items = small.select(key_col).count()
+    n_bits, n_hashes = bloom_parameters(max(n_items, 1), fpp)
+    bloom = bloom_build(small, key_col, n_bits, n_hashes, seed, portable)
+    screened = with_bloom_maybe(
+        big, key_col, bloom, n_bits, n_hashes, seed, portable
+    ).filter(F.col("bloom_maybe"))
+    return screened.drop("bloom_maybe").join(
+        small.select(key_col).distinct(), key_col, "left_semi"
+    )

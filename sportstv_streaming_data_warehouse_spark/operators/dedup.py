@@ -299,15 +299,21 @@ def _banded_minhash(
     n: int,
     seed: int,
     portable: bool,
+    cache: bool = True,
 ) -> DataFrame:
     """(id, signature, band_id, band_hash) — one row per (doc, band).
     Shared by the in-corpus self-join and the incremental corpus↔batch
     join; the signature is cached (it feeds the banding explode and the
-    candidate-refine columns)."""
+    candidate-refine columns). ``cache=False`` skips the internal cache
+    for callers that manage persistence themselves (the streaming gate
+    persists per micro-batch and must be able to unpersist — the
+    internal entry has no handle to release)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
         df, id_col, text_col, num_hashes, n, seed, portable=portable
-    ).cache()
+    )
+    if cache:
+        sig = sig.cache()
 
     if portable:
         def band_key(b):
@@ -365,10 +371,28 @@ def incremental_near_duplicates(
     """
     bb = _banded_minhash(
         batch, id_col, text_col, num_hashes, bands, n, seed, portable
-    ).alias("b")
+    )
     bc = _banded_minhash(
         corpus, id_col, text_col, num_hashes, bands, n, seed, portable
-    ).alias("c")
+    )
+    return banded_pairs_cross(bb, bc, id_col, num_hashes, threshold)
+
+
+def banded_pairs_cross(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """The cross-side candidate join over PREBUILT banded signatures
+    ((id, signature, band_id, band_hash) rows from _banded_minhash —
+    possibly read back from a stored signature index rather than
+    recomputed from text, the steady-state ingest posture). Returns
+    (batch_id, corpus_id, est_jaccard) pairs at or above ``threshold``;
+    only batch×corpus pairs are ever generated."""
+    bb = batch_bands.alias("b")
+    bc = corpus_bands.alias("c")
     # same hash-aggregable shape as minhash_near_duplicates: score in
     # the join projection, dedup narrow primitive rows (see the comment
     # there for the SortAggregate/array-shuffle rationale)

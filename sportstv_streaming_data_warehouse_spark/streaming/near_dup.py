@@ -1,0 +1,226 @@
+"""Streaming MinHash-LSH near-dup gate — the fuzzy twin of
+streaming/dedup.py's exact INSERT-IGNORE.
+
+A live ingest feed where each micro-batch is admitted only if it is not
+a NEAR-duplicate (banded MinHash, estimated Jaccard ≥ threshold) of
+anything already admitted — the gate a 100 TB/day training-data intake
+runs so the stored corpus stays near-dup-free without ever re-deduping
+it wholesale.
+
+Why foreachBatch and not a keyed-state operator: a document's verdict
+is a CONJUNCTION ACROSS ITS LSH BANDS (collide in ANY band → candidate,
+then the signature-agreement estimate decides) — under
+``applyInPandasWithState`` each band bucket is a separate state key, so
+no single keyed state can see the whole verdict, and Spark disallows
+the stateful-op → re-key → stateful-op chain that would reassemble it.
+The production shape is ``foreachBatch`` + a persistent SIGNATURE INDEX
+(exactly operators/dedup.incremental_near_duplicates' algebra, X53,
+applied per micro-batch):
+
+1. band the incoming batch once (k×8 bytes/doc, map-side);
+2. candidate-join batch bands × index bands (cross-side only — work is
+   proportional to the BATCH's bucket occupancy, never corpus²);
+3. batch docs that match the index are REJECTED; among the survivors a
+   within-batch self-join rejects any doc with a smaller-id near-dup
+   partner (one conservative pass — see ``gate_batch``);
+4. admitted docs' banded signatures are APPENDED to the index under an
+   ``ingest_batch=<id>`` partition.
+
+State is the signature index: it grows with the ADMITTED corpus (k
+longs per doc), never with stream history or duplicate volume, and at
+scale it is a bucketable parquet table (cluster by band_hash and the
+candidate join co-locates). Exactly-once on retry: each batch writes
+its partitions with overwrite, and the index read EXCLUDES the current
+batch id, so a half-written failed attempt can neither self-collide nor
+double-admit.
+
+The stream is pinned equal to the sequential batch model
+(``replay_gate`` here) in tests/test_stream_near_dup.py, and the batch
+model's pieces are the already-oracle-verified X53 join algebra.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _banded_minhash, banded_pairs_cross
+
+_BAND_COLS = ["signature", "band_id", "band_hash"]
+
+
+def gate_batch(
+    batch: DataFrame,
+    index_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One gating step: returns (admitted, admitted_bands, rejected).
+
+    ``rejected`` rows are (id, matched_id, est_jaccard, reason) with
+    reason 'corpus' (near-dups something already admitted) or 'batch'
+    (near-dups a smaller-id corpus-surviving doc in the SAME batch).
+    The within-batch rule is one conservative pass: a doc is gated by
+    any smaller-id corpus-survivor partner whether or not that partner
+    itself survives the batch — over-rejection can only occur inside a
+    near-dup cluster, where the doc is a duplicate of SOMETHING kept,
+    so the admitted set stays near-dup-free (the invariant that
+    matters; pinned in tests)."""
+    bb = _banded_minhash(
+        batch, id_col, text_col, num_hashes, bands, n, seed, portable,
+        cache=False,
+    )
+    if index_bands is not None:
+        corpus_pairs = banded_pairs_cross(
+            bb, index_bands.select(id_col, *_BAND_COLS), id_col,
+            num_hashes, threshold,
+        ).select(
+            F.col("batch_id").alias(id_col),
+            F.col("corpus_id").alias("matched_id"),
+            "est_jaccard",
+            F.lit("corpus").alias("reason"),
+        )
+    else:
+        corpus_pairs = None
+    corpus_rejected = (
+        corpus_pairs.select(id_col).distinct()
+        if corpus_pairs is not None
+        else None
+    )
+    survivors_bands = (
+        bb.join(corpus_rejected, id_col, "left_anti")
+        if corpus_rejected is not None
+        else bb
+    )
+    self_pairs = (
+        banded_pairs_cross(
+            survivors_bands, survivors_bands, id_col, num_hashes, threshold
+        )
+        .filter(F.col("batch_id") > F.col("corpus_id"))
+        .select(
+            F.col("batch_id").alias(id_col),
+            F.col("corpus_id").alias("matched_id"),
+            "est_jaccard",
+            F.lit("batch").alias("reason"),
+        )
+    )
+    batch_rejected = self_pairs.select(id_col).distinct()
+    admitted_bands = survivors_bands.join(batch_rejected, id_col, "left_anti")
+    admitted = batch.join(
+        admitted_bands.select(id_col).distinct(), id_col, "left_semi"
+    )
+    rejected = (
+        self_pairs if corpus_pairs is None else corpus_pairs.unionByName(self_pairs)
+    )
+    return admitted, admitted_bands, rejected
+
+
+def _read_index(
+    spark: SparkSession, index_dir: str, exclude_batch: int
+) -> DataFrame | None:
+    try:
+        idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    except Exception:  # first batch: no index yet
+        return None
+    if "ingest_batch" not in idx.columns:
+        return None
+    return idx.filter(F.col("ingest_batch") != exclude_batch).drop("ingest_batch")
+
+
+def make_near_dup_gate(
+    index_dir: str,
+    admitted_dir: str,
+    rejected_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` function. Writes, per micro-batch, under
+    ``<dir>/ingest_batch=<id>`` with overwrite (idempotent on retry)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        index = _read_index(spark, index_dir, batch_id)
+        batch = batch.persist()
+        try:
+            admitted, admitted_bands, rejected = gate_batch(
+                batch, index, id_col, text_col, num_hashes, bands, n,
+                threshold, seed, portable,
+            )
+            admitted_bands = admitted_bands.persist()
+            try:
+                admitted_bands.write.mode("overwrite").parquet(
+                    f"{index_dir}/ingest_batch={batch_id}"
+                )
+                admitted.write.mode("overwrite").parquet(
+                    f"{admitted_dir}/ingest_batch={batch_id}"
+                )
+                if rejected_dir is not None:
+                    rejected.write.mode("overwrite").parquet(
+                        f"{rejected_dir}/ingest_batch={batch_id}"
+                    )
+            finally:
+                admitted_bands.unpersist()
+        finally:
+            batch.unpersist()
+
+    return process
+
+
+def run_near_dup_gate(
+    stream: DataFrame,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+    rejected_dir: str | None = None,
+    **gate_kwargs,
+):
+    """Attach the gate to a document stream and start it."""
+    return (
+        stream.writeStream.foreachBatch(
+            make_near_dup_gate(index_dir, admitted_dir, rejected_dir, **gate_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def replay_gate(
+    batches: list[DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gate_kwargs,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Sequential batch model — the stream's parity oracle: fold
+    ``gate_batch`` over the batches in order, accumulating the admitted
+    bands exactly as the index does. Returns (admitted, index_bands)."""
+    index: DataFrame | None = None
+    admitted_all: DataFrame | None = None
+    for b in batches:
+        admitted, admitted_bands, _ = gate_batch(
+            b, index, id_col, text_col, **gate_kwargs
+        )
+        index = (
+            admitted_bands
+            if index is None
+            else index.unionByName(admitted_bands)
+        )
+        admitted_all = (
+            admitted
+            if admitted_all is None
+            else admitted_all.unionByName(admitted)
+        )
+    return admitted_all, index

@@ -1,0 +1,159 @@
+"""Streaming MinHash-LSH near-dup gate (streaming/near_dup.py).
+
+Planted cross-batch and within-batch near-dups through a real
+foreachBatch stream, parity with the sequential batch model
+(replay_gate — the X53 join algebra folded over the batches), the
+near-dup-free invariant on the admitted set, and retry idempotency of
+the per-batch index writes.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+    minhash_near_duplicates,
+)
+from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+    gate_batch,
+    make_near_dup_gate,
+    replay_gate,
+    run_near_dup_gate,
+)
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+T_A = (
+    "the quick brown fox jumps over the lazy dog while rain falls on the "
+    "quiet town and the river keeps moving under the old stone bridge"
+)
+T_B = (
+    "streaming analytics engines aggregate billions of events per day into "
+    "compact facts that analysts query with simple declarative statements"
+)
+T_C = (
+    "mountain trails wind through cedar forests where morning fog settles "
+    "into valleys long before the first hikers reach the ridge line"
+)
+T_D = (
+    "training corpora must be screened for near duplicate documents before "
+    "tokenization or the model memorizes boilerplate instead of language"
+)
+
+BATCH1 = [(0, T_A), (1, T_B), (2, T_C)]
+# 10 duplicates corpus doc 0; 13 duplicates corpus doc 1; 12 duplicates
+# same-batch doc 11 (larger id loses); 11 is fresh
+BATCH2 = [(10, T_A), (11, T_D), (12, T_D), (13, T_B)]
+
+
+def _drop(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+@pytest.fixture(scope="module")
+def gated(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("near_dup_gate")
+    inp = str(root / "in")
+    dirs = {k: str(root / k) for k in ("index", "admitted", "rejected", "ckpt")}
+    _drop(inp, "d1.json", BATCH1)
+    _drop(inp, "d2.json", BATCH2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    q = run_near_dup_gate(
+        stream,
+        dirs["index"],
+        dirs["admitted"],
+        dirs["ckpt"],
+        rejected_dir=dirs["rejected"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return dirs
+
+
+def test_cross_batch_and_within_batch_rejections(spark, gated):
+    admitted = spark.read.parquet(gated["admitted"])
+    assert sorted(
+        r["doc_id"] for r in admitted.select("doc_id").collect()
+    ) == [0, 1, 2, 11]
+    rej = {
+        r["doc_id"]: (r["matched_id"], r["reason"])
+        for r in spark.read.parquet(gated["rejected"]).collect()
+    }
+    assert rej[10] == (0, "corpus")
+    assert rej[13] == (1, "corpus")
+    assert rej[12] == (11, "batch")
+    assert set(rej) == {10, 12, 13}
+
+
+def test_stream_matches_the_sequential_batch_model(spark, gated):
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(gated["admitted"]).select("doc_id").collect()
+    )
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    model_admitted, model_index = replay_gate([b1, b2])
+    assert sorted(r["doc_id"] for r in model_admitted.collect()) == got
+    # the stored index is exactly the model's accumulated bands
+    idx = spark.read.parquet(gated["index"])
+    assert sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in idx.collect()
+    ) == sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in model_index.collect()
+    )
+
+
+def test_admitted_set_is_near_dup_free(spark, gated):
+    admitted = spark.read.parquet(gated["admitted"]).select("doc_id", "text")
+    pairs = minhash_near_duplicates(admitted, "doc_id", "text", threshold=0.5)
+    assert pairs.count() == 0
+
+
+def test_future_duplicates_of_every_admitted_doc_are_gated(spark, gated):
+    index = (
+        spark.read.parquet(gated["index"])
+        .select("doc_id", "signature", "band_id", "band_hash")
+    )
+    replay = spark.createDataFrame(
+        [(100, T_A), (101, T_B), (102, T_C), (103, T_D)], SCHEMA
+    )
+    admitted, _, rejected = gate_batch(replay, index)
+    assert admitted.count() == 0
+    assert rejected.filter(F.col("reason") == "corpus").count() == 4
+
+
+def test_retried_batch_is_idempotent(spark, tmp_path):
+    dirs = {k: str(tmp_path / k) for k in ("index", "admitted")}
+    process = make_near_dup_gate(dirs["index"], dirs["admitted"])
+    batch = spark.createDataFrame(BATCH1, SCHEMA)
+    process(batch, 0)
+    once_index = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    )
+    # a retry of the SAME batch id must not self-collide against the
+    # half-written attempt, and must leave the index unchanged
+    process(batch, 0)
+    again = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    )
+    assert again == once_index
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
+    ) == [0, 1, 2]
