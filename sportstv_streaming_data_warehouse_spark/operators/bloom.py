@@ -22,12 +22,16 @@ re-runs in plain SQL, so a DuckDB oracle can replay it bit-for-bit
 (tests/test_bloom.py pins that replay; a catalog registration carries
 it to the driver gate).
 
-Plan shape (the PQ lesson applied): the bitset rides ONE broadcast row
-holding a dense ``array<long>`` — k ``getbit(element_at(...))`` terms
-reference that single column, never k copies of a literal. Beyond the
-~8 GB broadcast ceiling the bitset shards into word-range rows joined
-by ``word_idx`` range instead (noted, not built — the fixtures are
-nowhere near it).
+Plan shape: the SPARSE (word_idx, bits) table broadcasts once and the
+k probe positions each resolve through a broadcast HASH join on
+word_idx (O(1) per probe, zero shuffle of the corpus side, absent word
+= clean). A dense-array broadcast row was measured and rejected: Spark's
+MapType ``element_at`` is a linear scan, so densifying n_words entries
+costs n_words × n_entries (a single task hung minutes at ~200K words),
+and per-probe dense literals re-inline the whole bitset k times (the
+PQ plan-shape lesson). Beyond the ~8 GB broadcast ceiling, pre-shuffle
+both sides by word_idx bucket instead (noted, not built — the fixtures
+are nowhere near it).
 """
 
 from __future__ import annotations
@@ -99,25 +103,6 @@ def bloom_build(
     )
 
 
-def _dense_bloom_row(bloom: DataFrame, n_bits: int) -> DataFrame:
-    """Fold the sparse (word_idx, bits) rows into ONE row holding the
-    dense array<long> (missing words = 0) — the broadcast payload."""
-    n_words = n_bits // 64
-    sparse = bloom.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("word_idx", "bits"))).alias(
-            "__m"
-        )
-    )
-    return sparse.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda w: F.coalesce(
-                F.element_at(F.col("__m"), w), F.lit(0).cast("long")
-            ),
-        ).alias("__bloom_words")
-    )
-
-
 def with_bloom_maybe(
     df: DataFrame,
     key_col: str,
@@ -128,20 +113,43 @@ def with_bloom_maybe(
     portable: bool = False,
     out_col: str = "bloom_maybe",
 ) -> DataFrame:
-    """Map-side membership: broadcast the dense bitset as one row and
-    test all ``n_hashes`` bits per key — true iff the key MIGHT be in
-    the built set (no false negatives). Zero shuffle of ``df``."""
-    dense = _dense_bloom_row(bloom, n_bits)
+    """Map-side membership: ``n_hashes`` broadcast HASH joins of the
+    SPARSE word table (one per probe position, each an O(1) lookup;
+    Spark reuses the single broadcast exchange across all of them),
+    then the bit-test conjunction — true iff the key MIGHT be in the
+    built set (no false negatives). Zero shuffle of ``df``.
+
+    Why not one broadcast row holding the dense array<long>: a map- or
+    array-fold to densify is quadratic on the driverless path (Spark's
+    MapType ``element_at`` is a LINEAR scan, so densifying n_words
+    entries costs n_words × n_entries — measured hanging a single task
+    for minutes at ~200K words), and a dense literal re-inlines per
+    probe term. The sparse table IS the broadcast-ready form: absent
+    word → null bits → bit test false."""
     probes = _positions(F.col(key_col), n_bits, n_hashes, seed, portable)
+    out = df
     hit = None
-    for p in probes:
-        word = F.element_at(F.col("__bloom_words"), (p / 64).cast("int") + 1)
-        one = F.getbit(word, (p % 64).cast("int")) == 1
+    for i, p in enumerate(probes):
+        out = out.withColumn(f"__bw{i}", (p / 64).cast("long")).withColumn(
+            f"__bo{i}", (p % 64).cast("int")
+        )
+        side = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"__bw{i}"),
+                F.col("bits").alias(f"__bb{i}"),
+            )
+        )
+        out = out.join(side, f"__bw{i}", "left")
+        one = (
+            F.getbit(
+                F.coalesce(F.col(f"__bb{i}"), F.lit(0).cast("long")),
+                F.col(f"__bo{i}"),
+            )
+            == 1
+        )
         hit = one if hit is None else (hit & one)
-    return (
-        df.crossJoin(F.broadcast(dense))
-        .withColumn(out_col, hit)
-        .drop("__bloom_words")
+    return out.withColumn(out_col, hit).drop(
+        *[c for i in range(n_hashes) for c in (f"__bw{i}", f"__bo{i}", f"__bb{i}")]
     )
 
 

@@ -126,9 +126,13 @@ def gate_batch(
 def _read_index(
     spark: SparkSession, index_dir: str, exclude_batch: int
 ) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    except Exception:  # first batch: no index yet
+    except AnalysisException:  # first batch: no index yet (PATH_NOT_FOUND /
+        # UNABLE_TO_INFER_SCHEMA on an empty dir); anything else — e.g. a
+        # corrupt index — must FAIL the batch, not silently double-admit
         return None
     if "ingest_batch" not in idx.columns:
         return None

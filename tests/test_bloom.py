@@ -170,3 +170,17 @@ def test_prefilter_join_equals_the_exact_join_on_decontamination(spark):
     assert screened.exceptAll(exact).count() == 0
     assert exact.exceptAll(screened).count() == 0
     assert exact.count() > 0
+
+
+def test_membership_plan_is_all_broadcast_hash_joins(spark, built):
+    # the sparse word table rides n_hashes broadcast HASH joins (O(1)
+    # probes, zero shuffle of the key side); any loop join, cartesian
+    # product, or sort-merge join means the screen stopped being
+    # map-side
+    members, bloom, n_bits, n_hashes, portable = built
+    out = with_bloom_maybe(members, "key", bloom, n_bits, n_hashes, portable=portable)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == n_hashes

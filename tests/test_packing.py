@@ -172,3 +172,18 @@ def test_duckdb_replay_matches_bit_for_bit(spark, corpus_spans):
     """
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_plan_has_no_single_partition_window(spark, corpus_spans):
+    # the prefix sum must stay two-phase: every Window node partitions
+    # by the range bucket, never SinglePartition (the 100 TB property)
+    _, spans = corpus_spans
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    saw_window = False
+    for i, line in enumerate(lines):
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            saw_window = True
+            ctx = "\n".join(lines[i : i + 6])
+            assert "SinglePartition" not in ctx, ctx
+    assert saw_window

@@ -753,6 +753,176 @@ def round11_experiment(spark) -> None:
         print(f"{label:38} {w:6.2f}s {rows[0]['recall_at_k']:9.3f}")
 
 
+def round11b_experiment(spark) -> None:
+    """Round-11 second wave: the three pytest-pinned debut candidates
+    (SURVEY X125-X127) at scale, all on the zipfian corpus (realistic
+    token frequency curve + planted near-dup twins at doc_id%8==1).
+
+    - X125 packing: the two-phase prefix sum + explode at 100K vs 1M
+      docs — expect ~linear wall in rows (the prefix sum moves only
+      per-bucket counts to the driver).
+    - X126 bloom: the decontamination screen at matched semantics —
+      exact broadcast join vs bloom-prefilter→exact-confirm. Reports
+      walls, the map-side screen-out fraction, rows reaching the
+      confirm join, the MEASURED fp rate among screened grams, and the
+      byte sizes (bloom bits vs exact distinct-gram strings) — the
+      memory headroom that is the bloom's actual win; a wall-time loss
+      at this scale is an expected, reported-honestly result.
+    - X127 streaming gate: sequential micro-batches against the growing
+      signature index — per-batch wall as the index accumulates (the
+      candidate join rescans the index bands; band_hash bucketing is
+      the flat-wall path at production scale).
+    """
+    from sportstv_streaming_data_warehouse_spark.operators import (
+        bloom as B,
+        packing as P,
+    )
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        make_near_dup_gate,
+    )
+
+    # --- X125: context-window packing at 100K / 1M docs --------------
+    print(f"{'pack_context_windows (budget 2048)':44} {'wall':>7} {'spans':>9} {'seqs':>8}")
+    for n_docs in (100_000, 1_000_000):
+        base = f"{DST}_r11b_zipf_{n_docs}"
+        if not os.path.isdir(f"{base}/documents.parquet"):
+            os.makedirs(base, exist_ok=True)
+            zipf_documents(spark, n_docs).write.mode("overwrite").parquet(
+                f"{base}/documents.parquet"
+            )
+        docs = spark.read.parquet(f"{base}/documents.parquet")
+        toks = docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+        def run(toks=toks):
+            spans = P.pack_context_windows(toks, "doc_id", "n_tokens", 2048)
+            m = P.pack_manifest(spans, 2048)
+            return (
+                spans.count(),
+                m.agg(F.max("seq_id"), F.min("n_tokens")).collect(),
+            )
+
+        w, (n_spans, mrow) = min3(run)
+        print(
+            f"{f'  {n_docs:,} docs':44} {w:6.2f}s {n_spans:9,d} "
+            f"{mrow[0][0] + 1:8,d}"
+        )
+
+    # --- X126: bloom prefilter vs exact on the decontamination shape -
+    n_docs = 200_000
+    base = f"{DST}_r11b_zipf_{n_docs}"
+    if not os.path.isdir(f"{base}/documents.parquet"):
+        os.makedirs(base, exist_ok=True)
+        zipf_documents(spark, n_docs).write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    from sportstv_streaming_data_warehouse_spark.operators import dedup as D
+
+    grams = lambda side: side.select(  # noqa: E731
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), n=2, distinct=True)).alias(
+            "gram"
+        ),
+    )
+    train_g = grams(docs.filter(F.col("doc_id") % 10 != 9))
+    eval_g = grams(docs.filter(F.col("doc_id") % 10 == 9)).select("gram").distinct()
+    n_eval = eval_g.count()
+    n_train_g = train_g.count()
+    exact_bytes = eval_g.agg(F.sum(F.length("gram"))).collect()[0][0]
+    n_bits, n_hashes = B.bloom_parameters(n_eval, 0.01)
+
+    def exact_leg():
+        return (
+            train_g.join(F.broadcast(eval_g), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("shared"))
+            .count()
+        )
+
+    bloom_tbl = B.bloom_build(eval_g, "gram", n_bits, n_hashes).persist()
+    bloom_tbl.count()
+
+    def screen_leg():
+        return (
+            B.with_bloom_maybe(train_g, "gram", bloom_tbl, n_bits, n_hashes)
+            .filter(F.col("bloom_maybe"))
+            .count()
+        )
+
+    def composed_leg():
+        screened = B.with_bloom_maybe(
+            train_g, "gram", bloom_tbl, n_bits, n_hashes
+        ).filter(F.col("bloom_maybe")).drop("bloom_maybe")
+        return (
+            screened.join(F.broadcast(eval_g), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("shared"))
+            .count()
+        )
+
+    we, rows_exact = min3(exact_leg)
+    ws, n_screened = min3(screen_leg)
+    wc, rows_comp = min3(composed_leg)
+    true_hits = (
+        train_g.join(F.broadcast(eval_g), "gram").count()
+    )
+    fp = (n_screened - true_hits) / max(n_screened, 1)
+    bloom_tbl.unpersist()
+    print(
+        f"\nbloom decontamination screen ({n_docs:,} docs, "
+        f"{n_train_g:,} train grams, {n_eval:,} eval grams)"
+    )
+    print(
+        f"  exact broadcast join          {we:6.2f}s  docs={rows_exact:,}  "
+        f"small-side strings={exact_bytes / 1e6:.1f} MB"
+    )
+    print(
+        f"  bloom screen (map-side)       {ws:6.2f}s  grams pass="
+        f"{n_screened:,}/{n_train_g:,} ({100 * n_screened / n_train_g:.1f}%), "
+        f"measured fp={fp:.4f} (target 0.01), bits={n_bits / 8e6:.1f} MB"
+    )
+    print(
+        f"  bloom -> exact confirm        {wc:6.2f}s  docs={rows_comp:,}  "
+        f"(equal to exact: {rows_comp == rows_exact})"
+    )
+
+    # --- X127: streaming gate per-batch wall vs index growth ---------
+    n_docs, n_batches = 100_000, 5
+    base = f"{DST}_r11b_zipf_{n_docs}"
+    if not os.path.isdir(f"{base}/documents.parquet"):
+        os.makedirs(base, exist_ok=True)
+        zipf_documents(spark, n_docs).write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    per = n_docs // n_batches
+    gate_root = f"{DST}_r11b_gate"
+    shutil.rmtree(gate_root, ignore_errors=True)
+    process = make_near_dup_gate(
+        f"{gate_root}/index", f"{gate_root}/admitted", threshold=0.5
+    )
+    print(f"\nstreaming near-dup gate ({per:,} docs/batch)")
+    print(f"{'batch':>6} {'wall':>7} {'admitted':>9} {'index docs':>11}")
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+        )
+        t0 = time.perf_counter()
+        process(batch, b)
+        w = time.perf_counter() - t0
+        adm = spark.read.parquet(
+            f"{gate_root}/admitted/ingest_batch={b}"
+        ).count()
+        idx = (
+            spark.read.parquet(f"{gate_root}/index")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        print(f"{b:>6} {w:6.2f}s {adm:9,d} {idx:11,d}")
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -793,6 +963,10 @@ def main() -> None:
         return
     if "--round11" in sys.argv:
         round11_experiment(spark)
+        spark.stop()
+        return
+    if "--round11b" in sys.argv:
+        round11b_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
