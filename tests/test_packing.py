@@ -187,3 +187,40 @@ def test_plan_has_no_single_partition_window(spark, corpus_spans):
             ctx = "\n".join(lines[i : i + 6])
             assert "SinglePartition" not in ctx, ctx
     assert saw_window
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.integers(min_value=0, max_value=40), st.none()),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_spans_match_a_python_reference_packer(spark, token_counts, budget):
+    """pack_context_windows == the sequential concatenate-and-cut loop a
+    single-process dataloader would run, for any token counts (incl.
+    zero/NULL docs) and any budget."""
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r["doc_id"], r["seq_id"], r["doc_offset"], r["seq_offset"],
+         r["span_tokens"], r["is_split"])
+        for r in pack_context_windows(df, "doc_id", "n_tokens", budget).collect()
+    )
+    want, cursor = [], 0
+    for i, n in rows:
+        if n is None or n <= 0:
+            continue
+        done = 0
+        while done < n:
+            seq, off = divmod(cursor, budget)
+            take = min(budget - off, n - done)
+            want.append((i, seq, done, off, take, n > take))
+            done += take
+            cursor += take
+    assert got == sorted(want)
