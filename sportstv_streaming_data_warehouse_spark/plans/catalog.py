@@ -8130,6 +8130,18 @@ def r_yoy_growth(spark, sf_dir):
 # x_dedup_embedding_cosine (all r8-green). Round-12 projected
 # mandatory: the 13 r8-cohort queries not pre-paid here + the 3
 # displaced = 16 of 48 slots — solvent, wide debut capacity again.
+# Round-12 debut candidates, built and pytest-pinned IN round 11 with
+# their oracles already staged in tests (register + window-slot them
+# at rotation): x_pack_context_windows (operators/packing.py — the
+# running-sum + generate_series replay is pinned in
+# tests/test_packing.py), x_decontam_bloom (operators/bloom.py — the
+# composed prefilter output EQUALS the exact join, so the oracle is
+# the plain exact SQL; the portable-hash membership replay is pinned
+# in tests/test_bloom.py), x_bpe_top_pairs (operators/bpe.py — the
+# single-round pair-statistics replay is pinned in tests/test_bpe.py),
+# and s_near_dup_gate_grain if a fourth slot is affordable (the
+# streaming gate's admitted grain, transitively verified through the
+# stream==batch-model parity in tests/test_stream_near_dup.py).
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [

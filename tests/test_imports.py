@@ -12,9 +12,13 @@ MODULES = [
     "sportstv_streaming_data_warehouse_spark.functions.text",
     "sportstv_streaming_data_warehouse_spark.operators",
     "sportstv_streaming_data_warehouse_spark.operators.multimodal",
+    "sportstv_streaming_data_warehouse_spark.operators.packing",
+    "sportstv_streaming_data_warehouse_spark.operators.bloom",
+    "sportstv_streaming_data_warehouse_spark.operators.bpe",
     "sportstv_streaming_data_warehouse_spark.plans",
     "sportstv_streaming_data_warehouse_spark.streaming.ingest",
     "sportstv_streaming_data_warehouse_spark.streaming.sessionize",
+    "sportstv_streaming_data_warehouse_spark.streaming.near_dup",
 ]
 
 

@@ -923,6 +923,45 @@ def round11b_experiment(spark) -> None:
         print(f"{b:>6} {w:6.2f}s {adm:9,d} {idx:11,d}")
 
 
+def round11c_experiment(spark) -> None:
+    """X128 BPE merge learning at corpus scale: the Sennrich
+    word-frequency formulation means only the ONE corpus scan grows
+    with data — every merge round runs on the distinct-word table,
+    which the Zipf vocabulary BOUNDS (~20K words) regardless of corpus
+    size. Measured: word-table build wall at 200K vs 2M docs (linear in
+    corpus) vs the full 8-merge learning loop (flat — vocabulary-sized
+    iteration input), plus the compression factor itself."""
+    from sportstv_streaming_data_warehouse_spark.operators import bpe as BP
+
+    for n_docs in (200_000, 2_000_000):
+        base = f"{DST}_r11b_zipf_{n_docs}"
+        if not os.path.isdir(f"{base}/documents.parquet"):
+            os.makedirs(base, exist_ok=True)
+            zipf_documents(spark, n_docs).write.mode("overwrite").parquet(
+                f"{base}/documents.parquet"
+            )
+        docs = spark.read.parquet(f"{base}/documents.parquet")
+        wf, stats = min3(
+            lambda docs=docs: BP.word_frequencies(docs, "text")
+            .agg(
+                F.count("*").alias("distinct_words"),
+                F.sum("freq").alias("corpus_tokens"),
+            )
+            .collect()
+        )
+        t0 = time.perf_counter()
+        merges = BP.bpe_learn(docs, "text", 8)
+        wl = time.perf_counter() - t0
+        print(
+            f"{n_docs:>11,d} docs: word table {wf:5.2f}s "
+            f"({stats[0]['corpus_tokens']:,} tokens -> "
+            f"{stats[0]['distinct_words']:,} distinct, "
+            f"{stats[0]['corpus_tokens'] / stats[0]['distinct_words']:.0f}x "
+            f"compression); 8-merge learn {wl:5.1f}s "
+            f"(top merge {merges[0][:2]} freq {merges[0][2]:,})"
+        )
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -967,6 +1006,10 @@ def main() -> None:
         return
     if "--round11b" in sys.argv:
         round11b_experiment(spark)
+        spark.stop()
+        return
+    if "--round11c" in sys.argv:
+        round11c_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
