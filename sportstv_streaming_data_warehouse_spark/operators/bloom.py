@@ -128,28 +128,44 @@ def with_bloom_maybe(
     word → null bits → bit test false."""
     probes = _positions(F.col(key_col), n_bits, n_hashes, seed, portable)
     out = df
-    hit = None
     for i, p in enumerate(probes):
         out = out.withColumn(f"__bw{i}", (p / 64).cast("long")).withColumn(
             f"__bo{i}", (p % 64).cast("int")
         )
-        side = F.broadcast(
-            bloom.select(
-                F.col("word_idx").alias(f"__bw{i}"),
-                F.col("bits").alias(f"__bb{i}"),
-            )
+    # every join side is the IDENTICAL projection (alias only renames
+    # the scope, not the plan), so at runtime the word table broadcasts
+    # ONCE and the other n_hashes-1 sides resolve to ReusedExchange
+    # nodes (pinned in tests on the post-execution adaptive plan) —
+    # the bitset occupies one broadcast's memory, not k copies
+    side_base = bloom.select("word_idx", "bits")
+    hit = None
+    joined_cols = []
+    for i in range(n_hashes):
+        side = F.broadcast(side_base.alias(f"__bloom{i}"))
+        out = out.join(
+            side,
+            F.col(f"__bw{i}") == F.col(f"__bloom{i}.word_idx"),
+            "left",
         )
-        out = out.join(side, f"__bw{i}", "left")
         one = (
             F.getbit(
-                F.coalesce(F.col(f"__bb{i}"), F.lit(0).cast("long")),
+                F.coalesce(
+                    F.col(f"__bloom{i}.bits"), F.lit(0).cast("long")
+                ),
                 F.col(f"__bo{i}"),
             )
             == 1
         )
         hit = one if hit is None else (hit & one)
-    return out.withColumn(out_col, hit).drop(
-        *[c for i in range(n_hashes) for c in (f"__bw{i}", f"__bo{i}", f"__bb{i}")]
+        joined_cols += [
+            F.col(f"__bloom{i}.word_idx"),
+            F.col(f"__bloom{i}.bits"),
+        ]
+    out = out.withColumn(out_col, hit)
+    for c in joined_cols:
+        out = out.drop(c)
+    return out.drop(
+        *[c for i in range(n_hashes) for c in (f"__bw{i}", f"__bo{i}")]
     )
 
 

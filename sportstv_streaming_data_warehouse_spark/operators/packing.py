@@ -72,7 +72,8 @@ def pack_context_windows(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     order_cols = order_cols or [id_col]
-    t = df.select(*order_cols, id_col, F.col(tokens_col).alias("n_tokens")).filter(
+    keep = list(dict.fromkeys([*order_cols, id_col]))
+    t = df.select(*keep, F.col(tokens_col).alias("n_tokens")).filter(
         F.col("n_tokens") > 0
     )
     run = with_running_total(

@@ -176,7 +176,9 @@ def test_membership_plan_is_all_broadcast_hash_joins(spark, built):
     # the sparse word table rides n_hashes broadcast HASH joins (O(1)
     # probes, zero shuffle of the key side); any loop join, cartesian
     # product, or sort-merge join means the screen stopped being
-    # map-side
+    # map-side. At runtime the identical join sides collapse to ONE
+    # materialized broadcast + n_hashes-1 ReusedExchange nodes, so the
+    # bitset never occupies k copies of broadcast memory.
     members, bloom, n_bits, n_hashes, portable = built
     out = with_bloom_maybe(members, "key", bloom, n_bits, n_hashes, portable=portable)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -184,3 +186,21 @@ def test_membership_plan_is_all_broadcast_hash_joins(spark, built):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == n_hashes
+    out.collect()  # AQE resolves exchange reuse at runtime
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") == n_hashes - 1
+
+
+def test_null_keys_screen_out_cleanly(spark):
+    # a NULL probe key must neither throw (ANSI) nor pass the screen
+    # when the built set holds only real keys
+    m = spark.createDataFrame([("a",), ("b",)], "key string")
+    bl = bloom_build(m, "key", 128, 3)
+    probes = spark.createDataFrame([("a",), (None,), ("zz",)], "key string")
+    got = {
+        r["key"]: r["bloom_maybe"]
+        for r in with_bloom_maybe(probes, "key", bl, 128, 3).collect()
+    }
+    assert got["a"] is True
+    assert not got[None]
+    assert not got["zz"]
