@@ -204,3 +204,25 @@ def test_null_keys_screen_out_cleanly(spark):
     assert got["a"] is True
     assert not got[None]
     assert not got["zz"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_key = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_key, min_size=1, max_size=40, unique=True),
+    st.booleans(),
+)
+def test_property_no_false_negatives_for_any_key_set(spark, keys, portable):
+    """Members always pass the screen, for arbitrary printable keys on
+    both hash paths — the one-sided-error contract under fuzzing."""
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    n_bits, n_hashes = bloom_parameters(len(keys), 0.01)
+    bl = bloom_build(df, "key", n_bits, n_hashes, portable=portable)
+    out = with_bloom_maybe(df, "key", bl, n_bits, n_hashes, portable=portable)
+    assert out.filter(~F.col("bloom_maybe")).count() == 0

@@ -160,3 +160,19 @@ def test_top_pairs_replays_in_duckdb(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=12), min_size=1, max_size=6))
+def test_property_learn_matches_reference_on_random_corpora(spark, docs):
+    """The full learning loop equals the Sennrich reference (same
+    argmax tie-break, same greedy application) on fuzzed corpora —
+    small alphabet so merges chain several levels deep."""
+    texts = [" ".join(words) for words in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe_learn(df, "text", 4) == ref_learn(py_word_freqs(texts), 4)
