@@ -177,6 +177,37 @@ def cpu_speed_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def spark_ref_probe(spark, sf_dir: str) -> float | None:
+    """Seconds (min of 3) for a FROZEN Spark reference workload — scan
+    lineitem, one hash aggregate. Round-11 lesson: a run whose queries
+    read a uniform 1.37x the quiet twin passed the guard because BOTH
+    existing signals stayed in band (empty_job_ms 1.17x the median,
+    cpu probe 1.05x) — that inflation mode lives in the IO/shuffle
+    path, which neither an empty job nor a pure-Python loop exercises.
+    This probe has the same execution shape as the workload (parquet
+    scan → whole-stage codegen → hash agg) with none of the engine's
+    own code in it, so it moves with the box, never with a code change.
+    FROZEN: never edit this query — cross-round comparability is the
+    entire point."""
+    try:
+        from pyspark.sql import functions as F
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .groupBy("l_returnflag")
+                .agg(F.sum("l_quantity"), F.count("*"))
+                .collect()
+            )
+            return time.perf_counter() - t0
+
+        once()  # warm
+        return round(min(once() for _ in range(3)), 3)
+    except Exception:
+        return None
+
+
 # band beyond which a run's own box-speed signals (empty_job_ms, the
 # fixed-work cpu probe) vs the history medians mark the record
 # non-representative (round-10 verdict task 3)
@@ -189,6 +220,7 @@ def representative_verdict(
     empty_job_ms: float | None,
     speed_probe: float,
     quiet: bool,
+    ref_probe: float | None = None,
 ) -> tuple[bool, list[str], dict | None]:
     """Decide whether THIS run may stamp the round artifact.
 
@@ -210,6 +242,10 @@ def representative_verdict(
         r["cpu_speed_probe"] for r in hist_records
         if isinstance(r.get("cpu_speed_probe"), (int, float))
     ]
+    hist_ref = [
+        r["ref_query_probe"] for r in hist_records
+        if isinstance(r.get("ref_query_probe"), (int, float))
+    ]
     checks = []
     if empty_job_ms is not None and len(hist_ej) >= 2:
         checks.append(
@@ -218,6 +254,13 @@ def representative_verdict(
     if len(hist_probe) >= 2:
         checks.append(
             ("cpu_speed_probe", speed_probe, statistics.median(hist_probe))
+        )
+    # round 11+: the frozen Spark reference workload (scan + hash agg)
+    # — catches IO/shuffle-path inflation the other two signals miss;
+    # self-activates once 2 history entries carry it
+    if ref_probe is not None and len(hist_ref) >= 2:
+        checks.append(
+            ("ref_query_probe", ref_probe, statistics.median(hist_ref))
         )
     evidence = [
         f"{k} {v} = {v / ref:.2f}x history median {round(ref, 3)}"
@@ -228,6 +271,7 @@ def representative_verdict(
         return quiet, [], None
     fallback = None
     ej_ref = statistics.median(hist_ej) if hist_ej else None
+    ref_ref = statistics.median(hist_ref) if hist_ref else None
     for r in reversed(hist_records):
         if set(r.get("queries", {})) != headline_set:
             continue
@@ -238,6 +282,13 @@ def representative_verdict(
             ej_ref is not None
             and isinstance(r_ej, (int, float))
             and r_ej > REPRESENTATIVE_BAND * ej_ref
+        ):
+            continue
+        r_ref = r.get("ref_query_probe")
+        if (
+            ref_ref is not None
+            and isinstance(r_ref, (int, float))
+            and r_ref > REPRESENTATIVE_BAND * ref_ref
         ):
             continue
         fallback = {
@@ -667,6 +718,11 @@ def main() -> None:
     except Exception:
         empty_job_ms = None
 
+    # round 11+: frozen Spark reference workload (see spark_ref_probe)
+    # — the IO/shuffle-path box-speed signal, measured AFTER the sweep
+    # like the empty-job floor so placement is consistent across rounds
+    ref_probe = spark_ref_probe(spark, sf_dir)
+
     # Representative-run stamping guard (round-10 verdict task 3): the
     # stamped BENCH_r10.json was a box-inflated run (empty_job_ms 261.8
     # vs the round's ~77 ms quiet floor; every query 1.5-14x its quiet
@@ -681,7 +737,7 @@ def main() -> None:
     try:
         representative, rep_evidence, rep_fallback = representative_verdict(
             hist_records, set(per_query), empty_job_ms, speed_probe_start,
-            quiet,
+            quiet, ref_probe,
         )
     except Exception:
         # the guard is advisory; the stdout contract must not break
@@ -746,6 +802,10 @@ def main() -> None:
         # round 10+: per-job scheduling floor (ms) — the report tier's
         # hard lower bound on this box; see the BASELINE.md note
         "empty_job_ms": empty_job_ms,
+        # round 11+: frozen scan+hash-agg reference workload (s) — the
+        # IO/shuffle-path box-speed signal (see spark_ref_probe); the
+        # guard activates on it once 2 history entries carry it
+        "ref_query_probe": ref_probe,
         # round 11+: representative-stamping guard verdict. False means
         # this run's own box-speed signals sit >1.5x the history medians
         # — read `representative_run` (the latest qualifying quiet-box

@@ -103,3 +103,58 @@ def test_band_boundary_is_exclusive():
         quiet=True,
     )
     assert ok is True and evidence == []
+
+
+def _rec_ref(ej, probe, ref, value, git="abc"):
+    r = _rec(ej, probe, value, git=git)
+    r["ref_query_probe"] = ref
+    return r
+
+
+HIST_REF = [
+    _rec_ref(77.0, 0.44, 0.30, 41.5, git="r11a"),
+    _rec_ref(80.0, 0.45, 0.32, 41.9, git="r11b"),
+    _rec_ref(75.0, 0.43, 0.29, 41.2, git="r11c"),
+]
+
+
+def test_inflated_ref_query_probe_alone_is_flagged():
+    # the round-11 miss: empty job and cpu probe in band, but the
+    # IO/shuffle path (and every real query) inflated
+    ok, evidence, fallback = representative_verdict(
+        HIST_REF, HEADLINE, empty_job_ms=82.0, speed_probe=0.45,
+        quiet=True, ref_probe=0.55,
+    )
+    assert ok is False
+    assert any("ref_query_probe" in e for e in evidence)
+    assert fallback is not None and fallback["git"] == "r11c"
+
+
+def test_ref_probe_in_band_stays_representative():
+    ok, evidence, _ = representative_verdict(
+        HIST_REF, HEADLINE, empty_job_ms=80.0, speed_probe=0.45,
+        quiet=True, ref_probe=0.33,
+    )
+    assert ok is True and evidence == []
+
+
+def test_ref_probe_check_self_activates_only_with_history():
+    # old history entries lack the field: a single carrying entry must
+    # not set the band
+    hist = HIST + [_rec_ref(77.0, 0.44, 0.30, 41.5, git="one")]
+    ok, evidence, _ = representative_verdict(
+        hist, HEADLINE, empty_job_ms=80.0, speed_probe=0.45,
+        quiet=True, ref_probe=9.9,
+    )
+    assert ok is True and evidence == []
+
+
+def test_fallback_skips_entries_with_inflated_ref_probe():
+    hist = HIST_REF + [_rec_ref(78.0, 0.44, 0.95, 55.0, git="inflated")]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=300.0, speed_probe=0.45,
+        quiet=True, ref_probe=0.31,
+    )
+    assert ok is False
+    # the latest entry is ref-probe-inflated; fall back past it
+    assert fallback is not None and fallback["git"] == "r11c"
