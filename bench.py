@@ -230,10 +230,15 @@ def representative_verdict(
     (round-10: the stamped artifact's empty_job_ms was 3.4x the quiet
     floor and every query read 1.5-14x slow). Returns
     ``(representative, evidence, fallback)`` where fallback is the
-    LATEST qualifying history entry (same headline set, not
-    contaminated, own empty_job_ms inside the band) — the round's real
-    numbers for a cross-round reader. Needs >=2 historical values per
-    signal so a single early record cannot set the band."""
+    QUIETEST-BOX qualifying history entry (same headline set, not
+    contaminated, own signals inside the band; among those, the lowest
+    empty-job floor with the cpu probe as tie-break, latest wins exact
+    ties) — the round's real numbers for a cross-round reader. The
+    selection key is the BOX signals, never the total, so this cannot
+    cherry-pick performance; "latest qualifying" (the round-10 design)
+    was measured pointing at a 1.37x-inflated run that sat in band on
+    the pre-ref-probe signals. Needs >=2 historical values per signal
+    so a single early record cannot set the band."""
     hist_ej = [
         r["empty_job_ms"] for r in hist_records
         if isinstance(r.get("empty_job_ms"), (int, float))
@@ -270,6 +275,7 @@ def representative_verdict(
     if not evidence:
         return quiet, [], None
     fallback = None
+    fallback_key = None
     ej_ref = statistics.median(hist_ej) if hist_ej else None
     ref_ref = statistics.median(hist_ref) if hist_ref else None
     for r in reversed(hist_records):
@@ -291,14 +297,23 @@ def representative_verdict(
             and r_ref > REPRESENTATIVE_BAND * ref_ref
         ):
             continue
-        fallback = {
-            k: r.get(k)
-            for k in (
-                "value", "queries", "empty_job_ms",
-                "cpu_speed_probe", "git", "wall_clock",
-            )
-        }
-        break
+        # quietest box among the qualifiers; strict < keeps the LATEST
+        # entry on exact ties (reversed iteration sees it first)
+        key = (
+            r_ej if isinstance(r_ej, (int, float)) else float("inf"),
+            r.get("cpu_speed_probe")
+            if isinstance(r.get("cpu_speed_probe"), (int, float))
+            else float("inf"),
+        )
+        if fallback_key is None or key < fallback_key:
+            fallback_key = key
+            fallback = {
+                k: r.get(k)
+                for k in (
+                    "value", "queries", "empty_job_ms",
+                    "cpu_speed_probe", "git", "wall_clock",
+                )
+            }
     return False, evidence, fallback
 
 

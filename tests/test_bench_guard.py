@@ -158,3 +158,15 @@ def test_fallback_skips_entries_with_inflated_ref_probe():
     assert ok is False
     # the latest entry is ref-probe-inflated; fall back past it
     assert fallback is not None and fallback["git"] == "r11c"
+
+
+def test_fallback_prefers_the_quietest_qualifying_box_over_the_latest():
+    # a later run can sit inside the band yet be measurably slower-box
+    # than the round's quiet twin (the round-11 54.3s-vs-37.8s case):
+    # the pointer must pick the quietest signals, not recency
+    hist = HIST + [_rec(105.0, 0.46, 54.3, git="in_band_but_louder")]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=300.0, speed_probe=0.45, quiet=True
+    )
+    assert ok is False
+    assert fallback is not None and fallback["git"] == "r10c"
