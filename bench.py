@@ -208,6 +208,30 @@ def spark_ref_probe(spark, sf_dir: str) -> float | None:
         return None
 
 
+def mt_speed_probe(spark) -> float | None:
+    """Seconds (min of 3) for a fixed 32-way codegen workload — the
+    MULTI-CORE throughput signal. The bench's own round-9 note (and the
+    round-11 48.7s-vs-37.8s quiet-signals run) document the dominant
+    inflation mode on this box: hypervisor contention that slows
+    parallel stages 15-30% while the scheduling floor, the
+    single-threaded python loop, AND the small reference scan all stay
+    flat. A 32-partition fixed-work aggregate saturates every core the
+    headline queries use, so it moves with exactly that mode. FROZEN
+    like the other probes."""
+    try:
+        def once() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 1_024_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + 1)"
+            ).collect()
+            return time.perf_counter() - t0
+
+        once()  # warm (JIT on the codegen'd loop)
+        return round(min(once() for _ in range(3)), 3)
+    except Exception:
+        return None
+
+
 # band beyond which a run's own box-speed signals (empty_job_ms, the
 # fixed-work cpu probe) vs the history medians mark the record
 # non-representative (round-10 verdict task 3)
@@ -221,6 +245,7 @@ def representative_verdict(
     speed_probe: float,
     quiet: bool,
     ref_probe: float | None = None,
+    mt_probe: float | None = None,
 ) -> tuple[bool, list[str], dict | None]:
     """Decide whether THIS run may stamp the round artifact.
 
@@ -267,6 +292,17 @@ def representative_verdict(
         checks.append(
             ("ref_query_probe", ref_probe, statistics.median(hist_ref))
         )
+    # round 11+: the 32-way fixed-work probe — catches multi-core
+    # throughput degradation (the box's documented dominant mode) that
+    # every single-job signal above sits flat through
+    hist_mt = [
+        r["mt_speed_probe"] for r in hist_records
+        if isinstance(r.get("mt_speed_probe"), (int, float))
+    ]
+    if mt_probe is not None and len(hist_mt) >= 2:
+        checks.append(
+            ("mt_speed_probe", mt_probe, statistics.median(hist_mt))
+        )
     evidence = [
         f"{k} {v} = {v / ref:.2f}x history median {round(ref, 3)}"
         for k, v, ref in checks
@@ -278,6 +314,7 @@ def representative_verdict(
     fallback_key = None
     ej_ref = statistics.median(hist_ej) if hist_ej else None
     ref_ref = statistics.median(hist_ref) if hist_ref else None
+    mt_ref = statistics.median(hist_mt) if hist_mt else None
     for r in reversed(hist_records):
         if set(r.get("queries", {})) != headline_set:
             continue
@@ -295,6 +332,13 @@ def representative_verdict(
             ref_ref is not None
             and isinstance(r_ref, (int, float))
             and r_ref > REPRESENTATIVE_BAND * ref_ref
+        ):
+            continue
+        r_mt = r.get("mt_speed_probe")
+        if (
+            mt_ref is not None
+            and isinstance(r_mt, (int, float))
+            and r_mt > REPRESENTATIVE_BAND * mt_ref
         ):
             continue
         # quietest box among the qualifiers; strict < keeps the LATEST
@@ -737,6 +781,9 @@ def main() -> None:
     # — the IO/shuffle-path box-speed signal, measured AFTER the sweep
     # like the empty-job floor so placement is consistent across rounds
     ref_probe = spark_ref_probe(spark, sf_dir)
+    # round 11+: 32-way fixed-work probe (see mt_speed_probe) — the
+    # multi-core throughput signal
+    mt_probe = mt_speed_probe(spark)
 
     # Representative-run stamping guard (round-10 verdict task 3): the
     # stamped BENCH_r10.json was a box-inflated run (empty_job_ms 261.8
@@ -752,7 +799,7 @@ def main() -> None:
     try:
         representative, rep_evidence, rep_fallback = representative_verdict(
             hist_records, set(per_query), empty_job_ms, speed_probe_start,
-            quiet, ref_probe,
+            quiet, ref_probe, mt_probe,
         )
     except Exception:
         # the guard is advisory; the stdout contract must not break
@@ -821,6 +868,10 @@ def main() -> None:
         # IO/shuffle-path box-speed signal (see spark_ref_probe); the
         # guard activates on it once 2 history entries carry it
         "ref_query_probe": ref_probe,
+        # round 11+: 32-way fixed-work codegen aggregate (s) — the
+        # multi-core throughput signal (see mt_speed_probe), the box's
+        # documented dominant inflation mode; same 2-entry activation
+        "mt_speed_probe": mt_probe,
         # round 11+: representative-stamping guard verdict. False means
         # this run's own box-speed signals sit >1.5x the history medians
         # — read `representative_run` (the latest qualifying quiet-box

@@ -170,3 +170,48 @@ def test_fallback_prefers_the_quietest_qualifying_box_over_the_latest():
     )
     assert ok is False
     assert fallback is not None and fallback["git"] == "r10c"
+
+
+def _rec_mt(ej, probe, ref, mt, value, git="abc"):
+    r = _rec_ref(ej, probe, ref, value, git=git)
+    r["mt_speed_probe"] = mt
+    return r
+
+
+HIST_MT = [
+    _rec_mt(77.0, 0.44, 0.30, 0.35, 38.0, git="m1"),
+    _rec_mt(80.0, 0.45, 0.32, 0.36, 38.4, git="m2"),
+    _rec_mt(75.0, 0.43, 0.29, 0.34, 37.8, git="m3"),
+]
+
+
+def test_multicore_inflation_alone_is_flagged():
+    # the documented dominant mode: scheduling floor, python loop, and
+    # the small reference scan all flat — only parallel throughput down
+    ok, evidence, fallback = representative_verdict(
+        HIST_MT, HEADLINE, empty_job_ms=78.0, speed_probe=0.44,
+        quiet=True, ref_probe=0.31, mt_probe=0.62,
+    )
+    assert ok is False
+    assert any("mt_speed_probe" in e for e in evidence)
+    assert fallback is not None and fallback["git"] == "m3"
+
+
+def test_multicore_probe_in_band_stays_representative():
+    ok, evidence, _ = representative_verdict(
+        HIST_MT, HEADLINE, empty_job_ms=78.0, speed_probe=0.44,
+        quiet=True, ref_probe=0.31, mt_probe=0.40,
+    )
+    assert ok is True and evidence == []
+
+
+def test_fallback_skips_mt_inflated_entries():
+    hist = HIST_MT + [_rec_mt(74.0, 0.43, 0.29, 0.80, 49.0, git="mt_inflated")]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=300.0, speed_probe=0.44,
+        quiet=True, ref_probe=0.30, mt_probe=0.35,
+    )
+    assert ok is False
+    # the newest entry has the QUIETEST ej but an inflated mt probe —
+    # it must be disqualified before the quietest-key selection
+    assert fallback is not None and fallback["git"] == "m3"
