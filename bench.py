@@ -341,21 +341,30 @@ def representative_verdict(
             and r_mt > REPRESENTATIVE_BAND * mt_ref
         ):
             continue
+        r_cpu = r.get("cpu_speed_probe")
+        cpu_ref = statistics.median(hist_probe) if len(hist_probe) >= 2 else None
+        if (
+            cpu_ref is not None
+            and isinstance(r_cpu, (int, float))
+            and r_cpu > REPRESENTATIVE_BAND * cpu_ref
+        ):
+            continue  # cpu-inflated entries are no better a pointer
+            # than ej/ref/mt-inflated ones (review finding: the skip
+            # loop previously banded every signal EXCEPT this one)
         # quietest box among the qualifiers; strict < keeps the LATEST
         # entry on exact ties (reversed iteration sees it first)
         key = (
             r_ej if isinstance(r_ej, (int, float)) else float("inf"),
-            r.get("cpu_speed_probe")
-            if isinstance(r.get("cpu_speed_probe"), (int, float))
-            else float("inf"),
+            r_cpu if isinstance(r_cpu, (int, float)) else float("inf"),
         )
         if fallback_key is None or key < fallback_key:
             fallback_key = key
             fallback = {
                 k: r.get(k)
                 for k in (
-                    "value", "queries", "empty_job_ms",
-                    "cpu_speed_probe", "git", "wall_clock",
+                    "value", "queries", "empty_job_ms", "cpu_speed_probe",
+                    "ref_query_probe", "mt_speed_probe", "git",
+                    "wall_clock",
                 )
             }
     return False, evidence, fallback

@@ -41,9 +41,9 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _HASH_PRIME as _P  # the coefficient family's modulus —
+# positions assume EXACTLY the range minhash_coefficients draws from
 from .dedup import _poly_hash, minhash_coefficients
-
-_P = 2147483647  # 2^31 - 1, the shared portable-hash modulus
 
 
 def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:

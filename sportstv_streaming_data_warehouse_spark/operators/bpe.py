@@ -33,9 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: joins the two sides of a merged pair into the new symbol. Plain
-#: concatenation (like the original BPE formulation): symbols are
-#: substrings of real words, so no separator is needed.
+#: word boundary for the corpus scan — the same \s+ split every
+#: tokenizing operator in the engine uses (functions/text.tokens)
 _WORD_RE = r"\s+"
 
 
@@ -154,6 +153,8 @@ def bpe_learn(
                 break
             row = best[0]
             learned.append((row["left"], row["right"], row["freq"]))
+            if len(learned) == n_merges:
+                break  # the post-final-merge symbol table is never read
             nxt = cur.select(
                 "word",
                 "freq",

@@ -70,10 +70,16 @@ def gate_batch(
     (near-dups a smaller-id corpus-surviving doc in the SAME batch).
     The within-batch rule is one conservative pass: a doc is gated by
     any smaller-id corpus-survivor partner whether or not that partner
-    itself survives the batch — over-rejection can only occur inside a
-    near-dup cluster, where the doc is a duplicate of SOMETHING kept,
-    so the admitted set stays near-dup-free (the invariant that
-    matters; pinned in tests)."""
+    itself survives the batch. Along a near-dup CHAIN (A~B, B~C, A≁C)
+    this rejects both B and C keeping only A — the connected-
+    component-min semantics of the X8 cluster dedup, NOT sequential
+    greedy (which would re-admit C because its only partner B was
+    rejected); a chain's middle and tail are cluster members even when
+    not direct near-dups of the kept representative. What IS
+    guaranteed, and pinned in tests (including the chain case): the
+    admitted set is near-dup-free, every rejected doc has a banded
+    partner inside its own cluster, and the rule is one candidate join
+    — no iteration."""
     bb = _banded_minhash(
         batch, id_col, text_col, num_hashes, bands, n, seed, portable,
         cache=False,

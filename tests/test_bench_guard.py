@@ -215,3 +215,27 @@ def test_fallback_skips_mt_inflated_entries():
     # the newest entry has the QUIETEST ej but an inflated mt probe —
     # it must be disqualified before the quietest-key selection
     assert fallback is not None and fallback["git"] == "m3"
+
+
+def test_fallback_skips_cpu_inflated_entries():
+    # review finding: the skip loop banded ej/ref/mt but not the cpu
+    # probe, so a cpu-inflated run with the quietest ej could be
+    # stamped as the round pointer
+    hist = HIST + [_rec(74.0, 0.95, 60.0, git="cpu_inflated_quietest_ej")]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=300.0, speed_probe=0.44, quiet=True
+    )
+    assert ok is False
+    assert fallback is not None and fallback["git"] == "r10c"
+
+
+def test_fallback_carries_every_signal_field():
+    ok, _, fallback = representative_verdict(
+        HIST_MT, HEADLINE, empty_job_ms=300.0, speed_probe=0.44,
+        quiet=True, ref_probe=0.30, mt_probe=0.35,
+    )
+    assert ok is False
+    for field in ("empty_job_ms", "cpu_speed_probe", "ref_query_probe",
+                  "mt_speed_probe", "value", "git"):
+        assert field in fallback
+    assert fallback["mt_speed_probe"] == 0.34

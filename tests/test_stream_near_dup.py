@@ -157,3 +157,25 @@ def test_retried_batch_is_idempotent(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
     ) == [0, 1, 2]
+
+
+def test_chain_gating_is_component_min_not_sequential_greedy(spark):
+    """A~B, B~C, A!~C in one batch (estimates verified: 0.72 / 0.66 /
+    no pair): the one-pass rule rejects BOTH B and C keeping only A —
+    the connected-component-min semantics of the cluster dedup, not
+    sequential greedy (which would re-admit C after rejecting its only
+    partner B). Pinned so the gate_batch docstring's stated semantics
+    stay true."""
+    base = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+            "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+            "november", "oscar", "papa", "quebec", "romeo", "sierra",
+            "tango", "uniform", "victor", "whiskey", "xray"]
+    a = " ".join(base)
+    b = " ".join(base[:20] + ["zulu", "yankee", "neptune", "saturn"])
+    c = " ".join(base[:14] + ["mercury", "venus", "jupiter"]
+                 + base[17:20] + ["zulu", "yankee", "neptune", "saturn"])
+    batch = spark.createDataFrame([(1, a), (2, b), (3, c)], SCHEMA)
+    admitted, _, rejected = gate_batch(batch, None)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1]
+    rej = {r["doc_id"]: (r["matched_id"], r["reason"]) for r in rejected.collect()}
+    assert rej == {2: (1, "batch"), 3: (2, "batch")}

@@ -867,7 +867,11 @@ def round11b_experiment(spark) -> None:
     true_hits = (
         train_g.join(F.broadcast(eval_g), "gram").count()
     )
-    fp = (n_screened - true_hits) / max(n_screened, 1)
+    # fp rate = P(non-member passes): false positives over NON-MEMBER
+    # probes (review finding: dividing by n_screened reads ~0 when true
+    # hits dominate and ~1 when they are rare, regardless of filter
+    # quality)
+    fp = (n_screened - true_hits) / max(n_train_g - true_hits, 1)
     bloom_tbl.unpersist()
     print(
         f"\nbloom decontamination screen ({n_docs:,} docs, "
