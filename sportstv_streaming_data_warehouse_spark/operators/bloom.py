@@ -16,7 +16,11 @@ exact join alone (pinned in tests/test_bloom.py).
 Hashing: ``pos_i(key) = ((a_i·h(key) + b_i) mod P) mod n_bits`` with the
 same affine family the MinHash tier draws (operators/dedup.
 minhash_coefficients) over either the xxhash64 fast path or the
-polynomial rolling hash (``portable=True``) — the portable path's whole
+polynomial rolling hash (``portable=True``). Filters wider than P =
+2^31-1 bits (the 1e9-gram sizing is ~9.6e9) switch the fast path to k
+independent full-width xxhash64 draws — 2^63-addressable — and the
+portable path refuses (its mod-P hash cannot reach those positions).
+The portable path's whole
 pipeline (hash, positions, word/bit packing, membership conjunction)
 re-runs in plain SQL, so a DuckDB oracle can replay it bit-for-bit
 (tests/test_bloom.py pins that replay; a catalog registration carries
@@ -69,6 +73,31 @@ def _key_hash(key: Column, portable: bool) -> Column:
 def _positions(
     key: Column, n_bits: int, n_hashes: int, seed: int, portable: bool
 ) -> list[Column]:
+    # The affine family draws positions mod P = 2^31-1, so a filter wider
+    # than P bits is silently unaddressable (round-11 ADVICE: the 1e9-gram
+    # sizing is ~9.6e9 bits — the probe space would collapse to 2^31 and
+    # the real FP rate climbs to ~75%). Wide filters therefore switch to
+    # k independent full-width xxhash64 draws (key hashed together with
+    # the seed and the probe index — 2^63-addressable, no overflow, same
+    # expression on build and probe so one-sidedness is preserved). The
+    # portable path cannot follow (its polynomial hash is mod-P by design
+    # for the SQL replay), so it refuses loudly instead of screening at
+    # a collapsed width.
+    if n_bits >= _P:
+        if portable:
+            raise ValueError(
+                f"portable bloom positions are drawn mod P={_P}; "
+                f"n_bits={n_bits} >= P is unaddressable on the portable "
+                "path — use portable=False (wide xxhash64 family) or a "
+                "higher fpp/sharded filter"
+            )
+        return [
+            F.pmod(
+                F.xxhash64(key, F.lit(int(seed)), F.lit(i)),
+                F.lit(int(n_bits)),
+            )
+            for i in range(n_hashes)
+        ]
     h = _key_hash(key, portable)
     return [
         ((h * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(int(n_bits))
@@ -182,10 +211,12 @@ def bloom_prefilter_join(
     only ``big`` rows whose key might be present, then CONFIRM with the
     exact semi join — result rows are exactly ``big ⋉ small`` (the bloom
     only shrinks what reaches the join; one-sided errors guarantee
-    equality). ``n_items`` sizes the filter (default: count(small) —
-    one cheap aggregate job)."""
+    equality). ``n_items`` sizes the filter (default: the DISTINCT
+    non-null key count of ``small`` — the quantity the sizing formula is
+    stated in; a raw count would oversize n_bits and the broadcast by
+    the small side's key-duplication factor)."""
     if n_items is None:
-        n_items = small.select(key_col).count()
+        n_items = small.select(key_col).na.drop().distinct().count()
     n_bits, n_hashes = bloom_parameters(max(n_items, 1), fpp)
     bloom = bloom_build(small, key_col, n_bits, n_hashes, seed, portable)
     screened = with_bloom_maybe(

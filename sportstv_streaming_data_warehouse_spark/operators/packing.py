@@ -82,17 +82,23 @@ def pack_context_windows(
     b = F.lit(int(budget)).cast("long")
     start = (F.col("__end") - F.col("n_tokens")).cast("long")
     end = F.col("__end").cast("long")
+    # sequence bounds use integer `div`, never floor(long / long): the
+    # `/` operator is DOUBLE division, which silently mis-rounds once the
+    # cumulative token stream passes 2^53 (round-11 ADVICE) — div keeps
+    # the layout exact integer math at any stream length
     spans = (
         run.withColumn("__start", start)
+        .withColumn("__endl", end)
         .withColumn(
             "seq_id",
             F.explode(
                 F.sequence(
-                    F.floor(F.col("__start") / b),
-                    F.floor((end - F.lit(1)) / b),
+                    F.expr(f"__start div {int(budget)}"),
+                    F.expr(f"(__endl - 1) div {int(budget)}"),
                 )
             ),
         )
+        .drop("__endl")
         .withColumn("__seq_lo", F.col("seq_id") * b)
         .withColumn("__from", F.greatest(F.col("__start"), F.col("__seq_lo")))
         .withColumn("__to", F.least(end, F.col("__seq_lo") + b))

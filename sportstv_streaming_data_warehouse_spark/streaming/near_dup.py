@@ -62,8 +62,16 @@ def gate_batch(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    batch_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One gating step: returns (admitted, admitted_bands, rejected).
+
+    ``batch_bands`` (optional) supplies the batch's banded signatures —
+    MUST be ``_banded_minhash(batch, ...)`` output under identical
+    parameters. The streaming gate persists it once per micro-batch so
+    the three downstream writes (index, admitted, rejected) don't each
+    re-run the MinHash banding (round-11 ADVICE: ~3x redundant signature
+    computation otherwise); callers that pass it own its lifecycle.
 
     ``rejected`` rows are (id, matched_id, est_jaccard, reason) with
     reason 'corpus' (near-dups something already admitted) or 'batch'
@@ -80,9 +88,13 @@ def gate_batch(
     admitted set is near-dup-free, every rejected doc has a banded
     partner inside its own cluster, and the rule is one candidate join
     — no iteration."""
-    bb = _banded_minhash(
-        batch, id_col, text_col, num_hashes, bands, n, seed, portable,
-        cache=False,
+    bb = (
+        batch_bands
+        if batch_bands is not None
+        else _banded_minhash(
+            batch, id_col, text_col, num_hashes, bands, n, seed, portable,
+            cache=False,
+        )
     )
     if index_bands is not None:
         corpus_pairs = banded_pairs_cross(
@@ -129,6 +141,12 @@ def gate_batch(
     return admitted, admitted_bands, rejected
 
 
+# first batch: no index yet — a missing dir raises PATH_NOT_FOUND, an
+# existing-but-empty dir UNABLE_TO_INFER_SCHEMA (probed on Spark 4.1.2).
+# Only these mean "treat as empty index".
+_NO_INDEX_ERROR_CLASSES = frozenset({"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"})
+
+
 def _read_index(
     spark: SparkSession, index_dir: str, exclude_batch: int
 ) -> DataFrame | None:
@@ -136,10 +154,15 @@ def _read_index(
 
     try:
         idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    except AnalysisException:  # first batch: no index yet (PATH_NOT_FOUND /
-        # UNABLE_TO_INFER_SCHEMA on an empty dir); anything else — e.g. a
-        # corrupt index — must FAIL the batch, not silently double-admit
-        return None
+    except AnalysisException as e:
+        # ONLY the two "no index yet" classes are first-batch conditions;
+        # any other AnalysisException (bad basePath layout, conflicting
+        # partition schema, permission errors surfaced as analysis
+        # errors) must FAIL the batch, not silently double-admit
+        # (round-11 ADVICE: the bare catch misclassified those).
+        if e.getCondition() in _NO_INDEX_ERROR_CLASSES:
+            return None
+        raise
     if "ingest_batch" not in idx.columns:
         return None
     return idx.filter(F.col("ingest_batch") != exclude_batch).drop("ingest_batch")
@@ -162,13 +185,22 @@ def make_near_dup_gate(
     ``<dir>/ingest_batch=<id>`` with overwrite (idempotent on retry)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import _banded_minhash
+
         spark = batch.sparkSession
         index = _read_index(spark, index_dir, batch_id)
         batch = batch.persist()
+        # persist the banded signatures ONCE: the index, admitted, and
+        # rejected writes all hang off them, and without this each write
+        # re-runs the MinHash banding from the raw batch (round-11 ADVICE)
+        bb = _banded_minhash(
+            batch, id_col, text_col, num_hashes, bands, n, seed, portable,
+            cache=False,
+        ).persist()
         try:
             admitted, admitted_bands, rejected = gate_batch(
                 batch, index, id_col, text_col, num_hashes, bands, n,
-                threshold, seed, portable,
+                threshold, seed, portable, batch_bands=bb,
             )
             admitted_bands = admitted_bands.persist()
             try:
@@ -185,6 +217,7 @@ def make_near_dup_gate(
             finally:
                 admitted_bands.unpersist()
         finally:
+            bb.unpersist()
             batch.unpersist()
 
     return process

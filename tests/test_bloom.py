@@ -191,6 +191,58 @@ def test_membership_plan_is_all_broadcast_hash_joins(spark, built):
     assert final.count("ReusedExchange") == n_hashes - 1
 
 
+def test_wide_filter_addresses_past_2_31_bits(spark):
+    # round-11 ADVICE: the affine family draws mod P = 2^31-1, so any
+    # n_bits >= P was silently unreachable (the 1e9-gram sizing needs
+    # ~9.6e9 bits). The wide xxhash64 family must (a) keep the
+    # no-false-negative contract, (b) actually set bits past 2^31, and
+    # (c) keep the FP rate near target instead of collapsing to ~75%.
+    n_bits = ((5_000_000_000 + 63) // 64) * 64
+    n_hashes = 7
+    members = spark.createDataFrame(
+        [(f"wide-{i}",) for i in range(300)], "key string"
+    )
+    bloom = bloom_build(members, "key", n_bits, n_hashes)
+    max_word = bloom.agg(F.max("word_idx")).collect()[0][0]
+    assert max_word * 64 > 2**31  # bits past the old collapse point are set
+    out = with_bloom_maybe(members, "key", bloom, n_bits, n_hashes)
+    assert out.filter(~F.col("bloom_maybe")).count() == 0
+    probes = spark.createDataFrame(
+        [(f"absent-wide-{i}",) for i in range(2000)], "key string"
+    )
+    fp = (
+        with_bloom_maybe(probes, "key", bloom, n_bits, n_hashes)
+        .filter(F.col("bloom_maybe"))
+        .count()
+    )
+    # 300 keys in 5e9 bits: expected FP ~ 0; anything over 1% means the
+    # position space collapsed
+    assert fp / 2000 < 0.01
+
+
+def test_wide_filter_refuses_the_portable_path(spark):
+    members = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="portable"):
+        bloom_build(members, "key", _P + 64, 3, portable=True)
+
+
+def test_prefilter_join_sizing_ignores_dup_and_null_small_keys(spark):
+    # the default n_items must be the DISTINCT non-null key count (the
+    # sizing formula's quantity) — and the composed join must still
+    # equal the exact join when the small side carries dups and NULLs
+    big = spark.createDataFrame(
+        [(i, f"k{i % 20}") for i in range(200)], "row_id long, key string"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(500)] + [(None,)] * 10, "key string"
+    )
+    exact = big.join(small.select("key").distinct(), "key", "left_semi")
+    got = bloom_prefilter_join(big, small, "key", fpp=0.01)
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in exact.collect()
+    )
+
+
 def test_null_keys_screen_out_cleanly(spark):
     # a NULL probe key must neither throw (ANSI) nor pass the screen
     # when the built set holds only real keys

@@ -189,6 +189,25 @@ def test_plan_has_no_single_partition_window(spark, corpus_spans):
     assert saw_window
 
 
+def test_layout_is_exact_past_2_53_cumulative_tokens(spark):
+    """round-11 ADVICE: seq_id bounds must use integer `div`, not
+    floor(long / long) — `/` is DOUBLE division, and past 2^53 cumulative
+    tokens a start of 8193*2^40 - 1 rounds UP to the 8193*2^40 boundary,
+    silently dropping the 1-token span in sequence 8192."""
+    b = 2**40
+    rows = [(i, b) for i in range(8192)]  # cumulative hits exactly 2^53
+    rows.append((8192, b - 1))  # next start: 8193*2^40 - 1, unrepresentable
+    rows.append((8193, 5))  # straddles the 8193*2^40 boundary
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r["seq_id"], r["doc_offset"], r["seq_offset"], r["span_tokens"])
+        for r in pack_context_windows(df, "doc_id", "n_tokens", b)
+        .filter(F.col("doc_id") == 8193)
+        .collect()
+    )
+    assert got == [(8192, 0, b - 1, 1), (8193, 1, 0, 4)]
+
+
 from hypothesis import given, settings, strategies as st
 
 

@@ -179,3 +179,59 @@ def test_chain_gating_is_component_min_not_sequential_greedy(spark):
     assert sorted(r["doc_id"] for r in admitted.collect()) == [1]
     rej = {r["doc_id"]: (r["matched_id"], r["reason"]) for r in rejected.collect()}
     assert rej == {2: (1, "batch"), 3: (2, "batch")}
+
+
+def test_read_index_treats_only_no_index_errors_as_first_batch(spark, tmp_path):
+    """round-11 ADVICE: the bare AnalysisException catch misclassified
+    corrupt-layout errors as 'no index yet' and admitted the batch
+    unscreened. Missing dir and empty dir ARE first-batch conditions;
+    a conflicting directory structure under basePath must propagate."""
+    from pyspark.errors import AnalysisException
+
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        _read_index,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert _read_index(spark, missing, 0) is None
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_index(spark, str(empty), 0) is None
+    # any OTHER analysis error (layout/permission problems surface with
+    # a different — or no — error class) must propagate, not be
+    # misread as "no index yet"
+    class _Reader:
+        def option(self, *a):
+            return self
+
+        def parquet(self, p):
+            raise AnalysisException("corrupt index layout")  # class None
+
+    class _FakeSpark:
+        read = _Reader()
+
+    with pytest.raises(AnalysisException, match="corrupt index layout"):
+        _read_index(_FakeSpark(), str(tmp_path / "whatever"), 0)
+
+
+def test_gate_batch_honors_precomputed_batch_bands(spark):
+    """batch_bands passthrough (the streaming gate persists it once per
+    micro-batch): identical-parameter bands give identical gating."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _banded_minhash,
+    )
+
+    batch = spark.createDataFrame(BATCH1, SCHEMA)
+    plain_adm, _, plain_rej = gate_batch(batch, None)
+    bb = _banded_minhash(batch, "doc_id", "text", 32, 8, 3, 42, False,
+                         cache=False).persist()
+    try:
+        adm, _, rej = gate_batch(batch, None, batch_bands=bb)
+        assert sorted(r["doc_id"] for r in adm.collect()) == sorted(
+            r["doc_id"] for r in plain_adm.collect()
+        )
+        assert sorted((r["doc_id"], r["matched_id"]) for r in rej.collect()) == sorted(
+            (r["doc_id"], r["matched_id"]) for r in plain_rej.collect()
+        )
+    finally:
+        bb.unpersist()
