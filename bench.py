@@ -370,6 +370,40 @@ def representative_verdict(
     return False, evidence, fallback
 
 
+def stamp_record(record: dict, representative: bool, rep_fallback: dict | None) -> dict:
+    """Round-12 (verdict task 5): when the run is NON-representative and
+    a qualifying quiet-box twin exists, the stdout record — the line the
+    driver stamps as BENCH_r{N}.json — carries the FALLBACK's
+    value/queries outright instead of a pointer a reader must follow
+    (round 11 stamped a uniformly 1.35x-inflated vector with the
+    representative numbers one indirection away). The live run's numbers
+    move to live_value/live_queries, provenance goes under stamped_from,
+    and the HISTORY append still records the live run untouched (history
+    is the raw record; the promotion is presentation of the round
+    artifact only). Representative runs pass through unchanged."""
+    if (
+        representative
+        or rep_fallback is None
+        or not isinstance(rep_fallback.get("value"), (int, float))
+        or not rep_fallback.get("queries")
+    ):
+        return record
+    return dict(
+        record,
+        value=rep_fallback["value"],
+        queries=rep_fallback["queries"],
+        live_value=record["value"],
+        live_queries=record["queries"],
+        stamped_from={
+            k: rep_fallback.get(k)
+            for k in (
+                "git", "wall_clock", "empty_job_ms", "cpu_speed_probe",
+                "ref_query_probe", "mt_speed_probe",
+            )
+        },
+    )
+
+
 def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:
     """Best-effort load gate: returns True once loadavg_1m <= max_load,
     False if the box stayed busy through all attempts."""
@@ -897,8 +931,10 @@ def main() -> None:
         record["contaminated"] = True
     import sys
 
+    out = stamp_record(record, representative, rep_fallback)
+
     print(json.dumps(detail), file=sys.stderr)
-    print(json.dumps(record))
+    print(json.dumps(out))
     spark.stop()
 
     if not quiet:

@@ -1230,13 +1230,20 @@ def ivfpq_index_build(
                 corpus.select(
                     F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("__v"),
+                ).withColumn(
+                    # per-row content hash of the RAW (id, vector) — the
+                    # freshness anchor ivfpq_index_audit compares against
+                    # the live corpus (hashed before normalization so the
+                    # corpus side needs no pipeline replay)
+                    "vec_hash",
+                    F.xxhash64(F.col("neighbor_id"), F.col("__v")),
                 ),
                 centroids, "neighbor_id", "__v", 1,
             ),
             "__v",
         ),
         books, "__v",
-    ).select("neighbor_id", "centroid_id", "codes")
+    ).select("neighbor_id", "centroid_id", "codes", "vec_hash")
     enc.write.partitionBy("centroid_id").mode("overwrite").parquet(
         os.path.join(index_dir, "codes")
     )
@@ -1340,6 +1347,75 @@ def ivfpq_serve_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "approx_sq_l2")
     )
+
+
+def ivfpq_index_audit(
+    spark,
+    index_dir: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Freshness audit of a materialized ivfpq_index_build index against
+    the LIVE corpus — the cheap check a serving layer runs before
+    trusting the index (round-11 verdict task 7: serve==inline parity is
+    pinned, but nothing detected a STALE index after corpus drift).
+
+    Three order-independent aggregates per side (one column-pruned scan
+    of the codes table's (neighbor_id, vec_hash), one of the corpus's
+    (id, vector) — no join, no shuffle beyond the two single-row aggs,
+    so the audit stays cheap at any corpus size):
+
+    - row counts (insert/delete drift);
+    - ``bit_xor(xxhash64(id))`` — the id-SET fingerprint (same counts
+      but different membership);
+    - ``bit_xor(xxhash64(id, vector))`` vs the index's stored per-row
+      ``vec_hash`` (written at build time from the RAW vector) — the
+      CONTENT fingerprint, catching in-place vector mutations that
+      counts and id sets cannot see. Indexes built before the vec_hash
+      column report ``content_check='unavailable'`` instead of a false
+      verdict.
+
+    Returns a dict with both sides' facts and ``fresh`` — False is the
+    rebuild trigger (re-run ivfpq_index_build; the serving layer keeps
+    reading the old index until the overwrite lands, same as any
+    build-once/serve-many artifact)."""
+    import os
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    c = corpus.select(
+        F.count("*").alias("rows"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("id_fp"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col))).alias(
+            "content_fp"
+        ),
+    ).collect()[0]
+    aggs = [
+        F.count("*").alias("rows"),
+        F.bit_xor(F.xxhash64(F.col("neighbor_id"))).alias("id_fp"),
+    ]
+    has_hash = "vec_hash" in codes.columns
+    if has_hash:
+        aggs.append(F.bit_xor(F.col("vec_hash")).alias("content_fp"))
+    i = codes.select(*aggs).collect()[0]
+    rows_match = c["rows"] == i["rows"]
+    ids_match = c["id_fp"] == i["id_fp"]
+    if has_hash:
+        content_match = c["content_fp"] == i["content_fp"]
+        content_check = "ok" if content_match else "mismatch"
+    else:
+        content_match = None
+        content_check = "unavailable"
+    return {
+        "corpus_rows": c["rows"],
+        "index_rows": i["rows"],
+        "row_count_match": rows_match,
+        "id_fingerprint_match": ids_match,
+        "content_check": content_check,
+        "fresh": bool(
+            rows_match and ids_match and content_match is not False
+        ),
+    }
 
 
 def ivfpq_recall_at_k(

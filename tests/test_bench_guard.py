@@ -239,3 +239,35 @@ def test_fallback_carries_every_signal_field():
                   "mt_speed_probe", "value", "git"):
         assert field in fallback
     assert fallback["mt_speed_probe"] == 0.34
+
+
+def test_stamp_record_promotes_the_fallback_numbers():
+    """round-12 (verdict task 5): a non-representative run's stdout
+    record carries the fallback's value/queries OUTRIGHT; the live
+    numbers move aside with provenance."""
+    from bench import stamp_record
+
+    live = {"value": 50.9, "queries": {"q_a": 25.0, "q_b": 25.9},
+            "representative": False}
+    fb = _rec(77.0, 0.44, 37.8, git="quiet1")
+    fb["ref_query_probe"] = 0.17
+    fb["mt_speed_probe"] = 1.1
+    out = stamp_record(live, False, fb)
+    assert out["value"] == 37.8
+    assert out["queries"] == fb["queries"]
+    assert out["live_value"] == 50.9
+    assert out["live_queries"] == {"q_a": 25.0, "q_b": 25.9}
+    assert out["stamped_from"]["git"] == "quiet1"
+    assert out["stamped_from"]["ref_query_probe"] == 0.17
+    # the input record is NOT mutated — history appends the live run
+    assert live["value"] == 50.9 and "stamped_from" not in live
+
+
+def test_stamp_record_passes_through_when_representative_or_no_fallback():
+    from bench import stamp_record
+
+    live = {"value": 40.0, "queries": {"q_a": 20.0, "q_b": 20.0}}
+    assert stamp_record(live, True, _rec(77.0, 0.44, 37.8)) is live
+    assert stamp_record(live, False, None) is live
+    # a fallback without numbers cannot stamp
+    assert stamp_record(live, False, {"git": "x", "value": None}) is live

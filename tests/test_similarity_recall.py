@@ -498,3 +498,59 @@ def test_ivfpq_prebuilt_index_serve_matches_inline(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     seg = plan[plan.index("PartitionFilters"):]
     assert "centroid_id" in seg[: seg.index("]") + 1]
+
+
+def test_ivfpq_index_audit_detects_planted_drift(spark, tmp_path):
+    """round-12 (verdict task 7): the freshness audit. Fresh index ->
+    fresh=True; an inserted corpus row -> row-count drift; a same-count
+    id swap -> id-fingerprint drift; an in-place vector mutation (same
+    ids, same counts) -> content-fingerprint drift (only the stored
+    per-row vec_hash can see it)."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        ivfpq_index_audit,
+        ivfpq_index_build,
+    )
+
+    emb = load_table(spark, SF01, "embeddings").filter(F.col("vec_id") < 200)
+    idx = str(tmp_path / "audit_index")
+    ivfpq_index_build(emb, idx)
+
+    a = ivfpq_index_audit(spark, idx, emb)
+    assert a["fresh"] and a["row_count_match"]
+    assert a["id_fingerprint_match"] and a["content_check"] == "ok"
+
+    grown = emb.unionByName(
+        emb.filter(F.col("vec_id") == 0).withColumn(
+            "vec_id", F.lit(999_999).cast("long")
+        )
+    )
+    g = ivfpq_index_audit(spark, idx, grown)
+    assert not g["fresh"] and not g["row_count_match"]
+
+    swapped = emb.withColumn(
+        "vec_id",
+        F.when(F.col("vec_id") == 0, F.lit(999_999).cast("long")).otherwise(
+            F.col("vec_id")
+        ),
+    )
+    s = ivfpq_index_audit(spark, idx, swapped)
+    assert not s["fresh"] and s["row_count_match"]
+    assert not s["id_fingerprint_match"]
+
+    mutated = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")),
+        ).otherwise(F.col("embedding")),
+    )
+    m = ivfpq_index_audit(spark, idx, mutated)
+    assert not m["fresh"] and m["row_count_match"]
+    assert m["id_fingerprint_match"] and m["content_check"] == "mismatch"
+
+    # a pre-vec_hash index degrades to 'unavailable', never a false verdict
+    legacy = spark.read.parquet(f"{idx}/codes").drop("vec_hash")
+    legacy_dir = str(tmp_path / "legacy_index")
+    legacy.write.partitionBy("centroid_id").parquet(f"{legacy_dir}/codes")
+    la = ivfpq_index_audit(spark, legacy_dir, emb)
+    assert la["content_check"] == "unavailable" and la["fresh"]

@@ -235,3 +235,32 @@ def test_gate_batch_honors_precomputed_batch_bands(spark):
         )
     finally:
         bb.unpersist()
+
+
+def test_index_is_bucket_partitioned_and_the_gate_prunes_it(spark, gated):
+    """round-12 (verdict task 4): the index layout is PARTITIONED BY
+    band_bucket, the gate's corpus candidate join (a) prunes the index
+    scan to the batch's occupied buckets via a PartitionFilter and
+    (b) broadcasts the batch side so the growing index is never
+    shuffled or sorted."""
+    import glob
+
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        _read_index,
+    )
+
+    # layout: every ingest_batch partition fans out into band_bucket=*
+    assert glob.glob(f"{gated['index']}/ingest_batch=*/band_bucket=*")
+    index = _read_index(spark, gated["index"], exclude_batch=99)
+    assert "band_bucket" in index.columns
+    batch = spark.createDataFrame([BATCH2[0]], SCHEMA)
+    _, _, rejected = gate_batch(batch, index)
+    plan = rejected._jdf.queryExecution().executedPlan().toString()
+    # the isin on the partition column must land as a PartitionFilter
+    # (scan prune), not a post-scan Filter
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("band_bucket" in ln for ln in scan_lines), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -966,6 +966,85 @@ def round11c_experiment(spark) -> None:
         )
 
 
+def round12_experiment(spark) -> None:
+    """Round-12 task 4: the near-dup gate's steady-state wall after the
+    bucketed-index + broadcast-batch rework (streaming/near_dup.py).
+
+    Two regimes on the zipfian corpus:
+    - the r11b table replayed (20K-doc batches, 100K docs): with the
+      batch side broadcast the growing index is never shuffled/sorted;
+      the only index-tracking term left is the raw parquet scan, whose
+      constant is far below the r11b join's (9->15 s doubling walls).
+    - the production steady state (50-doc trickle batches against the
+      accumulated index): here the band_bucket PartitionFilter also
+      prunes the scan to the batch's occupied buckets, and walls are
+      flat-by-construction.
+    """
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        make_near_dup_gate,
+    )
+
+    n_docs, n_batches = 100_000, 5
+    base = f"{DST}_r11b_zipf_{n_docs}"
+    if not os.path.isdir(f"{base}/documents.parquet"):
+        os.makedirs(base, exist_ok=True)
+        zipf_documents(spark, n_docs).write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    per = n_docs // n_batches
+    gate_root = f"{DST}_r12_gate"
+    shutil.rmtree(gate_root, ignore_errors=True)
+    process = make_near_dup_gate(
+        f"{gate_root}/index", f"{gate_root}/admitted", threshold=0.5
+    )
+    print(f"streaming near-dup gate, r11b regime ({per:,} docs/batch)")
+    print(f"{'batch':>6} {'wall':>7} {'admitted':>9} {'index docs':>11}")
+    for b in range(n_batches):
+        batch = docs.filter(
+            (F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per)
+        )
+        t0 = time.perf_counter()
+        process(batch, b)
+        w = time.perf_counter() - t0
+        adm = spark.read.parquet(
+            f"{gate_root}/admitted/ingest_batch={b}"
+        ).count()
+        idx = (
+            spark.read.parquet(f"{gate_root}/index")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        print(f"{b:>6} {w:6.2f}s {adm:9,d} {idx:11,d}")
+
+    # steady-state trickle: 10 tiny batches against the accumulated
+    # index — the wall must be flat (index doubled during the regime
+    # above; these batches see all of it)
+    trickle = zipf_documents(spark, 500).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    trickle.persist().count()
+    print("\nsteady-state trickle (50 docs/batch against the full index)")
+    print(f"{'batch':>6} {'wall':>7}")
+    walls = []
+    for b in range(10):
+        batch = trickle.filter(
+            (F.col("doc_id") - 10_000_000 >= b * 50)
+            & (F.col("doc_id") - 10_000_000 < (b + 1) * 50)
+        )
+        t0 = time.perf_counter()
+        process(batch, n_batches + b)
+        w = time.perf_counter() - t0
+        walls.append(w)
+        print(f"{n_batches + b:>6} {w:6.2f}s")
+    trickle.unpersist()
+    print(
+        f"trickle walls: first {walls[0]:.2f}s, last {walls[-1]:.2f}s, "
+        f"max/min {max(walls) / min(walls):.2f}x (flat = no index tracking)"
+    )
+
+
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     def run():
         # hash-reduce forces every column of every output row (count()
@@ -1014,6 +1093,10 @@ def main() -> None:
         return
     if "--round11c" in sys.argv:
         round11c_experiment(spark)
+        spark.stop()
+        return
+    if "--round12" in sys.argv:
+        round12_experiment(spark)
         spark.stop()
         return
     print(f"building {REPLICAS}x replica of {SRC} at {DST} ...")
