@@ -8073,6 +8073,123 @@ def x_bpe_top_pairs(spark, sf_dir):
     return top_pairs(docs, "text", k=20)
 
 
+def _near_dup_gate_oracle() -> str:
+    """SQL replay of the FULL streaming near-dup gate over two ingest
+    batches on the portable hash family: signatures, banding, the
+    corpus candidate join, the conservative smaller-id within-batch
+    rule, and the fold of batch-0's admitted bands into batch-1's
+    corpus — the exact admitted grain streaming/near_dup.replay_gate
+    produces (and the stream is pinned equal to replay_gate in
+    tests/test_stream_near_dup.py, closing the transitive loop)."""
+    coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
+    slots = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in enumerate(coefs)
+    )
+
+    def band_key(k: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(k * _MH_RPB, (k + 1) * _MH_RPB):
+            acc = f"(({acc}) * 1000003 + m{i}) % {_MH_P}"
+        return f"{acc} AS bh{k}"
+
+    bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
+
+    def match(x: str, y: str) -> str:
+        any_band = " OR ".join(
+            f"{x}.bh{k} = {y}.bh{k}" for k in range(_MH_BANDS)
+        )
+        est = " + ".join(
+            f"(CASE WHEN {x}.m{i} = {y}.m{i} THEN 1 ELSE 0 END)"
+            for i in range(_MH_K)
+        )
+        return f"({any_band}) AND ({est}) / 32.0 >= {_MH_TAU}"
+
+    return rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM documents, UNNEST(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS u(tok)
+    ),
+    th AS (
+      SELECT doc,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''),
+                              ch -> CAST(COALESCE(ascii(ch), 0) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % {_MH_P}) AS h
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc,
+             {slots}
+      FROM th GROUP BY doc
+    ),
+    banded AS (
+      SELECT *,
+             {bands}
+      FROM sig
+    ),
+    split AS (SELECT doc_id, {_FP} % 10 AS sb FROM documents),
+    b0 AS (SELECT bd.* FROM banded bd JOIN split s ON s.doc_id = bd.doc AND s.sb != 9),
+    b1 AS (SELECT bd.* FROM banded bd JOIN split s ON s.doc_id = bd.doc AND s.sb = 9),
+    rej0 AS (
+      SELECT DISTINCT a.doc FROM b0 a JOIN b0 p
+        ON p.doc < a.doc AND {match("a", "p")}
+    ),
+    adm0 AS (SELECT doc FROM b0 WHERE doc NOT IN (SELECT doc FROM rej0)),
+    adm0b AS (SELECT bd.* FROM banded bd JOIN adm0 ON adm0.doc = bd.doc),
+    crej1 AS (
+      SELECT DISTINCT a.doc FROM b1 a JOIN adm0b c ON {match("a", "c")}
+    ),
+    surv1 AS (
+      SELECT * FROM b1 WHERE doc NOT IN (SELECT doc FROM crej1)
+    ),
+    brej1 AS (
+      SELECT DISTINCT a.doc FROM surv1 a JOIN surv1 p
+        ON p.doc < a.doc AND {match("a", "p")}
+    ),
+    adm1 AS (SELECT doc FROM surv1 WHERE doc NOT IN (SELECT doc FROM brej1))
+    SELECT doc AS doc_id, CAST(0 AS INTEGER) AS ingest_batch FROM adm0
+    UNION ALL
+    SELECT doc AS doc_id, CAST(1 AS INTEGER) AS ingest_batch FROM adm1
+    """
+
+
+@query("s_near_dup_gate_grain", oracle=_near_dup_gate_oracle())
+def s_near_dup_gate_grain(spark, sf_dir):
+    # The streaming near-dup gate's finalized ADMITTED grain (X127,
+    # streaming/near_dup.py) — the FOURTH streaming module transitively
+    # oracle-verified: the content-hash split plays two ingest batches,
+    # replay_gate folds gate_batch over them exactly as the foreachBatch
+    # stream does (tests/test_stream_near_dup.py pins stream ==
+    # replay_gate), and the oracle replays the whole gate — signatures,
+    # banding, corpus candidate join against batch-0's admitted bands,
+    # and the conservative smaller-id within-batch rule — in plain SQL
+    # on the portable hash family (n=1 token shingles, tau 0.6, the
+    # x_dedup_incremental operating point). Zero-token docs are
+    # excluded up front (they band to NULL and can never collide).
+    from ..streaming.near_dup import replay_gate
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        T.token_count(F.col("text")) > 0
+    )
+    tagged = docs.withColumn("__sb", T.fingerprint(F.col("text")) % 10)
+    b0 = tagged.filter(F.col("__sb") != 9).withColumn(
+        "ingest_batch", F.lit(0)
+    )
+    b1 = tagged.filter(F.col("__sb") == 9).withColumn(
+        "ingest_batch", F.lit(1)
+    )
+    admitted, _ = replay_gate(
+        [
+            b0.select("doc_id", "text", "ingest_batch"),
+            b1.select("doc_id", "text", "ingest_batch"),
+        ],
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1,
+        threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+    )
+    return admitted.select("doc_id", "ingest_batch")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -8271,16 +8388,22 @@ def x_bpe_top_pairs(spark, sf_dir):
 #
 # Round-12 rotation (tools/rotate_window.py, ledger folded from
 # CORRECTNESS_r11's 50/50 green): 2 anchors + the 16 mandatory
-# r8-cohort queries the staleness guard printed + 29 r9-cohort
+# r8-cohort queries the staleness guard printed + 28 r9-cohort
 # pre-pays + the 3 staged round-11 debuts registered per the round-11
 # verdict's task 2 (x_pack_context — the context-window packing layout,
 # its running-sum + generate_series replay promoted from
 # tests/test_packing.py; x_decontam_bloom — the Bloom-screened
 # decontamination pinned EQUAL to the exact join; x_bpe_top_pairs —
-# the BPE round-0 pair statistics promoted from tests/test_bpe.py).
-# Displaced: x_fingerprint, x_heavy_hitters, x_kmeans_lloyd (all
-# r9-green). Round-13 projected mandatory: the 48 r9-cohort queries
-# minus the 29 pre-paid here = 19 of 48 slots — solvent.
+# the BPE round-0 pair statistics promoted from tests/test_bpe.py)
+# + 1 round-12 debut (s_near_dup_gate_grain — the streaming gate's
+# admitted grain, the FOURTH streaming module transitively
+# oracle-verified: the oracle replays the ENTIRE two-batch gate —
+# signatures, banding, corpus join, within-batch rule — in SQL on the
+# portable family, and the foreachBatch stream is pinned equal to the
+# same portable replay_gate in tests). Displaced: x_embedding_quantize,
+# x_fingerprint, x_heavy_hitters, x_kmeans_lloyd (all r9-green).
+# Round-13 projected mandatory: the 48 r9-cohort queries minus the 28
+# pre-paid here = 20 of 48 slots — solvent.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
@@ -8333,12 +8456,13 @@ CORRECTNESS_WINDOW = [
     "x_doc_chunking",
     "x_doc_stats_by_lang",
     "x_dupgraph_degree",
-    "x_embedding_quantize",
-    # round-12 debuts (displacing the three newest pre-pays:
-    # x_fingerprint, x_heavy_hitters, x_kmeans_lloyd — all r9-green)
+    # round-12 debuts (displacing the four newest pre-pays:
+    # x_embedding_quantize, x_fingerprint, x_heavy_hitters,
+    # x_kmeans_lloyd — all r9-green)
     "x_pack_context",
     "x_decontam_bloom",
     "x_bpe_top_pairs",
+    "s_near_dup_gate_grain",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

@@ -278,10 +278,17 @@ def make_near_dup_gate(
             )
             admitted_bands = admitted_bands.persist()
             try:
+                # repartition by bucket before the partitioned write:
+                # partitionBy alone writes one file per (task x bucket)
+                # — measured 4,608 files for 5 batches at 32 tasks; the
+                # batch-sized shuffle collapses that to one file per
+                # OCCUPIED bucket per batch (<= index_buckets)
                 admitted_bands.withColumn(
                     "band_bucket",
                     F.pmod(F.col("band_hash"), F.lit(int(index_buckets))),
-                ).write.mode("overwrite").partitionBy("band_bucket").parquet(
+                ).repartition(F.col("band_bucket")).write.mode(
+                    "overwrite"
+                ).partitionBy("band_bucket").parquet(
                     f"{index_dir}/ingest_batch={batch_id}"
                 )
                 admitted.write.mode("overwrite").parquet(
@@ -300,6 +307,133 @@ def make_near_dup_gate(
             batch.unpersist()
 
     return process
+
+
+#: partition id of the compacted base (never a live micro-batch id, so
+#: the gate's current-batch exclusion can never drop it)
+COMPACT_BASE_BATCH = -1
+_COMPACT_STAGING_BATCH = -2
+
+
+def _hadoop_path(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(p)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _count_index_files(spark: SparkSession, index_dir: str) -> int:
+    fs, path = _hadoop_path(spark, index_dir)
+    if not fs.exists(path):
+        return 0
+    it, n = fs.listFiles(path, True), 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    upto_batch: int,
+    id_col: str = "doc_id",
+    index_buckets: int = INDEX_BUCKETS,
+) -> dict:
+    """Fold the committed ``ingest_batch`` partitions (id <=
+    ``upto_batch``), any existing base, and any crashed staging into ONE
+    base partition ``ingest_batch=-1`` — the periodic maintenance pass
+    that keeps the signature index's file count flat while the gate
+    keeps appending one partition per micro-batch (SCALE.md round 12,
+    note (c): bucket fan-out is bounded per batch but grows with batch
+    COUNT; compaction is the lever). The band_bucket layout is
+    preserved (the gate's PartitionFilter prune is unaffected), each
+    bucket collapses to one file, and rows within a file are sorted by
+    band_hash for row-group locality.
+
+    Crash-safety leans on two properties rather than transactions:
+    DUPLICATE index rows are semantically benign (the candidate join
+    dedups pairs, so a re-surfaced folded partition cannot change any
+    gate verdict — pinned in tests), and every step is re-runnable:
+
+    1. the fold (old base + staging + batches <= upto, deduped on
+       (id, band_id)) is fully MATERIALIZED to a sibling temp dir
+       OUTSIDE the index tree (so Spark's overwrite-while-reading guard
+       never trips, and a crash here leaves the index untouched);
+    2. the temp dir renames INTO the tree as the staging partition
+       ``ingest_batch=-2`` — from here the index is complete (possibly
+       duplicated), whatever happens;
+    3. the folded source partitions (including the old base) are
+       deleted — a crash mid-way leaves staging + stragglers;
+    4. staging renames to the base ``ingest_batch=-1`` — a crash before
+       this leaves the index complete under the staging id (the gate
+       reads it like any partition), and the next compact_index folds
+       it.
+
+    Only fold batch ids the stream has MOVED PAST (a retry of batch b
+    overwrites ``ingest_batch=b``, which must not race the fold) — the
+    caller owns that watermark, e.g. ``upto_batch = current - 1``.
+    Returns {folded_partitions, rows, files_before, files_after}."""
+    files_before = _count_index_files(spark, index_dir)
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    # pre-bucketing partitions (or a wholly legacy index) migrate here:
+    # derive the bucket from band_hash where the layout didn't carry it
+    bucket = F.pmod(F.col("band_hash"), F.lit(int(index_buckets)))
+    if "band_bucket" not in idx.columns:
+        idx = idx.withColumn("band_bucket", bucket)
+    else:
+        idx = idx.withColumn(
+            "band_bucket", F.coalesce(F.col("band_bucket"), bucket)
+        )
+    fold_ids = sorted(
+        r[0]
+        for r in idx.select("ingest_batch").distinct().collect()
+        if r[0] <= upto_batch or r[0] in (
+            COMPACT_BASE_BATCH, _COMPACT_STAGING_BATCH
+        )
+    )
+    if not fold_ids:
+        return {
+            "folded_partitions": 0, "rows": 0,
+            "files_before": files_before, "files_after": files_before,
+        }
+    fold = (
+        idx.filter(F.col("ingest_batch").isin(fold_ids))
+        .drop("ingest_batch")
+        # heal duplicates from any earlier crash between steps 2 and 3
+        # (same (doc, band) row content is identical by construction)
+        .dropDuplicates([id_col, "band_id"])
+        # one task per bucket -> exactly one file per band_bucket value,
+        # clustered by band_hash inside it
+        .repartition(F.col("band_bucket"))
+        .sortWithinPartitions("band_bucket", "band_hash")
+    )
+    tmp = f"{index_dir}.compact_tmp"
+    fold.write.mode("overwrite").partitionBy("band_bucket").parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    fs, _ = _hadoop_path(spark, index_dir)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    staging = Path(f"{index_dir}/ingest_batch={_COMPACT_STAGING_BATCH}")
+    # step 2: the fold (which already CONSUMED any old staging) takes
+    # the staging slot; from here the index is complete
+    fs.delete(staging, True)
+    if not fs.rename(Path(tmp), staging):
+        raise IOError(f"compact_index: rename {tmp} -> {staging} failed")
+    # step 3: drop the folded sources
+    for b in fold_ids:
+        if b != _COMPACT_STAGING_BATCH:
+            fs.delete(Path(f"{index_dir}/ingest_batch={b}"), True)
+    # step 4: staging becomes the base
+    base = Path(f"{index_dir}/ingest_batch={COMPACT_BASE_BATCH}")
+    if not fs.rename(staging, base):
+        raise IOError(f"compact_index: rename {staging} -> {base} failed")
+    return {
+        "folded_partitions": len(fold_ids),
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_index_files(spark, index_dir),
+    }
 
 
 def run_near_dup_gate(

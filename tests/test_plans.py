@@ -485,6 +485,15 @@ PLAN_LINE_EXCEPTIONS = {
                               # plan, each with Arrow signature/dot
                               # nodes (the production form drops the
                               # exact twin)
+    "x_decontam_bloom": 900,  # the COMPOSED screen: bloom build subtree
+                              # + k=7 broadcast word-table probes (one
+                              # reused exchange at runtime) + the exact
+                              # confirm semi join + the per-doc agg
+    "s_near_dup_gate_grain": 1400,  # the full two-batch gate fold:
+                              # gate_batch twice (banding, corpus join,
+                              # self join, two anti joins, semi join
+                              # each) unioned — the plan is the batch
+                              # MODEL of the stream, large by design
 }
 
 

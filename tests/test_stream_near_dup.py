@@ -264,3 +264,140 @@ def test_index_is_bucket_partitioned_and_the_gate_prunes_it(spark, gated):
     assert any("band_bucket" in ln for ln in scan_lines), plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_portable_stream_matches_the_portable_batch_model(spark, tmp_path):
+    """The catalog entry s_near_dup_gate_grain verifies replay_gate's
+    batch algebra on the PORTABLE hash family against a full SQL gate
+    replay; this pins the real foreachBatch stream equal to that same
+    portable replay_gate, closing the transitive chain under one hash
+    family (the default-path twin of
+    test_stream_matches_the_sequential_batch_model)."""
+    root = tmp_path
+    inp = str(root / "in")
+    dirs = {k: str(root / k) for k in ("index", "admitted", "ckpt")}
+    _drop(inp, "d1.json", BATCH1)
+    _drop(inp, "d2.json", BATCH2)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    q = run_near_dup_gate(
+        stream, dirs["index"], dirs["admitted"], dirs["ckpt"], portable=True
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["admitted"]).select("doc_id").collect()
+    )
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    model_admitted, _ = replay_gate([b1, b2], portable=True)
+    assert got == sorted(r["doc_id"] for r in model_admitted.collect())
+
+
+def _gate_verdict(spark, index_dir, batch_rows):
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        _read_index,
+    )
+
+    index = _read_index(spark, index_dir, exclude_batch=10_000)
+    batch = spark.createDataFrame(batch_rows, SCHEMA)
+    admitted, _, rejected = gate_batch(batch, index)
+    return (
+        sorted(r["doc_id"] for r in admitted.collect()),
+        sorted(
+            (r["doc_id"], r["matched_id"], r["reason"])
+            for r in rejected.collect()
+        ),
+    )
+
+
+def test_compact_index_preserves_gating_and_shrinks_files(spark, tmp_path):
+    """round-12 (SCALE note c): compaction folds the per-batch index
+    partitions into one band_bucket-clustered base — identical row set,
+    identical gate verdicts, strictly fewer files, batch partitions
+    gone, and the gate keeps working (a post-compaction batch writes
+    its own partition beside the base)."""
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        compact_index,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("index", "admitted")}
+    process = make_near_dup_gate(dirs["index"], dirs["admitted"])
+    process(spark.createDataFrame(BATCH1, SCHEMA), 0)
+    process(spark.createDataFrame(BATCH2, SCHEMA), 1)
+
+    probe = [(500, T_A), (501, T_D), (502, "wholly novel words only here")]
+    before_rows = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    )
+    before_verdict = _gate_verdict(spark, dirs["index"], probe)
+
+    stats = compact_index(spark, dirs["index"], upto_batch=1)
+    assert stats["folded_partitions"] == 2
+    assert stats["files_after"] < stats["files_before"]
+
+    after_rows = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    )
+    assert after_rows == before_rows
+    assert _gate_verdict(spark, dirs["index"], probe) == before_verdict
+    import glob
+
+    assert not glob.glob(f"{dirs['index']}/ingest_batch=0")
+    assert not glob.glob(f"{dirs['index']}/ingest_batch=1")
+    assert glob.glob(f"{dirs['index']}/ingest_batch=-1/band_bucket=*")
+
+    # the gate keeps appending beside the base, and those rows fold on
+    # the next pass
+    novel = "completely fresh vocabulary sentence about glaciers and basalt"
+    process(spark.createDataFrame([(600, novel)], SCHEMA), 2)
+    assert _gate_verdict(spark, dirs["index"], [(700, T_A), (701, novel)])[0] == []
+    stats2 = compact_index(spark, dirs["index"], upto_batch=2)
+    assert stats2["folded_partitions"] == 2  # base + batch 2
+
+
+def test_compact_index_crash_windows_are_benign_and_heal(spark, tmp_path):
+    """Duplicate rows from a crash between compaction steps cannot
+    change a verdict (the candidate join dedups pairs), and a re-run
+    heals the duplication exactly."""
+    import shutil
+
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        compact_index,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("index", "admitted")}
+    process = make_near_dup_gate(dirs["index"], dirs["admitted"])
+    process(spark.createDataFrame(BATCH1, SCHEMA), 0)
+    process(spark.createDataFrame(BATCH2, SCHEMA), 1)
+    probe = [(500, T_A), (501, T_D), (502, "wholly novel words only here")]
+    clean_verdict = _gate_verdict(spark, dirs["index"], probe)
+    clean_rows = sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    )
+
+    # simulate the step-2/3 crash: base written, one source not deleted
+    backup = str(tmp_path / "backup_batch0")
+    shutil.copytree(f"{dirs['index']}/ingest_batch=0", backup)
+    compact_index(spark, dirs["index"], upto_batch=1)
+    shutil.copytree(backup, f"{dirs['index']}/ingest_batch=0")
+
+    dup_rows = spark.read.parquet(dirs["index"]).count()
+    assert dup_rows > len(clean_rows)  # genuinely duplicated
+    assert _gate_verdict(spark, dirs["index"], probe) == clean_verdict
+    # re-run heals: exact row set, sources folded away
+    compact_index(spark, dirs["index"], upto_batch=1)
+    assert sorted(
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in spark.read.parquet(dirs["index"]).collect()
+    ) == clean_rows
+    assert _gate_verdict(spark, dirs["index"], probe) == clean_verdict

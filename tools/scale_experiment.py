@@ -1021,7 +1021,7 @@ def round12_experiment(spark) -> None:
     # steady-state trickle: 10 tiny batches against the accumulated
     # index — the wall must be flat (index doubled during the regime
     # above; these batches see all of it)
-    trickle = zipf_documents(spark, 500).withColumn(
+    trickle = zipf_documents(spark, 750).withColumn(
         "doc_id", F.col("doc_id") + 10_000_000
     )
     trickle.persist().count()
@@ -1038,11 +1038,39 @@ def round12_experiment(spark) -> None:
         w = time.perf_counter() - t0
         walls.append(w)
         print(f"{n_batches + b:>6} {w:6.2f}s")
-    trickle.unpersist()
     print(
         f"trickle walls: first {walls[0]:.2f}s, last {walls[-1]:.2f}s, "
         f"max/min {max(walls) / min(walls):.2f}x (flat = no index tracking)"
     )
+
+    # compaction: fold the 15 per-batch partitions into the clustered
+    # base and verify the gate's wall + verdict surface is unchanged
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        compact_index,
+    )
+
+    t0 = time.perf_counter()
+    stats = compact_index(spark, f"{gate_root}/index", upto_batch=n_batches + 9)
+    wc = time.perf_counter() - t0
+    print(
+        f"\ncompact_index: {stats['folded_partitions']} partitions -> base in "
+        f"{wc:.2f}s; files {stats['files_before']} -> {stats['files_after']}; "
+        f"rows {stats['rows']:,}"
+    )
+    post = []
+    for b in range(3):
+        batch = trickle.filter(
+            (F.col("doc_id") - 10_000_000 >= (10 + b) * 50)
+            & (F.col("doc_id") - 10_000_000 < (11 + b) * 50)
+        )
+        t0 = time.perf_counter()
+        process(batch, n_batches + 10 + b)
+        post.append(time.perf_counter() - t0)
+    print(
+        "post-compaction trickle walls: "
+        + ", ".join(f"{w:.2f}s" for w in post)
+    )
+    trickle.unpersist()
 
 
 def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
