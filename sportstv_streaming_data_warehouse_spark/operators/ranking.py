@@ -201,6 +201,63 @@ def with_global_row_number(
     return ranked.withColumnRenamed("__rn", out_col).drop("__bkt")
 
 
+def _sum_zero(bucketed: DataFrame, value_col: str) -> tuple[object, object]:
+    """(zero literal, Spark type) for SUM(value_col) — schema-only, no job."""
+    sum_type = (
+        bucketed.groupBy("__bkt").agg(F.sum(value_col).alias("v")).schema["v"].dataType
+    )
+    if isinstance(sum_type, (ST.DoubleType, ST.FloatType)):
+        return 0.0, sum_type
+    if isinstance(sum_type, ST.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(0), sum_type
+    return 0, sum_type
+
+
+def with_rank_and_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    rank_col: str = "row_num",
+    total_col: str = "running_total",
+    n_buckets: int = 64,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Exact global row_number AND exact running total over the SAME
+    ordering from ONE bucketing pass — fused so callers that need both
+    (cumulative-share / Pareto shapes) pay one persist, one boundary
+    job, and one per-bucket aggregate (count and sum TOGETHER) instead
+    of running the two primitives back to back, where the second call's
+    LRU-1 cache takeover forces the first ranking's full plan to
+    recompute from source inside the second's stats passes (measured
+    round 12 on a_pareto_abc: the composed form's stats pass re-ran the
+    first window over the whole part dimension)."""
+    bucketed, per = _stats(
+        df, order_cols, n_buckets, accuracy,
+        F.struct(
+            F.count("*").alias("c"), F.sum(value_col).alias("s")
+        ),
+    )
+    zero, sum_type = _sum_zero(bucketed, value_col)
+    cnt_off = _offsets_col({b: v["c"] for b, v in per.items()}, 0)
+    val_off = _offsets_col({b: v["s"] for b, v in per.items()}, zero).cast(
+        sum_type
+    )
+    w = Window.partitionBy("__bkt").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bucketed.withColumn(
+            rank_col, (F.row_number().over(w) + cnt_off).cast("long")
+        )
+        .withColumn(
+            total_col,
+            (F.sum(value_col).over(wsum) + val_off).cast(sum_type),
+        )
+        .drop("__bkt")
+    )
+
+
 def with_running_total(
     df: DataFrame,
     order_cols: list[str],
@@ -225,17 +282,7 @@ def with_running_total(
     bucketed, sums = _stats(
         df, order_cols, n_buckets, accuracy, F.sum(value_col)
     )
-    sum_type = (
-        bucketed.groupBy("__bkt").agg(F.sum(value_col).alias("v")).schema["v"].dataType
-    )
-    if isinstance(sum_type, (ST.DoubleType, ST.FloatType)):
-        zero: object = 0.0
-    elif isinstance(sum_type, ST.DecimalType):
-        from decimal import Decimal
-
-        zero = Decimal(0)
-    else:
-        zero = 0
+    zero, sum_type = _sum_zero(bucketed, value_col)
     off = _offsets_col(sums, zero).cast(sum_type)
     w = (
         Window.partitionBy("__bkt")

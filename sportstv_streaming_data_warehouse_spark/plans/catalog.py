@@ -5136,7 +5136,7 @@ def a_pareto_abc(spark, sf_dir):
     # bucket offsets, within-bucket windows — no single-partition global
     # window even though the output grain (the part dimension) is
     # bounded. The grand total joins back as a broadcast 1-row cross.
-    from ..operators.ranking import with_global_row_number, with_running_total
+    from ..operators.ranking import with_rank_and_running_total
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -5145,9 +5145,12 @@ def a_pareto_abc(spark, sf_dir):
     # order by revenue DESC via the negated decimal (the bucket key must
     # ascend with the window order); l_partkey breaks ties.
     rev = rev.withColumn("__neg", (-F.col("rev_d")).cast(DecimalType(19, 2)))
-    ranked = with_global_row_number(rev, ["__neg", "l_partkey"], out_col="rank")
-    cum = with_running_total(
-        ranked, ["__neg", "l_partkey"], "rev_d", out_col="cum_d"
+    # rank + cumulative revenue from ONE fused bucketing pass (round-12
+    # perf: the back-to-back primitives re-ran the first window inside
+    # the second's stats passes after the LRU-1 cache takeover)
+    cum = with_rank_and_running_total(
+        rev, ["__neg", "l_partkey"], "rev_d",
+        rank_col="rank", total_col="cum_d",
     )
     tot = rev.agg(F.sum("rev_d").alias("tot_d"))
     share = F.col("cum_d").cast("double") / F.col("tot_d").cast("double")

@@ -182,3 +182,37 @@ def test_running_max_on_timestamps(spark):
         for r in df.withColumn("m", F.max("ts").over(w)).collect()
     }
     assert got == want
+
+
+def test_fused_rank_and_running_total_equals_the_composed_primitives(spark):
+    """round-12 perf: the fused one-pass form must be value-identical to
+    with_global_row_number + with_running_total composed (same ordering,
+    same exact decimal accumulation)."""
+    from decimal import Decimal
+
+    from sportstv_streaming_data_warehouse_spark.operators.ranking import (
+        with_global_row_number,
+        with_rank_and_running_total,
+        with_running_total,
+    )
+
+    rows = [(i, Decimal(str((i * 37) % 19 + 0.25))) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v decimal(18,2)")
+    fused = {
+        r["k"]: (r["rank"], r["cum"])
+        for r in with_rank_and_running_total(
+            df, ["v", "k"], "v", rank_col="rank", total_col="cum"
+        ).collect()
+    }
+    composed_df = with_running_total(
+        with_global_row_number(df, ["v", "k"], out_col="rank"),
+        ["v", "k"], "v", out_col="cum",
+    )
+    composed = {
+        r["k"]: (r["rank"], r["cum"]) for r in composed_df.collect()
+    }
+    assert fused == composed
+    # sanity: ranks are a permutation of 1..n and the last cum is the total
+    assert sorted(r for r, _ in fused.values()) == list(range(1, 201))
+    top = max(fused.values())
+    assert top[1] == sum(v for _, v in rows)
