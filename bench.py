@@ -364,7 +364,7 @@ def representative_verdict(
                 for k in (
                     "value", "queries", "empty_job_ms", "cpu_speed_probe",
                     "ref_query_probe", "mt_speed_probe", "git",
-                    "wall_clock",
+                    "wall_clock", "golden_tier", "report_tier",
                 )
             }
     return False, evidence, fallback
@@ -388,7 +388,7 @@ def stamp_record(record: dict, representative: bool, rep_fallback: dict | None) 
         or not rep_fallback.get("queries")
     ):
         return record
-    return dict(
+    out = dict(
         record,
         value=rep_fallback["value"],
         queries=rep_fallback["queries"],
@@ -402,6 +402,15 @@ def stamp_record(record: dict, representative: bool, rep_fallback: dict | None) 
             )
         },
     )
+    # the golden/report tiers are box-speed measurements too — an
+    # inflated live value in the round artifact is the same phantom
+    # regression the query promotion fixes (the round-12 live run's
+    # golden ETL read 62 s against a 5-7 s quiet history band)
+    for tier in ("golden_tier", "report_tier"):
+        if rep_fallback.get(tier):
+            out[f"live_{tier}"] = record.get(tier)
+            out[tier] = rep_fallback[tier]
+    return out
 
 
 def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:

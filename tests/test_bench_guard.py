@@ -271,3 +271,26 @@ def test_stamp_record_passes_through_when_representative_or_no_fallback():
     assert stamp_record(live, False, None) is live
     # a fallback without numbers cannot stamp
     assert stamp_record(live, False, {"git": "x", "value": None}) is live
+
+
+def test_stamp_record_promotes_the_measurement_tiers_too():
+    """golden/report tiers are box-speed measurements: the promoted
+    record must carry the fallback's, with the live ones set aside."""
+    from bench import stamp_record
+
+    live = {
+        "value": 56.9, "queries": {"q_a": 28.0, "q_b": 28.9},
+        "golden_tier": {"etl_sec": 62.4}, "report_tier": {"ms": 300},
+    }
+    fb = _rec(58.1, 0.43, 37.8, git="quiet")
+    fb["golden_tier"] = {"etl_sec": 5.1}
+    fb["report_tier"] = {"ms": 95}
+    out = stamp_record(live, False, fb)
+    assert out["golden_tier"] == {"etl_sec": 5.1}
+    assert out["live_golden_tier"] == {"etl_sec": 62.4}
+    assert out["report_tier"] == {"ms": 95}
+    assert out["live_report_tier"] == {"ms": 300}
+    # a fallback without tier data leaves the live tiers in place
+    out2 = stamp_record(live, False, _rec(58.1, 0.43, 37.8))
+    assert out2["golden_tier"] == {"etl_sec": 62.4}
+    assert "live_golden_tier" not in out2
