@@ -7986,6 +7986,10 @@ def x_pack_context(spark, sf_dir):
     # doc→sequence span mapping a dataloader consumes. The oracle is the
     # running-sum + generate_series replay pinned in tests/
     # test_packing.py since round 11 (staged there, registered here).
+    # NOTE the oracle's generate_series caps spans at 10,001 per doc
+    # (docs beyond 512*10001 ≈ 5.1M tokens would diverge — the Spark
+    # side is unbounded); tests/test_packing.py pins the fixture's
+    # max-token headroom so a fixture change trips loudly, not silently.
     # Plan: ONE exact two-phase prefix sum (range-bucketed windows,
     # no SinglePartition — plan-gated), a bounded sequence() explode,
     # all integer `div` math (exact past 2^53 cumulative tokens).
@@ -8189,6 +8193,10 @@ def s_near_dup_gate_grain(spark, sf_dir):
         ],
         num_hashes=_MH_K, bands=_MH_BANDS, n=1,
         threshold=_MH_TAU, seed=_MH_SEED, portable=True,
+        # these "batches" are corpus-scale splits, not micro-batches:
+        # the gate's broadcast hints assume a small batch side, and b0
+        # is 90% of the corpus — use the jumbo-replay escape hatch
+        broadcast_batch=False,
     )
     return admitted.select("doc_id", "ingest_batch")
 

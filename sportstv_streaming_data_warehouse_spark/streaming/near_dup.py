@@ -122,17 +122,26 @@ def gate_batch(
     admitted set is near-dup-free, every rejected doc has a banded
     partner inside its own cluster, and the rule is one candidate join
     — no iteration."""
-    bb = (
-        batch_bands
-        if batch_bands is not None
-        else _banded_minhash(
+    bb_owned: DataFrame | None = None
+    if batch_bands is not None:
+        bb = batch_bands
+    else:
+        bb = _banded_minhash(
             batch, id_col, text_col, num_hashes, bands, n, seed, portable,
             cache=False,
         )
-    )
     if index_bands is not None:
         idx = index_bands
         if "band_bucket" in idx.columns:
+            if batch_bands is None:
+                # the occupied-buckets collect below would otherwise
+                # execute the banding once ON TOP of every downstream
+                # action's execution (review finding) — persist for the
+                # collect; handed to the registry when present, released
+                # right after otherwise (downstream then recomputes as it
+                # always did, one execution per action)
+                bb = bb.persist()
+                bb_owned = bb
             # the batch's occupied buckets — bounded at index_buckets
             # values, so the collect is a handful of ints, and the isin
             # lands on the partition column (PartitionFilter: unprobed
@@ -146,6 +155,11 @@ def gate_batch(
                 .distinct()
                 .collect()
             ]
+            if bb_owned is not None:
+                if _persist_registry is not None:
+                    _persist_registry.append(bb_owned)
+                else:
+                    bb_owned.unpersist()
             idx = idx.filter(F.col("band_bucket").isin(buckets))
         corpus_pairs = banded_pairs_cross(
             F.broadcast(bb) if broadcast_batch else bb,
@@ -253,13 +267,32 @@ def make_near_dup_gate(
     ``<dir>/ingest_batch=<id>`` with overwrite (idempotent on retry);
     the index additionally partitions by ``band_bucket`` so later
     batches' candidate joins prune their read to the buckets they
-    probe."""
+    probe. Two layout-consistency rules (review findings):
+
+    - the bucket MODULUS comes from the index's ``_gate_meta.json``
+      once one exists (written on the first bucketed write) — a caller
+      whose ``index_buckets`` disagrees with the on-disk layout would
+      otherwise prune true candidate partitions and silently
+      double-admit;
+    - a LEGACY (pre-bucketing, flat) index keeps receiving FLAT writes:
+      Spark cannot read a tree that mixes ``ingest_batch=N`` and
+      ``ingest_batch=M/band_bucket=K`` partitions (it raises
+      CONFLICTING_PARTITION_COLUMN_NAMES, wedging every later batch),
+      so the layout only upgrades atomically via ``compact_index``."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import _banded_minhash
 
         spark = batch.sparkSession
         index = _read_index(spark, index_dir, batch_id)
+        legacy = index is not None and "band_bucket" not in index.columns
+        if legacy:
+            n_buckets = index_buckets  # unused: no prune, flat write
+        else:
+            n_buckets = _read_meta_buckets(spark, index_dir)
+            if n_buckets is None:
+                n_buckets = index_buckets
+                _write_meta_buckets(spark, index_dir, n_buckets)
         batch = batch.persist()
         # persist the banded signatures ONCE: the index, admitted, and
         # rejected writes all hang off them, and without this each write
@@ -273,24 +306,30 @@ def make_near_dup_gate(
             admitted, admitted_bands, rejected = gate_batch(
                 batch, index, id_col, text_col, num_hashes, bands, n,
                 threshold, seed, portable, batch_bands=bb,
-                index_buckets=index_buckets, broadcast_batch=broadcast_batch,
+                index_buckets=n_buckets, broadcast_batch=broadcast_batch,
                 _persist_registry=pair_cache,
             )
             admitted_bands = admitted_bands.persist()
             try:
-                # repartition by bucket before the partitioned write:
-                # partitionBy alone writes one file per (task x bucket)
-                # — measured 4,608 files for 5 batches at 32 tasks; the
-                # batch-sized shuffle collapses that to one file per
-                # OCCUPIED bucket per batch (<= index_buckets)
-                admitted_bands.withColumn(
-                    "band_bucket",
-                    F.pmod(F.col("band_hash"), F.lit(int(index_buckets))),
-                ).repartition(F.col("band_bucket")).write.mode(
-                    "overwrite"
-                ).partitionBy("band_bucket").parquet(
-                    f"{index_dir}/ingest_batch={batch_id}"
-                )
+                if legacy:
+                    admitted_bands.write.mode("overwrite").parquet(
+                        f"{index_dir}/ingest_batch={batch_id}"
+                    )
+                else:
+                    # repartition by bucket before the partitioned
+                    # write: partitionBy alone writes one file per
+                    # (task x bucket) — measured 4,608 files for 5
+                    # batches at 32 tasks; the batch-sized shuffle
+                    # collapses that to one file per OCCUPIED bucket
+                    # per batch (<= n_buckets)
+                    admitted_bands.withColumn(
+                        "band_bucket",
+                        F.pmod(F.col("band_hash"), F.lit(int(n_buckets))),
+                    ).repartition(F.col("band_bucket")).write.mode(
+                        "overwrite"
+                    ).partitionBy("band_bucket").parquet(
+                        f"{index_dir}/ingest_batch={batch_id}"
+                    )
                 admitted.write.mode("overwrite").parquet(
                     f"{admitted_dir}/ingest_batch={batch_id}"
                 )
@@ -313,6 +352,45 @@ def make_near_dup_gate(
 #: the gate's current-batch exclusion can never drop it)
 COMPACT_BASE_BATCH = -1
 _COMPACT_STAGING_BATCH = -2
+
+#: sidecar recording the bucket modulus the on-disk band_bucket layout
+#: was written with. The prune MUST use the layout's modulus — a caller
+#: passing a different index_buckets would silently drop true candidate
+#: partitions and double-admit (review finding) — so the meta, not the
+#: parameter, is the source of truth once an index exists. The leading
+#: underscore keeps it out of Spark's partition discovery.
+_GATE_META = "_gate_meta.json"
+
+
+def _read_meta_buckets(spark: SparkSession, index_dir: str) -> int | None:
+    import json as _json
+
+    fs, p = _hadoop_path(spark, f"{index_dir}/{_GATE_META}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return int(_json.loads(data.decode("utf-8"))["index_buckets"])
+
+
+def _write_meta_buckets(
+    spark: SparkSession, index_dir: str, index_buckets: int
+) -> None:
+    import json as _json
+
+    fs, p = _hadoop_path(spark, f"{index_dir}/{_GATE_META}")
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps({"index_buckets": int(index_buckets)}).encode()
+            )
+        )
+    finally:
+        out.close()
 
 
 def _hadoop_path(spark: SparkSession, p: str):
@@ -374,22 +452,45 @@ def compact_index(
     Only fold batch ids the stream has MOVED PAST (a retry of batch b
     overwrites ``ingest_batch=b``, which must not race the fold) — the
     caller owns that watermark, e.g. ``upto_batch = current - 1``.
-    Returns {folded_partitions, rows, files_before, files_after}."""
+    Migrating a LEGACY (flat) index must fold EVERYTHING (``upto_batch``
+    at least the max id): a bucketed base next to flat stragglers is the
+    mixed partition tree Spark refuses to read (review finding), so
+    the fold raises instead of wedging the gate. The bucket modulus
+    comes from ``_gate_meta.json`` when present and is recorded there
+    after a migration. Returns {folded_partitions, rows, files_before,
+    files_after}."""
     files_before = _count_index_files(spark, index_dir)
     idx = spark.read.option("basePath", index_dir).parquet(index_dir)
-    # pre-bucketing partitions (or a wholly legacy index) migrate here:
-    # derive the bucket from band_hash where the layout didn't carry it
-    bucket = F.pmod(F.col("band_hash"), F.lit(int(index_buckets)))
-    if "band_bucket" not in idx.columns:
-        idx = idx.withColumn("band_bucket", bucket)
-    else:
+    meta_buckets = _read_meta_buckets(spark, index_dir)
+    if meta_buckets is not None:
+        index_buckets = meta_buckets
+    all_ids = [
+        r[0] for r in idx.select("ingest_batch").distinct().collect()
+    ]
+    legacy = "band_bucket" not in idx.columns
+    stragglers = [
+        b for b in all_ids
+        if b > upto_batch
+        and b not in (COMPACT_BASE_BATCH, _COMPACT_STAGING_BATCH)
+    ]
+    if legacy and stragglers:
+        raise ValueError(
+            "compact_index: migrating a flat (pre-bucketing) index must "
+            f"fold every partition, but ids {sorted(stragglers)} exceed "
+            f"upto_batch={upto_batch}; a bucketed base next to flat "
+            "partitions is unreadable (CONFLICTING_PARTITION_COLUMN_"
+            "NAMES). Re-run with upto_batch >= the max ingest_batch id."
+        )
+    # pre-bucketing (wholly legacy) indexes migrate here: derive the
+    # bucket from band_hash (the layout didn't carry it)
+    if legacy:
         idx = idx.withColumn(
-            "band_bucket", F.coalesce(F.col("band_bucket"), bucket)
+            "band_bucket",
+            F.pmod(F.col("band_hash"), F.lit(int(index_buckets))),
         )
     fold_ids = sorted(
-        r[0]
-        for r in idx.select("ingest_batch").distinct().collect()
-        if r[0] <= upto_batch or r[0] in (
+        b for b in all_ids
+        if b <= upto_batch or b in (
             COMPACT_BASE_BATCH, _COMPACT_STAGING_BATCH
         )
     )
@@ -401,9 +502,14 @@ def compact_index(
     fold = (
         idx.filter(F.col("ingest_batch").isin(fold_ids))
         .drop("ingest_batch")
-        # heal duplicates from any earlier crash between steps 2 and 3
-        # (same (doc, band) row content is identical by construction)
-        .dropDuplicates([id_col, "band_id"])
+        # heal duplicates from any earlier crash between steps 2 and 3.
+        # FULL-row dedup, not (id, band_id): a doc_id legitimately
+        # readmitted with DIFFERENT text carries a second signature set
+        # under the same id, and both must survive compaction (review
+        # finding — a key-based dedup would arbitrarily interleave the
+        # two signature sets and change future gate verdicts); crash
+        # duplicates are bit-identical rows, which full-row dedup heals.
+        .dropDuplicates()
         # one task per bucket -> exactly one file per band_bucket value,
         # clustered by band_hash inside it
         .repartition(F.col("band_bucket"))
@@ -428,6 +534,9 @@ def compact_index(
     base = Path(f"{index_dir}/ingest_batch={COMPACT_BASE_BATCH}")
     if not fs.rename(staging, base):
         raise IOError(f"compact_index: rename {staging} -> {base} failed")
+    if meta_buckets is None:
+        # record the modulus the (possibly migrated) layout now uses
+        _write_meta_buckets(spark, index_dir, index_buckets)
     return {
         "folded_partitions": len(fold_ids),
         "rows": rows,

@@ -243,3 +243,20 @@ def test_spans_match_a_python_reference_packer(spark, token_counts, budget):
             done += take
             cursor += take
     assert got == sorted(want)
+
+
+def test_fixture_tokens_stay_far_below_the_oracle_span_cap(spark):
+    """The x_pack_context DuckDB oracle enumerates at most 10,001 spans
+    per document (generate_series bound); the Spark side is unbounded.
+    Pin the fixture headroom so a fixture regeneration with multi-
+    million-token docs fails HERE instead of as a silent driver-gate
+    hash mismatch."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        (mx,) = duckdb.sql(
+            "SELECT max(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+            " t -> t != ''))) FROM read_parquet('" + sf + "/documents.parquet')"
+        ).fetchone()
+        # cap is 512 * 10001 tokens; demand two orders of magnitude slack
+        assert mx < 512 * 10001 / 100, (sf, mx)

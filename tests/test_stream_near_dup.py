@@ -401,3 +401,81 @@ def test_compact_index_crash_windows_are_benign_and_heal(spark, tmp_path):
         for r in spark.read.parquet(dirs["index"]).collect()
     ) == clean_rows
     assert _gate_verdict(spark, dirs["index"], probe) == clean_verdict
+
+
+def test_legacy_flat_index_never_becomes_a_mixed_tree(spark, tmp_path):
+    """review finding: a pre-bucketing (flat) index receiving a bucketed
+    write becomes a mixed partition tree Spark refuses to read
+    (CONFLICTING_PARTITION_COLUMN_NAMES), wedging every later batch.
+    The gate must keep writing FLAT against a legacy index; the layout
+    upgrades only through compact_index, which refuses a partial
+    (straggler-leaving) migration."""
+    import glob
+
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _banded_minhash,
+    )
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        _read_index,
+        compact_index,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("index", "admitted")}
+    # plant a legacy (flat, no band_bucket) partition, as the pre-r12
+    # gate wrote it
+    b1 = spark.createDataFrame(BATCH1, SCHEMA)
+    _banded_minhash(b1, "doc_id", "text", 32, 8, 3, 42, False, cache=False) \
+        .write.parquet(f"{dirs['index']}/ingest_batch=0")
+
+    process = make_near_dup_gate(dirs["index"], dirs["admitted"])
+    b2 = spark.createDataFrame(BATCH2, SCHEMA)
+    process(b2, 1)  # must write FLAT, not wedge the tree
+    assert not glob.glob(f"{dirs['index']}/ingest_batch=1/band_bucket=*")
+    idx = _read_index(spark, dirs["index"], 99)  # readable: consistent tree
+    assert "band_bucket" not in idx.columns
+    # gating still correct across the legacy index
+    adm = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(dirs["admitted"]).collect()
+    )
+    assert adm == [11]  # 10, 12, 13 rejected as before
+
+    # a partial migration would leave flat stragglers beside a bucketed
+    # base -> refuse
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        compact_index(spark, dirs["index"], upto_batch=0)
+    # full migration: bucketed base, meta recorded, gate goes bucketed
+    compact_index(spark, dirs["index"], upto_batch=1)
+    assert glob.glob(f"{dirs['index']}/ingest_batch=-1/band_bucket=*")
+    process(spark.createDataFrame(
+        [(900, "entirely novel migration words")], SCHEMA), 2)
+    assert glob.glob(f"{dirs['index']}/ingest_batch=2/band_bucket=*")
+    post = _gate_verdict(spark, dirs["index"], [(950, T_A), (951, T_D)])
+    assert post[0] == []  # both still rejected after migration
+
+
+def test_bucket_modulus_comes_from_the_index_meta_not_the_caller(spark, tmp_path):
+    """review finding: a caller whose index_buckets disagrees with the
+    on-disk layout's modulus would prune true candidate partitions and
+    silently double-admit. The meta sidecar is the source of truth."""
+    from pyspark.sql import functions as F
+
+    dirs = {k: str(tmp_path / k) for k in ("index", "admitted")}
+    make_near_dup_gate(dirs["index"], dirs["admitted"], index_buckets=64)(
+        spark.createDataFrame(BATCH1, SCHEMA), 0
+    )
+    # a differently-configured gate against the same index: the meta's
+    # 64 must win for both the prune and the write
+    make_near_dup_gate(dirs["index"], dirs["admitted"], index_buckets=256)(
+        spark.createDataFrame(BATCH2, SCHEMA), 1
+    )
+    idx = spark.read.option("basePath", dirs["index"]).parquet(dirs["index"])
+    bad = idx.filter(
+        F.col("band_bucket") != F.pmod(F.col("band_hash"), F.lit(64))
+    )
+    assert bad.count() == 0  # every partition value uses the meta modulus
+    # and the cross-batch rejections happened (no silent double-admit)
+    adm = sorted(
+        r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
+    )
+    assert adm == [0, 1, 2, 11]
