@@ -246,6 +246,7 @@ def representative_verdict(
     quiet: bool,
     ref_probe: float | None = None,
     mt_probe: float | None = None,
+    golden_etl: float | None = None,
 ) -> tuple[bool, list[str], dict | None]:
     """Decide whether THIS run may stamp the round artifact.
 
@@ -303,6 +304,21 @@ def representative_verdict(
         checks.append(
             ("mt_speed_probe", mt_probe, statistics.median(hist_mt))
         )
+    # round 12+: the golden-tier ETL wall itself — a real workload
+    # measured MID-RUN every run, so it catches a load spike that lands
+    # after the start probes and decays before the end ones (the r12
+    # miss: start loadavg 0.16, golden 51 s against a 5-7 s quiet band,
+    # representative:true). End-of-run loadavg is NOT used: the bench's
+    # own 32-thread queries push it to 4-7 on a silent box.
+    hist_golden = [
+        r["golden_tier"]["etl_sec"] for r in hist_records
+        if isinstance(r.get("golden_tier"), dict)
+        and isinstance(r["golden_tier"].get("etl_sec"), (int, float))
+    ]
+    if golden_etl is not None and len(hist_golden) >= 2:
+        checks.append(
+            ("golden_tier.etl_sec", golden_etl, statistics.median(hist_golden))
+        )
     evidence = [
         f"{k} {v} = {v / ref:.2f}x history median {round(ref, 3)}"
         for k, v, ref in checks
@@ -351,6 +367,21 @@ def representative_verdict(
             continue  # cpu-inflated entries are no better a pointer
             # than ej/ref/mt-inflated ones (review finding: the skip
             # loop previously banded every signal EXCEPT this one)
+        r_golden = (
+            r["golden_tier"].get("etl_sec")
+            if isinstance(r.get("golden_tier"), dict)
+            else None
+        )
+        golden_ref = (
+            statistics.median(hist_golden) if len(hist_golden) >= 2 else None
+        )
+        if (
+            golden_ref is not None
+            and isinstance(r_golden, (int, float))
+            and r_golden > REPRESENTATIVE_BAND * golden_ref
+        ):
+            continue  # mid-run-spiked entries (quiet start probes,
+            # inflated golden) cannot be the pointer either
         # quietest box among the qualifiers; strict < keeps the LATEST
         # entry on exact ties (reversed iteration sees it first)
         key = (
@@ -852,6 +883,7 @@ def main() -> None:
         representative, rep_evidence, rep_fallback = representative_verdict(
             hist_records, set(per_query), empty_job_ms, speed_probe_start,
             quiet, ref_probe, mt_probe,
+            golden_etl=(golden_tier or {}).get("etl_sec"),
         )
     except Exception:
         # the guard is advisory; the stdout contract must not break

@@ -294,3 +294,48 @@ def test_stamp_record_promotes_the_measurement_tiers_too():
     out2 = stamp_record(live, False, _rec(58.1, 0.43, 37.8))
     assert out2["golden_tier"] == {"etl_sec": 62.4}
     assert "live_golden_tier" not in out2
+
+
+def _rec_golden(ej, probe, golden, value, git="abc"):
+    r = _rec(ej, probe, value, git=git)
+    r["golden_tier"] = {"etl_sec": golden}
+    return r
+
+
+HIST_GOLDEN = [
+    _rec_golden(77.0, 0.44, 5.8, 38.0, git="g1"),
+    _rec_golden(80.0, 0.45, 6.2, 38.4, git="g2"),
+    _rec_golden(75.0, 0.43, 5.1, 37.8, git="g3"),
+]
+
+
+def test_mid_run_spike_is_caught_by_the_golden_tier_signal():
+    """round-12 live miss: start probes quiet, but a load spike landed
+    MID-RUN — golden ETL 51s against a 5-7s history band — and the run
+    passed representative:true. The golden tier is a real workload
+    measured every run, so it bands like the probes."""
+    ok, evidence, fallback = representative_verdict(
+        HIST_GOLDEN, HEADLINE, empty_job_ms=82.0, speed_probe=0.45,
+        quiet=True, golden_etl=51.0,
+    )
+    assert ok is False
+    assert any("golden_tier.etl_sec" in e for e in evidence)
+    assert fallback is not None and fallback["git"] == "g3"
+
+
+def test_golden_in_band_stays_representative():
+    ok, evidence, _ = representative_verdict(
+        HIST_GOLDEN, HEADLINE, empty_job_ms=80.0, speed_probe=0.45,
+        quiet=True, golden_etl=6.9,
+    )
+    assert ok is True and evidence == []
+
+
+def test_fallback_skips_golden_inflated_entries():
+    hist = HIST_GOLDEN + [_rec_golden(74.0, 0.43, 53.4, 56.9, git="spiked")]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=300.0, speed_probe=0.45,
+        quiet=True, golden_etl=6.0,
+    )
+    assert ok is False
+    assert fallback is not None and fallback["git"] == "g3"
