@@ -264,7 +264,18 @@ def representative_verdict(
     cherry-pick performance; "latest qualifying" (the round-10 design)
     was measured pointing at a 1.37x-inflated run that sat in band on
     the pre-ref-probe signals. Needs >=2 historical values per signal
-    so a single early record cannot set the band."""
+    so a single early record cannot set the band.
+
+    Band medians are computed over history entries NOT flagged
+    non-representative at their own record time (the flag is stamped
+    into each history row): a noisy week would otherwise drift every
+    median upward until genuinely inflated runs sit back inside the
+    band — observed round 12, where three flagged runs raised the
+    empty-job median from 82.9 to 89.8 ms. Pre-flag entries (no key)
+    count as quiet."""
+    hist_records = [
+        r for r in hist_records if r.get("representative") is not False
+    ]
     hist_ej = [
         r["empty_job_ms"] for r in hist_records
         if isinstance(r.get("empty_job_ms"), (int, float))

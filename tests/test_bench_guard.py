@@ -339,3 +339,22 @@ def test_fallback_skips_golden_inflated_entries():
     )
     assert ok is False
     assert fallback is not None and fallback["git"] == "g3"
+
+
+def test_flagged_history_entries_do_not_drift_the_band_medians():
+    """round-12: three flagged-but-stamped runs raised the empty-job
+    median 82.9 -> 89.8 ms. Entries recorded with representative:false
+    are excluded from the medians, so persistent noise cannot talk the
+    guard into accepting it."""
+    noisy = []
+    for i in range(6):  # would dominate the median if counted
+        r = _rec(280.0, 0.44, 60.0, git=f"noisy{i}")
+        r["representative"] = False
+        noisy.append(r)
+    hist = HIST + noisy
+    ok, evidence, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=261.8, speed_probe=0.44, quiet=True
+    )
+    assert ok is False  # 261.8 still reads against the ~77 ms quiet band
+    assert any("empty_job_ms" in e for e in evidence)
+    assert fallback is not None and fallback["git"] == "r10c"
