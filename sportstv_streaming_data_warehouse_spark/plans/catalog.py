@@ -8080,14 +8080,20 @@ def x_bpe_top_pairs(spark, sf_dir):
     return top_pairs(docs, "text", k=20)
 
 
-def _near_dup_gate_oracle() -> str:
+def _near_dup_gate_oracle(grain: str = "admitted") -> str:
     """SQL replay of the FULL streaming near-dup gate over two ingest
     batches on the portable hash family: signatures, banding, the
     corpus candidate join, the conservative smaller-id within-batch
     rule, and the fold of batch-0's admitted bands into batch-1's
     corpus — the exact admitted grain streaming/near_dup.replay_gate
     produces (and the stream is pinned equal to replay_gate in
-    tests/test_stream_near_dup.py, closing the transitive loop)."""
+    tests/test_stream_near_dup.py, closing the transitive loop).
+
+    ``grain='rejected'`` emits the gate's OTHER output instead: one row
+    per rejecting pair (doc_id, matched_id, est_jaccard, reason,
+    ingest_batch) — staged in tests/test_stream_near_dup.py as the
+    round-13 registration candidate (the round-11/12 staging pattern:
+    oracle pinned in pytest first, window-slotted at rotation)."""
     coefs = D.minhash_coefficients(_MH_K, _MH_SEED)
     slots = ",\n             ".join(
         f"MIN((h * {a} + {b}) % {_MH_P}) AS m{i}"
@@ -8102,15 +8108,39 @@ def _near_dup_gate_oracle() -> str:
 
     bands = ",\n             ".join(band_key(k) for k in range(_MH_BANDS))
 
+    def est(x: str, y: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {x}.m{i} = {y}.m{i} THEN 1 ELSE 0 END)"
+            for i in range(_MH_K)
+        )
+
     def match(x: str, y: str) -> str:
         any_band = " OR ".join(
             f"{x}.bh{k} = {y}.bh{k}" for k in range(_MH_BANDS)
         )
-        est = " + ".join(
-            f"(CASE WHEN {x}.m{i} = {y}.m{i} THEN 1 ELSE 0 END)"
-            for i in range(_MH_K)
-        )
-        return f"({any_band}) AND ({est}) / 32.0 >= {_MH_TAU}"
+        return f"({any_band}) AND ({est(x, y)}) / 32.0 >= {_MH_TAU}"
+
+    if grain == "rejected":
+        final = rf"""
+    SELECT a.doc AS doc_id, p.doc AS matched_id,
+           ({est("a", "p")}) / 32.0 AS est_jaccard,
+           'batch' AS reason, CAST(0 AS INTEGER) AS ingest_batch
+    FROM b0 a JOIN b0 p ON p.doc < a.doc AND {match("a", "p")}
+    UNION ALL
+    SELECT a.doc, c.doc, ({est("a", "c")}) / 32.0, 'corpus',
+           CAST(1 AS INTEGER)
+    FROM b1 a JOIN adm0b c ON {match("a", "c")}
+    UNION ALL
+    SELECT a.doc, p.doc, ({est("a", "p")}) / 32.0, 'batch',
+           CAST(1 AS INTEGER)
+    FROM surv1 a JOIN surv1 p ON p.doc < a.doc AND {match("a", "p")}
+    """
+    else:
+        final = """
+    SELECT doc AS doc_id, CAST(0 AS INTEGER) AS ingest_batch FROM adm0
+    UNION ALL
+    SELECT doc AS doc_id, CAST(1 AS INTEGER) AS ingest_batch FROM adm1
+    """
 
     return rf"""
     WITH toks AS (
@@ -8155,9 +8185,7 @@ def _near_dup_gate_oracle() -> str:
         ON p.doc < a.doc AND {match("a", "p")}
     ),
     adm1 AS (SELECT doc FROM surv1 WHERE doc NOT IN (SELECT doc FROM brej1))
-    SELECT doc AS doc_id, CAST(0 AS INTEGER) AS ingest_batch FROM adm0
-    UNION ALL
-    SELECT doc AS doc_id, CAST(1 AS INTEGER) AS ingest_batch FROM adm1
+    {final}
     """
 
 
@@ -8415,6 +8443,13 @@ def s_near_dup_gate_grain(spark, sf_dir):
 # x_fingerprint, x_heavy_hitters, x_kmeans_lloyd (all r9-green).
 # Round-13 projected mandatory: the 48 r9-cohort queries minus the 28
 # pre-paid here = 20 of 48 slots — solvent.
+# Round-13 debut candidate, built and pytest-pinned IN round 12 with
+# its oracle staged in tests (register + window-slot at rotation):
+# s_near_dup_gate_rejections — the gate's REJECTED grain (doc_id,
+# matched_id, est_jaccard, reason, ingest_batch), oracle =
+# _near_dup_gate_oracle("rejected") (the same SQL gate replay,
+# different final SELECT), parity-pinned in tests/test_stream_near_dup
+# .py::test_staged_rejected_grain_replays_in_duckdb.
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [

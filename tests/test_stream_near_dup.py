@@ -479,3 +479,51 @@ def test_bucket_modulus_comes_from_the_index_meta_not_the_caller(spark, tmp_path
         r["doc_id"] for r in spark.read.parquet(dirs["admitted"]).collect()
     )
     assert adm == [0, 1, 2, 11]
+
+
+def test_staged_rejected_grain_replays_in_duckdb(spark):
+    """Round-13 registration candidate, staged here first (the
+    round-11/12 pattern): the gate's REJECTED grain — one row per
+    rejecting pair with reason and batch — replayed end-to-end by the
+    same SQL gate oracle that backs s_near_dup_gate_grain
+    (grain='rejected'), through the driver-identical parity compare."""
+    from pyspark.sql import functions as F
+
+    from sportstv_streaming_data_warehouse_spark.functions import text as T
+    from sportstv_streaming_data_warehouse_spark.plans.catalog import (
+        _MH_BANDS,
+        _MH_K,
+        _MH_SEED,
+        _MH_TAU,
+        _near_dup_gate_oracle,
+    )
+    from sportstv_streaming_data_warehouse_spark.sources.fixtures import (
+        load_table,
+    )
+
+    from .conftest import SF01
+    from .parity import compare, duckdb_connection
+
+    docs = load_table(spark, SF01, "documents").filter(
+        T.token_count(F.col("text")) > 0
+    )
+    tagged = docs.withColumn("__sb", T.fingerprint(F.col("text")) % 10)
+    b0 = tagged.filter(F.col("__sb") != 9).select("doc_id", "text")
+    b1 = tagged.filter(F.col("__sb") == 9).select("doc_id", "text")
+    kw = dict(
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1, threshold=_MH_TAU,
+        seed=_MH_SEED, portable=True, broadcast_batch=False,
+    )
+    _, bands0, rej0 = gate_batch(b0, None, **kw)
+    _, _, rej1 = gate_batch(b1, bands0, **kw)
+    rejected = rej0.withColumn(
+        "ingest_batch", F.lit(0)
+    ).unionByName(rej1.withColumn("ingest_batch", F.lit(1)))
+    con = duckdb_connection(SF01)
+    try:
+        compare(
+            rejected, con, _near_dup_gate_oracle("rejected"),
+            "s_near_dup_gate_rejections[staged]",
+        )
+    finally:
+        con.close()
