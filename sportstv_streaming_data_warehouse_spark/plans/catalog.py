@@ -8229,6 +8229,37 @@ def s_near_dup_gate_grain(spark, sf_dir):
     return admitted.select("doc_id", "ingest_batch")
 
 
+@query("s_near_dup_gate_rejected", oracle=_near_dup_gate_oracle("rejected"))
+def s_near_dup_gate_rejected(spark, sf_dir):
+    # The gate's REJECTED grain — one row per rejecting pair (doc_id,
+    # matched_id, est_jaccard, reason, ingest_batch) — completing the
+    # two-sided verification of the streaming near-dup gate started by
+    # s_near_dup_gate_grain: admitted + rejected-distinct-docs =
+    # gated-input conservation, and the oracle replays the SAME SQL
+    # gate with a different final SELECT (staged round 12 at bd9f0ec;
+    # pytest twin test_staged_rejected_grain_replays_in_duckdb). Uses
+    # gate_batch directly (replay_gate folds batches but discards the
+    # rejected leg) with the identical corpus-scale split and jumbo
+    # escape hatch as the admitted grain.
+    from ..streaming.near_dup import gate_batch
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        T.token_count(F.col("text")) > 0
+    )
+    tagged = docs.withColumn("__sb", T.fingerprint(F.col("text")) % 10)
+    b0 = tagged.filter(F.col("__sb") != 9).select("doc_id", "text")
+    b1 = tagged.filter(F.col("__sb") == 9).select("doc_id", "text")
+    kw = dict(
+        num_hashes=_MH_K, bands=_MH_BANDS, n=1, threshold=_MH_TAU,
+        seed=_MH_SEED, portable=True, broadcast_batch=False,
+    )
+    _, bands0, rej0 = gate_batch(b0, None, **kw)
+    _, _, rej1 = gate_batch(b1, bands0, **kw)
+    return rej0.withColumn("ingest_batch", F.lit(0)).unionByName(
+        rej1.withColumn("ingest_batch", F.lit(1))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The driver's correctness harness records a fixed-size
 # prefix of this registry (50 entries), so the prefix is spent entirely on
@@ -8443,72 +8474,76 @@ def s_near_dup_gate_grain(spark, sf_dir):
 # x_fingerprint, x_heavy_hitters, x_kmeans_lloyd (all r9-green).
 # Round-13 projected mandatory: the 48 r9-cohort queries minus the 28
 # pre-paid here = 20 of 48 slots — solvent.
-# Round-13 debut candidate, built and pytest-pinned IN round 12 with
-# its oracle staged in tests (register + window-slot at rotation):
-# s_near_dup_gate_rejections — the gate's REJECTED grain (doc_id,
-# matched_id, est_jaccard, reason, ingest_batch), oracle =
-# _near_dup_gate_oracle("rejected") (the same SQL gate replay,
-# different final SELECT), parity-pinned in tests/test_stream_near_dup
-# .py::test_staged_rejected_grain_replays_in_duckdb.
+# Round-13 rotation (tools/rotate_window.py, ledger folded from
+# CORRECTNESS_r12's 50/50 green): 2 anchors + the 20 mandatory
+# r9-cohort queries the staleness guard printed + 27 r10-cohort
+# pre-pays + 1 round-13 debut registered per the round-12 verdict's
+# task 5 (s_near_dup_gate_rejected — the gate's REJECTED grain
+# (doc_id, matched_id, est_jaccard, reason, ingest_batch), oracle =
+# _near_dup_gate_oracle("rejected"), the same SQL gate replay with a
+# different final SELECT; staged round 12 at bd9f0ec and parity-pinned
+# in tests/test_stream_near_dup.py::
+# test_staged_rejected_grain_replays_in_duckdb — this registration
+# completes the gate's two-sided verification: admitted + rejected).
+# Displaced: p8_guarded_ratio (r10-green, the newest pre-pay pick).
 # ---------------------------------------------------------------------------
 
 CORRECTNESS_WINDOW = [
     # anchors (kept green every round for regression detection)
     "flagship_daily_rollup",
     "star_fact_events",
-    # round-12 mandatory rotations (last green < r9) — tools/rotate_window.py
-    "x_dedup_embedding_cosine",
-    "x_dedup_exact",
-    "x_dedup_token_jaccard",
-    "x_domain_mix_plan",
-    "x_embedding_normalize",
-    "x_fuzzy_match_names",
-    "x_global_shuffle",
-    "x_hard_negatives",
-    "x_knn_ivf_ann",
-    "x_pagerank_step",
-    "x_passage_dedup",
-    "x_quality_filter_by_lang",
-    "x_range_join_value_bands",
-    "x_sample_exact_k",
-    "x_user_value_trend",
-    "x_vocab_coverage",
-    # round-13 pre-pay (oldest last-green first); debuts displace from the bottom
-    "a45_global_summary",
-    "a_cube_matrix",
-    "a_quantiles_by_flag",
-    "a_share_of_total",
-    "f_from_json_struct",
-    "h_monthly_from_daily",
-    "h_sketch_rollup_hll",
-    "o1_top10_customers",
-    "p67_year_pruning",
-    "q_out_of_order_audit",
-    "q_quality_audit",
-    "r2_unpivot_year_matrix",
-    "s45_source_stats",
-    "sql_surface_weekly_top",
-    "u34_set_ops",
-    "w2_peak_dow_per_flag",
-    "w_event_sequences",
-    "x_cascade_delete_plan",
-    "x_content_hash_split",
-    "x_decontamination",
-    "x_dedup_minhash_poly",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash_poly",
-    "x_dedup_survivors",
-    "x_distribution_drift",
-    "x_doc_chunking",
-    "x_doc_stats_by_lang",
-    "x_dupgraph_degree",
-    # round-12 debuts (displacing the four newest pre-pays:
-    # x_embedding_quantize, x_fingerprint, x_heavy_hitters,
-    # x_kmeans_lloyd — all r9-green)
-    "x_pack_context",
-    "x_decontam_bloom",
-    "x_bpe_top_pairs",
-    "s_near_dup_gate_grain",
+    # round-13 mandatory rotations (last green < r10) — tools/rotate_window.py
+    "x_embedding_quantize",
+    "x_fingerprint",
+    "x_heavy_hitters",
+    "x_kmeans_lloyd",
+    "x_knn_bruteforce",
+    "x_knn_lsh_poly",
+    "x_knn_recall_at_k",
+    "x_lang_id",
+    "x_minhash_calibration",
+    "x_minhash_precision_recall",
+    "x_seq_length_histogram",
+    "x_session_features",
+    "x_shared_passage_flags",
+    "x_source_overlap",
+    "x_split_leakage_audit",
+    "x_text_profile",
+    "x_token_entropy",
+    "x_unigram_surprisal",
+    "x_weighted_sample",
+    "x_zorder_layout_audit",
+    # round-14 pre-pay (oldest last-green first); debuts displace from the bottom
+    "a11_type_dow_matrix",
+    "a12_yearly_validation",
+    "a13_avg_of_precomputed",
+    "a4_global_summary",
+    "a5_year_bounds",
+    "a6_growth_by_year_priority",
+    "a7_weekly_latest_year",
+    "a8_ratio_of_sums_by_type",
+    "a_exact_median_hist",
+    "f10_hours_arithmetic",
+    "f6_date_spine",
+    "f7_regex_inference_precedence",
+    "f_calendar_keys",
+    "h_sketch_rollup_quantile",
+    "j1_snowflake_flatten_distinct",
+    "j2_broadcast_user_enrichment",
+    "j5_fact_by_country",
+    "j6_fact_by_dow_via_date_dim",
+    "j7_enrich_with_fallback",
+    "ja_orphan_anti_join",
+    "js_semi_active_customers",
+    "o2_top_events_full_sort",
+    "o5_distinct_years_sorted",
+    "p2_filter_notnull_nonempty",
+    "p3_p4_p5_quality_clean",
+    "p6_year_equality_prune",
+    "p7_year_range_prune",
+    # round-13 debut (displaces p8_guarded_ratio, the newest pre-pay
+    # pick, per the rotation policy): the gate's rejected grain
+    "s_near_dup_gate_rejected",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which
@@ -8519,15 +8554,15 @@ CORRECTNESS_WINDOW = [
 # tests/test_catalog_registry.py asserts that every oracle-backed query
 # appears here or in the current window.
 DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
-    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
-    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+    "flagship_daily_rollup": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12],
+    "star_fact_events": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12],
     "s1_scan_pruned_projection": [1, 2, 5, 8, 11],
-    "s45_source_stats": [2, 3, 6, 9],
+    "s45_source_stats": [2, 3, 6, 9, 12],
     "s4_source_date_bounds": [1, 4, 7, 10],
     "s5_row_counts": [1, 4, 7, 11],
     "p2_filter_notnull_nonempty": [1, 2, 4, 7, 10],
     "p3_p4_p5_quality_clean": [1, 2, 4, 7, 10],
-    "p67_year_pruning": [2, 3, 6, 9],
+    "p67_year_pruning": [2, 3, 6, 9, 12],
     "p6_year_equality_prune": [1, 4, 7, 10],
     "p7_year_range_prune": [1, 4, 7, 10],
     "p8_guarded_ratio": [1, 2, 4, 7, 10],
@@ -8539,7 +8574,7 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "j7_enrich_with_fallback": [1, 2, 4, 7, 10],
     "ja_orphan_anti_join": [1, 2, 4, 7, 10],
     "js_semi_active_customers": [1, 4, 7, 10],
-    "a45_global_summary": [2, 3, 6, 9],
+    "a45_global_summary": [2, 3, 6, 9, 12],
     "a4_global_summary": [1, 4, 7, 10],
     "a5_year_bounds": [1, 4, 7, 10],
     "a6_growth_by_year_priority": [1, 2, 4, 7, 10],
@@ -8548,76 +8583,76 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "a11_type_dow_matrix": [1, 4, 7, 10],
     "a12_yearly_validation": [1, 4, 7, 10],
     "a13_avg_of_precomputed": [1, 4, 7, 10],
-    "a_cube_matrix": [2, 3, 6, 9],
+    "a_cube_matrix": [2, 3, 6, 9, 12],
     "a_rollup_hierarchy": [2, 3, 5, 8, 11],
-    "h_monthly_from_daily": [2, 3, 6, 9],
-    "a_quantiles_by_flag": [2, 3, 6, 9],
-    "a_share_of_total": [2, 3, 6, 9],
+    "h_monthly_from_daily": [2, 3, 6, 9, 12],
+    "a_quantiles_by_flag": [2, 3, 6, 9, 12],
+    "a_share_of_total": [2, 3, 6, 9, 12],
     "w1_peak_week": [1, 4, 7, 11],
-    "w2_peak_dow_per_flag": [1, 2, 3, 6, 9],
+    "w2_peak_dow_per_flag": [1, 2, 3, 6, 9, 12],
     "w3_yoy_order_growth": [1, 2, 4, 7, 11],
     "w_sessionize": [2, 3, 4, 7, 11],
     "w_moving_avg_7d": [2, 3, 5, 8, 11],
-    "o1_top10_customers": [1, 2, 3, 6, 9],
+    "o1_top10_customers": [1, 2, 3, 6, 9, 12],
     "o2_top_events_full_sort": [1, 4, 7, 10],
     "o5_distinct_years_sorted": [1, 4, 7, 10],
     "u1_union_two_sources": [1, 2, 5, 8, 11],
     "u2_distinct_pairs": [1, 4, 7, 11],
-    "u34_set_ops": [2, 3, 6, 9],
+    "u34_set_ops": [2, 3, 6, 9, 12],
     "u3_except_churned": [1, 4, 7, 11],
     "u4_intersect_retained": [1, 4, 7, 11],
     "r1_pivot_year_matrix": [1, 4, 7, 10],
-    "r2_unpivot_year_matrix": [1, 2, 3, 6, 9],
+    "r2_unpivot_year_matrix": [1, 2, 3, 6, 9, 12],
     "f_calendar_keys": [1, 2, 4, 7, 10],
     "f6_date_spine": [1, 2, 4, 7, 10],
     "f7_regex_inference_precedence": [1, 2, 4, 7, 10],
     "f10_hours_arithmetic": [1, 4, 7, 10],
     "f_json_extract": [2, 3, 5, 8, 11],
-    "f_from_json_struct": [2, 3, 6, 9],
-    "sql_surface_weekly_top": [2, 3, 6, 9],
-    "q_quality_audit": [2, 3, 6, 9],
-    "x_dedup_exact": [1, 2, 5, 8],
+    "f_from_json_struct": [2, 3, 6, 9, 12],
+    "sql_surface_weekly_top": [2, 3, 6, 9, 12],
+    "q_quality_audit": [2, 3, 6, 9, 12],
+    "x_dedup_exact": [1, 2, 5, 8, 12],
     "x_dedup_canonical": [1, 4, 7, 11],
-    "x_dedup_token_jaccard": [1, 2, 5, 8],
-    "x_dedup_minhash_poly": [2, 3, 6, 9],
-    "x_dedup_simhash_poly": [2, 3, 6, 9],
+    "x_dedup_token_jaccard": [1, 2, 5, 8, 12],
+    "x_dedup_minhash_poly": [2, 3, 6, 9, 12],
+    "x_dedup_simhash_poly": [2, 3, 6, 9, 12],
     "x_dedup_clusters": [2, 3, 5, 8, 11],
-    "x_dedup_embedding_cosine": [2, 3, 5, 8],
+    "x_dedup_embedding_cosine": [2, 3, 5, 8, 12],
     "x_asof_join_last_signup": [1, 2, 5, 8, 11],
-    "x_range_join_value_bands": [1, 2, 3, 5, 8],
-    "x_user_value_trend": [1, 2, 3, 4, 8],
+    "x_range_join_value_bands": [1, 2, 3, 5, 8, 12],
+    "x_user_value_trend": [1, 2, 3, 4, 8, 12],
     "x_knn_bruteforce": [2, 3, 6, 9],
     "x_knn_lsh_poly": [2, 3, 6, 9],
     "x_text_profile": [2, 3, 5, 9],
-    "x_content_hash_split": [2, 3, 6, 9],
+    "x_content_hash_split": [2, 3, 6, 9, 12],
     "x_quality_deciles": [2, 3, 6, 10],
     "x_cdc_fact_diff": [3, 5, 8, 11],
     "x_salted_skew_rollup": [3, 6, 10],
-    "x_knn_ivf_ann": [3, 5, 8],
-    "x_dedup_ngram_jaccard": [3, 6, 9],
-    "x_decontamination": [3, 6, 9],
+    "x_knn_ivf_ann": [3, 5, 8, 12],
+    "x_dedup_ngram_jaccard": [3, 6, 9, 12],
+    "x_decontamination": [3, 6, 9, 12],
     "x_stratified_sample": [3, 6, 10],
     "x_pack_shards": [3, 6, 10],
     "x_repetition_filter": [3, 6, 10],
     "x_fingerprint": [3, 6, 9],
     "x_top_bigrams": [3, 6, 10],
-    "x_doc_stats_by_lang": [3, 6, 9],
+    "x_doc_stats_by_lang": [3, 6, 9, 12],
     "x_text_stats": [3, 6, 10],
     "x_lang_id": [3, 6, 9],
     "x_quality_score": [3, 6, 10],
-    "x_doc_chunking": [3, 6, 9],
+    "x_doc_chunking": [3, 6, 9, 12],
     "x_tfidf_top_terms": [3, 6, 10],
     "x_embedding_quantize": [3, 6, 9],
-    "x_dupgraph_degree": [3, 6, 9],
-    "x_dedup_survivors": [3, 6, 9],
+    "x_dupgraph_degree": [3, 6, 9, 12],
+    "x_dedup_survivors": [3, 6, 9, 12],
     "x_bm25_topk": [4, 7, 11],
     "x_dedup_incremental": [4, 7, 11],
-    "x_embedding_normalize": [4, 8],
-    "x_global_shuffle": [4, 8],
+    "x_embedding_normalize": [4, 8, 12],
+    "x_global_shuffle": [4, 8, 12],
     "x_kmeans_lloyd": [4, 6, 9],
-    "x_quality_filter_by_lang": [4, 8],
+    "x_quality_filter_by_lang": [4, 8, 12],
     "x_scd2_point_in_time": [4, 6, 10],
-    "x_vocab_coverage": [4, 8],
+    "x_vocab_coverage": [4, 8, 12],
     "a2_approx_distinct_scale": [5, 8, 11],
     "a_approx_quantile_audit": [5, 8, 11],
     "a_cohort_retention": [5, 8, 11],
@@ -8637,12 +8672,12 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_boilerplate_ngrams": [5, 8, 11],
     "x_containment_dedup": [5, 8, 11],
     "x_copurchase_pairs": [5, 8, 11],
-    "x_domain_mix_plan": [5, 8],
-    "x_fuzzy_match_names": [5, 8],
-    "x_hard_negatives": [5, 8],
-    "x_pagerank_step": [5, 8],
-    "x_passage_dedup": [5, 8],
-    "x_sample_exact_k": [5, 8],
+    "x_domain_mix_plan": [5, 8, 12],
+    "x_fuzzy_match_names": [5, 8, 12],
+    "x_hard_negatives": [5, 8, 12],
+    "x_pagerank_step": [5, 8, 12],
+    "x_passage_dedup": [5, 8, 12],
+    "x_sample_exact_k": [5, 8, 12],
     "x_seq_length_histogram": [5, 9],
     "x_session_features": [5, 9],
     "x_shared_passage_flags": [5, 9],
@@ -8652,11 +8687,11 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "x_unigram_surprisal": [5, 9],
     "x_weighted_sample": [5, 9],
     "x_zorder_layout_audit": [5, 9],
-    "h_sketch_rollup_hll": [6, 9],
-    "q_out_of_order_audit": [6, 9],
-    "w_event_sequences": [6, 9],
-    "x_cascade_delete_plan": [6, 9],
-    "x_distribution_drift": [6, 9],
+    "h_sketch_rollup_hll": [6, 9, 12],
+    "q_out_of_order_audit": [6, 9, 12],
+    "w_event_sequences": [6, 9, 12],
+    "x_cascade_delete_plan": [6, 9, 12],
+    "x_distribution_drift": [6, 9, 12],
     "x_heavy_hitters": [6, 9],
     "x_passage_scrub_crossdoc": [6, 10],
     "x_salted_skew_join": [6, 10],
@@ -8681,6 +8716,10 @@ DRIVER_GREEN_ROUNDS: dict[str, list[int]] = {
     "q_ivf_cell_skew": [11],
     "s_sessionize_grain": [11],
     "x_knn_ivfpq_recall": [11],
+    "s_near_dup_gate_grain": [12],
+    "x_bpe_top_pairs": [12],
+    "x_decontam_bloom": [12],
+    "x_pack_context": [12],
 }
 
 
