@@ -105,7 +105,22 @@ HEADLINE = [
     "w_event_sequences",       # per-user behavior trajectories (r6)
     "q_out_of_order_audit",    # distributed running-max lateness audit (r6)
     "x_cascade_delete_plan",   # GDPR cascade impact manifest (r6)
+    # round-13 refresh (round-12 verdict task 7): one timed representative
+    # per post-r6 tier, so rounds 7-12 operators get regression coverage.
+    # The first 51 names above are frozen for history continuity; their
+    # subtotal is reported as r6_comparable_total every round.
+    "x_knn_ivfpq_recall",      # IVF x PQ ANN + recall scorecard (r9/r10)
+    "x_bpe_top_pairs",         # BPE round-0 pair statistics (r11)
+    "x_pack_context",          # context-window packing layout (r11)
+    "x_decontam_bloom",        # Bloom-screened decontamination (r11)
+    "s_near_dup_gate_grain",   # streaming near-dup gate, two-batch replay (r12)
 ]
+
+# the round-6 51-query prefix — the set every history entry up to round
+# 12 timed; its subtotal keeps cross-round totals comparable after the
+# round-13 additions (the __total__ noise-audit normalization only uses
+# same-set entries, so it self-heals as new-set history accumulates)
+R6_SET = HEADLINE[:51]
 
 # Queries whose history shows multi-second shared-box variance get more
 # timed iterations so one slow process window cannot set the median.
@@ -236,6 +251,30 @@ def mt_speed_probe(spark) -> float | None:
 # fixed-work cpu probe) vs the history medians mark the record
 # non-representative (round-10 verdict task 3)
 REPRESENTATIVE_BAND = 1.5
+# round-13 (round-12 ADVICE, medium): excluding flagged entries from the
+# band medians anchors the band forever — after a persistent legitimate
+# slowdown (code or hardware) every future run reads >1.5x the frozen
+# quiet medians, is flagged, is excluded, and the loop never converges
+# (observed round 12: three consecutive flagged runs). Escape hatch:
+# once REANCHOR_STREAK consecutive history entries are flagged, the
+# medians re-anchor over the most recent REANCHOR_WINDOW entries
+# REGARDLESS of their flags, so the band follows the box/code to its
+# new level and the verdicts become meaningful again.
+REANCHOR_STREAK = 6
+REANCHOR_WINDOW = 8
+
+
+def _flag_streak(hist_records: list[dict]) -> int:
+    """Trailing run of consecutive representative:false history entries
+    — the re-anchor trigger, also surfaced in every record so a judge
+    sees a stuck band instead of inferring it from the file."""
+    streak = 0
+    for r in reversed(hist_records):
+        if r.get("representative") is False:
+            streak += 1
+        else:
+            break
+    return streak
 
 
 def representative_verdict(
@@ -272,10 +311,18 @@ def representative_verdict(
     median upward until genuinely inflated runs sit back inside the
     band — observed round 12, where three flagged runs raised the
     empty-job median from 82.9 to 89.8 ms. Pre-flag entries (no key)
-    count as quiet."""
-    hist_records = [
-        r for r in hist_records if r.get("representative") is not False
-    ]
+    count as quiet — UNLESS the trailing REANCHOR_STREAK entries are
+    all flagged, in which case the band re-anchors over the most
+    recent REANCHOR_WINDOW entries flags-and-all (round-12 ADVICE: the
+    frozen quiet band otherwise flags every run after a persistent
+    legitimate slowdown, forever)."""
+    flag_streak = _flag_streak(hist_records)
+    if flag_streak >= REANCHOR_STREAK:
+        hist_records = hist_records[-REANCHOR_WINDOW:]
+    else:
+        hist_records = [
+            r for r in hist_records if r.get("representative") is not False
+        ]
     hist_ej = [
         r["empty_job_ms"] for r in hist_records
         if isinstance(r.get("empty_job_ms"), (int, float))
@@ -347,33 +394,34 @@ def representative_verdict(
             continue
         if r.get("contaminated"):
             continue
+        # round-13 (round-12 ADVICE, low): a candidate must CARRY every
+        # currently-active signal, not merely avoid failing the ones it
+        # happens to have — BENCH_r12's stamped_from had ref_query_probe
+        # and mt_speed_probe both null, i.e. quietness unverified on the
+        # two signals that catch the box's dominant inflation mode.
         r_ej = r.get("empty_job_ms")
-        if (
-            ej_ref is not None
-            and isinstance(r_ej, (int, float))
-            and r_ej > REPRESENTATIVE_BAND * ej_ref
+        if ej_ref is not None and (
+            not isinstance(r_ej, (int, float))
+            or r_ej > REPRESENTATIVE_BAND * ej_ref
         ):
             continue
         r_ref = r.get("ref_query_probe")
-        if (
-            ref_ref is not None
-            and isinstance(r_ref, (int, float))
-            and r_ref > REPRESENTATIVE_BAND * ref_ref
+        if ref_ref is not None and (
+            not isinstance(r_ref, (int, float))
+            or r_ref > REPRESENTATIVE_BAND * ref_ref
         ):
             continue
         r_mt = r.get("mt_speed_probe")
-        if (
-            mt_ref is not None
-            and isinstance(r_mt, (int, float))
-            and r_mt > REPRESENTATIVE_BAND * mt_ref
+        if mt_ref is not None and (
+            not isinstance(r_mt, (int, float))
+            or r_mt > REPRESENTATIVE_BAND * mt_ref
         ):
             continue
         r_cpu = r.get("cpu_speed_probe")
         cpu_ref = statistics.median(hist_probe) if len(hist_probe) >= 2 else None
-        if (
-            cpu_ref is not None
-            and isinstance(r_cpu, (int, float))
-            and r_cpu > REPRESENTATIVE_BAND * cpu_ref
+        if cpu_ref is not None and (
+            not isinstance(r_cpu, (int, float))
+            or r_cpu > REPRESENTATIVE_BAND * cpu_ref
         ):
             continue  # cpu-inflated entries are no better a pointer
             # than ej/ref/mt-inflated ones (review finding: the skip
@@ -386,10 +434,9 @@ def representative_verdict(
         golden_ref = (
             statistics.median(hist_golden) if len(hist_golden) >= 2 else None
         )
-        if (
-            golden_ref is not None
-            and isinstance(r_golden, (int, float))
-            and r_golden > REPRESENTATIVE_BAND * golden_ref
+        if golden_ref is not None and (
+            not isinstance(r_golden, (int, float))
+            or r_golden > REPRESENTATIVE_BAND * golden_ref
         ):
             continue  # mid-run-spiked entries (quiet start probes,
             # inflated golden) cannot be the pointer either
@@ -412,7 +459,12 @@ def representative_verdict(
     return False, evidence, fallback
 
 
-def stamp_record(record: dict, representative: bool, rep_fallback: dict | None) -> dict:
+def stamp_record(
+    record: dict,
+    representative: bool,
+    rep_fallback: dict | None,
+    current_git: str | None = None,
+) -> dict:
     """Round-12 (verdict task 5): when the run is NON-representative and
     a qualifying quiet-box twin exists, the stdout record — the line the
     driver stamps as BENCH_r{N}.json — carries the FALLBACK's
@@ -422,12 +474,24 @@ def stamp_record(record: dict, representative: bool, rep_fallback: dict | None) 
     move to live_value/live_queries, provenance goes under stamped_from,
     and the HISTORY append still records the live run untouched (history
     is the raw record; the promotion is presentation of the round
-    artifact only). Representative runs pass through unchanged."""
+    artifact only). Representative runs pass through unchanged.
+
+    Round-13 (round-12 verdict task 3 / ADVICE high): the promotion is
+    allowed ONLY when the fallback was measured at the SAME commit as
+    this run — BENCH_r12.json's headline came from a mid-round-11
+    commit, so the artifact misrepresented HEAD and the guard could not
+    distinguish box inflation from a real ~25-30% regression (once a
+    quiet historical run exists, the old ratchet would stamp it
+    forever). A fallback from any other commit stays a POINTER
+    (representative_run) and the live numbers remain the artifact's
+    primary fields, flagged representative:false with the evidence."""
     if (
         representative
         or rep_fallback is None
         or not isinstance(rep_fallback.get("value"), (int, float))
         or not rep_fallback.get("queries")
+        or current_git is None
+        or rep_fallback.get("git") != current_git
     ):
         return record
     out = dict(
@@ -521,6 +585,7 @@ def run_golden_tier(spark) -> dict:
             out: str,
             predicate: str | None = None,
             csv: str | None = None,
+            timings: dict | None = None,
         ) -> None:
             txns = read_sqlite(
                 spark, db_path, "streaming_txns",
@@ -545,6 +610,7 @@ def run_golden_tier(spark) -> dict:
                 countries=dims["countries"],
                 assets=dims["assets"],
                 out_path=out,
+                timings=timings,
             )
 
         # untimed pass over 20K-row slices of BOTH sources absorbs plan
@@ -559,13 +625,32 @@ def run_golden_tier(spark) -> dict:
 
         t0 = time.perf_counter()
         out = os.path.join(workdir, "fact")
-        etl(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), out)
+        stage: dict[str, float] = {}
+        etl(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), out, timings=stage)
         wall = round(time.perf_counter() - t0, 2)
+        # per-stage walls (round-12 verdict task 4): the two action
+        # boundaries inside the timed region — the raw-source min/max
+        # scan and the enrich+aggregate+write job — plus the residual
+        # (plan analysis, dim Arrow transfer, parquet re-open). A 7-10x
+        # bimodal sample now says WHICH job absorbed the spike.
+        stage["other_sec"] = round(
+            wall - sum(v for v in stage.values()), 2
+        )
+        # written fact layout: a file-count excursion (e.g. a changed
+        # partitioning default) would explain a slow write on a quiet box
+        fact_files = sum(
+            1
+            for _, _, files in os.walk(out)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
         fact = spark.read.parquet(out)
         v = star.validate_fact(fact, n_rows)
         return {
             "etl_sec": wall,
+            "stage_sec": stage,
+            "fact_files": fact_files,
             "rows_per_sec": round(n_rows / wall),
             "input_rows": n_rows,
             "fact_rows": fact.count(),
@@ -663,6 +748,10 @@ def main() -> None:
     # run_full); bench_diff warns on cross-probe comparisons.
     r1_set = HEADLINE[:16]
     r1_total = round(sum(per_query[n] for n in r1_set), 3)
+    # subtotal over the round-6 51-query prefix — every history entry
+    # through round 12 timed exactly this set, so the round-13 headline
+    # additions don't break cross-round total comparisons
+    r6_total = round(sum(per_query[n] for n in R6_SET), 3)
     # records/s of the ETL-analog rollup, comparable to BASELINE.md's
     # ~23K rows/s reference throughput
     from sportstv_streaming_data_warehouse_spark.sources.fixtures import load_table
@@ -896,9 +985,23 @@ def main() -> None:
             quiet, ref_probe, mt_probe,
             golden_etl=(golden_tier or {}).get("etl_sec"),
         )
+        flag_streak = _flag_streak(hist_records)
     except Exception:
         # the guard is advisory; the stdout contract must not break
         representative, rep_evidence, rep_fallback = quiet, [], None
+        flag_streak = 0
+
+    # the run's own commit — the lineage gate for fallback stamping
+    # (round-12 ADVICE high: BENCH_r12's headline was a mid-round-11
+    # commit's measurement); also reused by the history append below
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
 
     detail = {
         "metric": "headline_queries_detail",
@@ -936,6 +1039,8 @@ def main() -> None:
         # (see robust_stat) — rounds 4-6 history entries carry
         # stat:"median"; bench_diff warns on cross-stat comparisons
         "stat": "min3-median",
+        # round 13+: the frozen round-6 51-query subtotal (see R6_SET)
+        "r6_comparable_total": r6_total,
         "max_spread": max(per_query_spread.values()),
         "noise_verdicts": sum(
             1 for v in noise_audit.values() if v.startswith("noise")
@@ -983,7 +1088,14 @@ def main() -> None:
         record["contaminated"] = True
     import sys
 
-    out = stamp_record(record, representative, rep_fallback)
+    # round 13+: a stuck band (N consecutive flagged runs) is visible in
+    # the record itself; at REANCHOR_STREAK the verdict above already
+    # re-anchored its medians over the recent window
+    record["flag_streak"] = flag_streak
+    if flag_streak >= REANCHOR_STREAK:
+        record["band_reanchored"] = True
+
+    out = stamp_record(record, representative, rep_fallback, current_git=rev)
 
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(out))
@@ -994,10 +1106,6 @@ def main() -> None:
 
     # bench history: append out-of-band metadata for round-over-round diffs
     try:
-        rev = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
         hist = dict(
             record,
             **{k: v for k, v in detail.items() if k != "metric"},

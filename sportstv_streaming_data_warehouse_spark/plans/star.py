@@ -222,9 +222,19 @@ def run_etl(
     countries: DataFrame,
     assets: DataFrame,
     out_path: str | None = None,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full batch ETL (entry point 2, SURVEY.md §3.2): both sources
-    union BEFORE the single aggregate (U1), then dims + fact."""
+    union BEFORE the single aggregate (U1), then dims + fact.
+
+    ``timings`` (optional) receives wall-times of the plan's two action
+    boundaries — ``bounds_scan_sec`` (the min/max-date scan over both
+    raw sources: the extract path) and ``fact_write_sec`` (dims, enrich,
+    aggregate, parquet write: everything downstream). These are the only
+    honest sub-walls — any finer split would force extra materialization
+    and change the plan being measured (round-12 verdict task 4: the
+    golden tier's 7-10x bimodal samples need to localize themselves)."""
+    import time as _time
     core_cols = [
         "transaction_id", "user_id", "asset_id",
         "streaming_date", "minutes_streamed", "completed",
@@ -239,10 +249,13 @@ def run_etl(
             )
         )
 
+    _t0 = _time.perf_counter()
     bounds = txns.agg(
         F.min(F.to_date("streaming_date")).alias("lo"),
         F.max(F.to_date("streaming_date")).alias("hi"),
     ).first()
+    if timings is not None:
+        timings["bounds_scan_sec"] = round(_time.perf_counter() - _t0, 2)
 
     dim_country = build_dim_country(countries)
     dim_sport = build_dim_sport(assets)
@@ -254,7 +267,10 @@ def run_etl(
 
     fact = build_fact(enrich_transactions(txns, user_country, asset_sport))
     if out_path:
+        _t0 = _time.perf_counter()
         write_fact(fact, out_path)
+        if timings is not None:
+            timings["fact_write_sec"] = round(_time.perf_counter() - _t0, 2)
         fact = spark.read.parquet(out_path)
 
     return {

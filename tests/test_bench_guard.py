@@ -11,7 +11,11 @@ no SparkSession."""
 
 from __future__ import annotations
 
-from bench import REPRESENTATIVE_BAND, representative_verdict
+from bench import (
+    REANCHOR_STREAK,
+    REPRESENTATIVE_BAND,
+    representative_verdict,
+)
 
 HEADLINE = {"q_a", "q_b"}
 
@@ -252,7 +256,7 @@ def test_stamp_record_promotes_the_fallback_numbers():
     fb = _rec(77.0, 0.44, 37.8, git="quiet1")
     fb["ref_query_probe"] = 0.17
     fb["mt_speed_probe"] = 1.1
-    out = stamp_record(live, False, fb)
+    out = stamp_record(live, False, fb, current_git="quiet1")
     assert out["value"] == 37.8
     assert out["queries"] == fb["queries"]
     assert out["live_value"] == 50.9
@@ -267,10 +271,28 @@ def test_stamp_record_passes_through_when_representative_or_no_fallback():
     from bench import stamp_record
 
     live = {"value": 40.0, "queries": {"q_a": 20.0, "q_b": 20.0}}
-    assert stamp_record(live, True, _rec(77.0, 0.44, 37.8)) is live
-    assert stamp_record(live, False, None) is live
+    assert stamp_record(live, True, _rec(77.0, 0.44, 37.8), "abc") is live
+    assert stamp_record(live, False, None, "abc") is live
     # a fallback without numbers cannot stamp
-    assert stamp_record(live, False, {"git": "x", "value": None}) is live
+    assert stamp_record(live, False, {"git": "abc", "value": None}, "abc") is live
+
+
+def test_stamp_record_refuses_fallbacks_from_another_commit():
+    """round-12 ADVICE (high) / verdict task 3: BENCH_r12.json's headline
+    was stamped from a mid-round-11 commit, so the artifact
+    misrepresented HEAD and a real regression could hide behind a quiet
+    historical run forever. A fallback measured at any commit other than
+    the run's own passes through — the live numbers stay primary and the
+    representative_run pointer (kept by main) is the only reference."""
+    from bench import stamp_record
+
+    live = {"value": 50.9, "queries": {"q_a": 25.0, "q_b": 25.9},
+            "representative": False}
+    fb = _rec(77.0, 0.44, 37.8, git="9a82b1c")  # the literal r12 stamp
+    assert stamp_record(live, False, fb, current_git="bd9f0ec") is live
+    # an unknown current commit (rev-parse failed) can never stamp either
+    assert stamp_record(live, False, fb, current_git=None) is live
+    assert stamp_record(live, False, fb) is live
 
 
 def test_stamp_record_promotes_the_measurement_tiers_too():
@@ -285,13 +307,14 @@ def test_stamp_record_promotes_the_measurement_tiers_too():
     fb = _rec(58.1, 0.43, 37.8, git="quiet")
     fb["golden_tier"] = {"etl_sec": 5.1}
     fb["report_tier"] = {"ms": 95}
-    out = stamp_record(live, False, fb)
+    out = stamp_record(live, False, fb, current_git="quiet")
     assert out["golden_tier"] == {"etl_sec": 5.1}
     assert out["live_golden_tier"] == {"etl_sec": 62.4}
     assert out["report_tier"] == {"ms": 95}
     assert out["live_report_tier"] == {"ms": 300}
     # a fallback without tier data leaves the live tiers in place
-    out2 = stamp_record(live, False, _rec(58.1, 0.43, 37.8))
+    out2 = stamp_record(live, False, _rec(58.1, 0.43, 37.8, git="quiet"),
+                        current_git="quiet")
     assert out2["golden_tier"] == {"etl_sec": 62.4}
     assert "live_golden_tier" not in out2
 
@@ -341,20 +364,70 @@ def test_fallback_skips_golden_inflated_entries():
     assert fallback is not None and fallback["git"] == "g3"
 
 
+def _noisy(n, ej=280.0, value=60.0):
+    out = []
+    for i in range(n):
+        r = _rec(ej, 0.44, value, git=f"noisy{i}")
+        r["representative"] = False
+        out.append(r)
+    return out
+
+
 def test_flagged_history_entries_do_not_drift_the_band_medians():
     """round-12: three flagged-but-stamped runs raised the empty-job
     median 82.9 -> 89.8 ms. Entries recorded with representative:false
-    are excluded from the medians, so persistent noise cannot talk the
-    guard into accepting it."""
-    noisy = []
-    for i in range(6):  # would dominate the median if counted
-        r = _rec(280.0, 0.44, 60.0, git=f"noisy{i}")
-        r["representative"] = False
-        noisy.append(r)
-    hist = HIST + noisy
+    are excluded from the medians (below the REANCHOR_STREAK boundary),
+    so a noisy stretch cannot talk the guard into accepting it."""
+    hist = HIST + _noisy(REANCHOR_STREAK - 1)  # would dominate if counted
     ok, evidence, fallback = representative_verdict(
         hist, HEADLINE, empty_job_ms=261.8, speed_probe=0.44, quiet=True
     )
     assert ok is False  # 261.8 still reads against the ~77 ms quiet band
     assert any("empty_job_ms" in e for e in evidence)
     assert fallback is not None and fallback["git"] == "r10c"
+
+
+def test_band_reanchors_after_a_sustained_flag_streak():
+    """round-12 ADVICE (medium): with flagged entries excluded forever,
+    a persistent legitimate slowdown (code or hardware) leaves the band
+    anchored at the old quiet level and EVERY future run is flagged and
+    stamped from stale history indefinitely. At REANCHOR_STREAK
+    consecutive flagged entries the medians re-anchor over the recent
+    REANCHOR_WINDOW entries flags-and-all, so a run at the new steady
+    level reads representative again."""
+    hist = HIST + _noisy(REANCHOR_STREAK)
+    ok, evidence, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=275.0, speed_probe=0.44, quiet=True
+    )
+    assert ok is True and evidence == [] and fallback is None
+    # a run still far above even the re-anchored level keeps flagging
+    ok2, evidence2, _ = representative_verdict(
+        hist, HEADLINE, empty_job_ms=800.0, speed_probe=0.44, quiet=True
+    )
+    assert ok2 is False and any("empty_job_ms" in e for e in evidence2)
+
+
+def test_flag_streak_counter_counts_the_trailing_run_only():
+    from bench import _flag_streak
+
+    assert _flag_streak(HIST) == 0
+    assert _flag_streak(HIST + _noisy(3)) == 3
+    # an interleaved quiet entry resets the streak
+    assert _flag_streak(_noisy(4) + HIST[:1] + _noisy(2)) == 2
+
+
+def test_fallback_candidates_must_carry_every_active_signal():
+    """round-12 ADVICE (low): BENCH_r12's stamped_from had
+    ref_query_probe and mt_speed_probe both null — a pre-probe entry
+    with unverified quietness was promoted. A candidate missing ANY
+    signal the band currently checks is skipped."""
+    # ref-probe band is active (2+ history values); r10-era entries
+    # lack the field entirely and must no longer qualify
+    hist = HIST + HIST_REF[:2]
+    ok, _, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=400.0, speed_probe=0.44,
+        quiet=True, ref_probe=0.30,
+    )
+    assert ok is False
+    assert fallback is not None
+    assert fallback["git"] in {"r11a", "r11b"}  # never a pre-probe entry
