@@ -286,6 +286,7 @@ def representative_verdict(
     ref_probe: float | None = None,
     mt_probe: float | None = None,
     golden_etl: float | None = None,
+    golden_stages: dict | None = None,
 ) -> tuple[bool, list[str], dict | None]:
     """Decide whether THIS run may stamp the round artifact.
 
@@ -377,6 +378,30 @@ def representative_verdict(
         checks.append(
             ("golden_tier.etl_sec", golden_etl, statistics.median(hist_golden))
         )
+    # round 13+: the golden tier's per-stage walls (verdict task 4) —
+    # sub-signals that LOCALIZE a mid-run spike (sqlite/csv scan vs the
+    # enrich+aggregate+write job). Evidence-only: they inform the
+    # verdict but are not candidate-completeness gates (pre-r13 history
+    # lacks them; the same-commit stamping rule already bounds what a
+    # candidate can be).
+    for stage_key in ("bounds_scan_sec", "fact_write_sec"):
+        cur = (golden_stages or {}).get(stage_key)
+        hist_stage = [
+            r["golden_tier"]["stage_sec"][stage_key] for r in hist_records
+            if isinstance(r.get("golden_tier"), dict)
+            and isinstance(r["golden_tier"].get("stage_sec"), dict)
+            and isinstance(
+                r["golden_tier"]["stage_sec"].get(stage_key), (int, float)
+            )
+        ]
+        if isinstance(cur, (int, float)) and len(hist_stage) >= 2:
+            checks.append(
+                (
+                    f"golden_tier.stage_sec.{stage_key}",
+                    cur,
+                    statistics.median(hist_stage),
+                )
+            )
     evidence = [
         f"{k} {v} = {v / ref:.2f}x history median {round(ref, 3)}"
         for k, v, ref in checks
@@ -984,6 +1009,7 @@ def main() -> None:
             hist_records, set(per_query), empty_job_ms, speed_probe_start,
             quiet, ref_probe, mt_probe,
             golden_etl=(golden_tier or {}).get("etl_sec"),
+            golden_stages=(golden_tier or {}).get("stage_sec"),
         )
         flag_streak = _flag_streak(hist_records)
     except Exception:

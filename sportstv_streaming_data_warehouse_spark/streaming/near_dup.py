@@ -86,7 +86,8 @@ def gate_batch(
     seed: int = 42,
     portable: bool = False,
     batch_bands: DataFrame | None = None,
-    index_buckets: int = INDEX_BUCKETS,
+    index_buckets: int | None = None,
+    index_dir: str | None = None,
     broadcast_batch: bool = True,
     _persist_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -101,8 +102,17 @@ def gate_batch(
 
     If ``index_bands`` carries a ``band_bucket`` column (the bucketed
     index layout ``process`` writes), the read is pruned to the batch's
-    occupied buckets — a PartitionFilter on the parquet scan. The batch
-    side of the corpus join is broadcast unless ``broadcast_batch=False``.
+    occupied buckets — a PartitionFilter on the parquet scan. The prune
+    modulus is resolved in trust order (round-12 ADVICE: a caller-
+    supplied modulus that disagrees with the on-disk layout prunes TRUE
+    candidate partitions and silently double-admits): ``index_dir``'s
+    ``_gate_meta.json`` when given (authoritative; an explicit
+    ``index_buckets`` that CONTRADICTS it raises), else an explicit
+    ``index_buckets`` (the caller vouches — ``process`` passes the
+    meta-resolved value), else the prune is SKIPPED entirely: a full
+    index scan is correct, just unpruned — never a correctness trade.
+    The batch side of the corpus join is broadcast unless
+    ``broadcast_batch=False``.
     ``_persist_registry`` (internal): when a list is passed, the pair
     tables are persisted and appended to it so multiple downstream
     actions reuse one candidate-join execution; the caller unpersists.
@@ -133,6 +143,21 @@ def gate_batch(
     if index_bands is not None:
         idx = index_bands
         if "band_bucket" in idx.columns:
+            if index_dir is not None:
+                meta = _read_meta_buckets(batch.sparkSession, index_dir)
+                if meta is not None:
+                    if (
+                        index_buckets is not None
+                        and int(index_buckets) != int(meta)
+                    ):
+                        raise ValueError(
+                            f"index_buckets={index_buckets} contradicts "
+                            f"the on-disk layout's _gate_meta.json "
+                            f"({meta}) at {index_dir} — pruning with it "
+                            "would drop true candidate partitions"
+                        )
+                    index_buckets = meta
+        if "band_bucket" in idx.columns and index_buckets is not None:
             if batch_bands is None:
                 # the occupied-buckets collect below would otherwise
                 # execute the banding once ON TOP of every downstream

@@ -354,6 +354,34 @@ def test_golden_in_band_stays_representative():
     assert ok is True and evidence == []
 
 
+def test_stage_walls_band_and_localize_a_mid_run_spike():
+    """round-13 (verdict task 4): the golden tier's per-stage walls are
+    guard sub-signals once 2 history entries carry them — a spike names
+    the stage that absorbed it."""
+    hist = []
+    for git, (b, w) in zip("abc", [(2.8, 2.1), (3.1, 2.4), (2.6, 2.0)]):
+        r = _rec_golden(77.0, 0.44, 5.8, 38.0, git=git)
+        r["golden_tier"]["stage_sec"] = {
+            "bounds_scan_sec": b, "fact_write_sec": w, "other_sec": 0.6,
+        }
+        hist.append(r)
+    ok, evidence, _ = representative_verdict(
+        hist, HEADLINE, empty_job_ms=78.0, speed_probe=0.44, quiet=True,
+        golden_etl=6.0,
+        golden_stages={"bounds_scan_sec": 44.0, "fact_write_sec": 2.2},
+    )
+    assert ok is False
+    assert any("stage_sec.bounds_scan_sec" in e for e in evidence)
+    assert not any("stage_sec.fact_write_sec" in e for e in evidence)
+    # absent stage history (pre-r13 entries): the sub-signal stays off
+    ok2, evidence2, _ = representative_verdict(
+        HIST_GOLDEN, HEADLINE, empty_job_ms=78.0, speed_probe=0.44,
+        quiet=True, golden_etl=6.0,
+        golden_stages={"bounds_scan_sec": 44.0, "fact_write_sec": 2.2},
+    )
+    assert ok2 is True and evidence2 == []
+
+
 def test_fallback_skips_golden_inflated_entries():
     hist = HIST_GOLDEN + [_rec_golden(74.0, 0.43, 53.4, 56.9, git="spiked")]
     ok, _, fallback = representative_verdict(

@@ -481,6 +481,41 @@ def test_bucket_modulus_comes_from_the_index_meta_not_the_caller(spark, tmp_path
     assert adm == [0, 1, 2, 11]
 
 
+def test_gate_batch_on_a_bucketed_index_without_a_modulus_skips_the_prune(
+    spark, gated
+):
+    """round-12 ADVICE (low): gate_batch called DIRECTLY on a bucketed
+    index used to trust the caller-supplied modulus — a disagreeing
+    value pruned true candidate partitions and silently double-admitted.
+    Now the modulus must be vouched for: with none supplied the prune is
+    skipped (full scan, still correct), with index_dir the meta is
+    authoritative, and an explicit modulus contradicting the meta
+    raises instead of corrupting."""
+    idx = spark.read.option("basePath", gated["index"]).parquet(
+        gated["index"]
+    ).drop("ingest_batch")
+    assert "band_bucket" in idx.columns
+    replay = spark.createDataFrame(
+        [(200, T_A), (201, T_D), (202, "wholly novel unrelated words")],
+        SCHEMA,
+    )
+    # no modulus, no index_dir: unpruned but CORRECT — both known
+    # near-dups still rejected
+    admitted, _, _ = gate_batch(replay, idx)
+    assert sorted(r["doc_id"] for r in admitted.select("doc_id").collect()) == [202]
+    # ... and nothing was pruned: no band_bucket PartitionFilter in the plan
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    assert "band_bucket IN" not in plan
+    # index_dir resolves the meta modulus (128 default) authoritatively
+    admitted2, _, _ = gate_batch(replay, idx, index_dir=gated["index"])
+    assert sorted(
+        r["doc_id"] for r in admitted2.select("doc_id").collect()
+    ) == [202]
+    # an explicit modulus that contradicts the on-disk meta raises
+    with pytest.raises(ValueError, match="contradicts"):
+        gate_batch(replay, idx, index_buckets=64, index_dir=gated["index"])
+
+
 def test_staged_rejected_grain_replays_in_duckdb(spark):
     """Round-13 registration candidate, staged here first (the
     round-11/12 pattern): the gate's REJECTED grain — one row per
