@@ -494,6 +494,11 @@ PLAN_LINE_EXCEPTIONS = {
                               # self join, two anti joins, semi join
                               # each) unioned — the plan is the batch
                               # MODEL of the stream, large by design
+    "s_near_dup_gate_rejected": 1400,  # the same two-batch gate fold,
+                              # rejected grain (audited 1,114 lines at
+                              # registration) — same subtrees, the
+                              # final SELECT keeps the pair tables
+                              # instead of the admitted ids
 }
 
 
