@@ -227,13 +227,23 @@ def run_etl(
     """Full batch ETL (entry point 2, SURVEY.md §3.2): both sources
     union BEFORE the single aggregate (U1), then dims + fact.
 
-    ``timings`` (optional) receives wall-times of the plan's two action
-    boundaries — ``bounds_scan_sec`` (the min/max-date scan over both
-    raw sources: the extract path) and ``fact_write_sec`` (dims, enrich,
-    aggregate, parquet write: everything downstream). These are the only
-    honest sub-walls — any finer split would force extra materialization
-    and change the plan being measured (round-12 verdict task 4: the
-    golden tier's 7-10x bimodal samples need to localize themselves)."""
+    ONE pass over the raw sources (round 13): the date-spine bounds
+    (min/max raw ``streaming_date``, needed only to size ``dim_date``)
+    ride the fact-write action as ``Observation`` metrics instead of a
+    dedicated scan — at 100 TB the old eager ``.agg(min,max).first()``
+    was a SECOND full read of every raw byte, and locally it was the
+    golden tier's single most contention-exposed stage (SCALE.md
+    round-13: 38-53 s under the episodic-contention mode vs 1.3-3.4 s
+    quiet, 32 Python sqlite workers starved hardest). Semantics are
+    byte-identical: the observed aggregate is the same min/max over the
+    same pre-filter union. The lazy no-write path (out_path=None) keeps
+    the eager scan — there is no action to piggyback on.
+
+    ``timings`` (optional) receives the action-boundary wall-times:
+    ``fact_write_sec`` (the fused scan+enrich+aggregate+write job) and,
+    on the no-write path only, ``bounds_scan_sec``. Any finer split
+    would force extra materialization and change the plan being
+    measured (round-12 verdict task 4)."""
     import time as _time
     core_cols = [
         "transaction_id", "user_id", "asset_id",
@@ -249,29 +259,43 @@ def run_etl(
             )
         )
 
-    _t0 = _time.perf_counter()
-    bounds = txns.agg(
-        F.min(F.to_date("streaming_date")).alias("lo"),
-        F.max(F.to_date("streaming_date")).alias("hi"),
-    ).first()
-    if timings is not None:
-        timings["bounds_scan_sec"] = round(_time.perf_counter() - _t0, 2)
-
     dim_country = build_dim_country(countries)
     dim_sport = build_dim_sport(assets)
-    dim_date = build_dim_date(spark, bounds["lo"], bounds["hi"])
     user_country = build_user_country(subscribers, postal2city, cities)
     asset_sport = assets.filter(
         F.col("sport").isNotNull() & (F.col("sport") != "")
     ).select("asset_id", "sport")
 
-    fact = build_fact(enrich_transactions(txns, user_country, asset_sport))
     if out_path:
+        from pyspark.sql import Observation
+
+        obs = Observation("source_date_bounds")
+        observed = txns.observe(
+            obs,
+            F.min(F.to_date("streaming_date")).alias("lo"),
+            F.max(F.to_date("streaming_date")).alias("hi"),
+        )
+        fact = build_fact(
+            enrich_transactions(observed, user_country, asset_sport)
+        )
         _t0 = _time.perf_counter()
-        write_fact(fact, out_path)
+        write_fact(fact, out_path)  # the ONE action: bounds ride it
         if timings is not None:
             timings["fact_write_sec"] = round(_time.perf_counter() - _t0, 2)
+        bounds = obs.get
         fact = spark.read.parquet(out_path)
+    else:
+        _t0 = _time.perf_counter()
+        bounds = txns.agg(
+            F.min(F.to_date("streaming_date")).alias("lo"),
+            F.max(F.to_date("streaming_date")).alias("hi"),
+        ).first()
+        if timings is not None:
+            timings["bounds_scan_sec"] = round(_time.perf_counter() - _t0, 2)
+        fact = build_fact(
+            enrich_transactions(txns, user_country, asset_sport)
+        )
+    dim_date = build_dim_date(spark, bounds["lo"], bounds["hi"])
 
     return {
         "dim_country": dim_country,
