@@ -227,3 +227,35 @@ def test_full_pipeline_duckdb_crosscheck(etl, data):
     """
     compare(etl["fact"], con, sql, "star_etl_fact")
     con.close()
+
+
+def test_write_path_observed_bounds_equal_the_eager_scan(
+    spark, sdfs, etl, tmp_path
+):
+    """Round-13 fusion: the write path derives the date-spine bounds
+    from Observation metrics riding the fact-write action (one pass
+    over the raw sources) instead of the eager min/max scan. The two
+    branches must agree exactly — same dim_date range AND the same fact
+    rows (the observed aggregate sees the PRE-filter union, like the
+    eager scan did)."""
+    written = star.run_etl(
+        spark,
+        streaming_txns=sdfs["streaming_txns"],
+        csv_txns=sdfs["csv_txns"],
+        subscribers=sdfs["subscribers"],
+        postal2city=sdfs["postal2city"],
+        cities=sdfs["cities"],
+        countries=sdfs["countries"],
+        assets=sdfs["assets"],
+        out_path=str(tmp_path / "fact"),
+    )
+    span = lambda d: d.agg(  # noqa: E731
+        F.min("full_date").alias("lo"), F.max("full_date").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    assert span(written["dim_date"]) == span(etl["dim_date"])
+    # align column order: the written fact is read back from a
+    # partitionBy("year") layout, which appends the partition column
+    cols = sorted(etl["fact"].columns)
+    key = lambda df: sorted(map(str, df.select(*cols).collect()))  # noqa: E731
+    assert key(written["fact"]) == key(etl["fact"])

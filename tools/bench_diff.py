@@ -79,6 +79,13 @@ def main() -> None:
     print(f"total: prev {prev['value']} -> cur {cur['value']}; "
           f"{len(flagged)} beyond {band}x band: {flagged}"
           + (f"; {len(removed)} removed: {removed}" if removed else ""))
+    # round 13+: when the headline set differs between the entries, the
+    # raw totals are not comparable — the frozen round-6 subtotal is
+    if set(prev["queries"]) != set(cur["queries"]):
+        rp, rc = prev.get("r6_comparable_total"), cur.get("r6_comparable_total")
+        print("NOTE: headline sets differ — compare r6_comparable_total "
+              f"instead: prev {rp} -> cur {rc}"
+              + (f" ({rc / rp:.2f}x)" if rp and rc else ""))
 
 
 if __name__ == "__main__":
