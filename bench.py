@@ -580,8 +580,22 @@ def run_golden_tier(spark) -> dict:
         corpus = generate(n_sqlite=GOLDEN_N_SQLITE, n_csv=GOLDEN_N_CSV)
         db_path = os.path.join(workdir, "operational.db")
         with sqlite3.connect(db_path) as con:
+            # transaction_id is an INTEGER PRIMARY KEY (SQLite rowid
+            # alias — costs nothing to maintain), as any operational DB
+            # would have. Without it each of the 32 shard readers'
+            # `transaction_id BETWEEN lo AND hi` predicates full-scans
+            # the whole table — O(shards x N), measured 1.55x
+            # SUPER-linear at a 10x corpus (SCALE.md round-13 linearity
+            # run). With it a shard reads only its own slice: O(N).
+            con.execute(
+                "CREATE TABLE streaming_txns ("
+                "transaction_id INTEGER PRIMARY KEY, user_id INTEGER, "
+                "asset_id TEXT, streaming_date TEXT, "
+                "minutes_streamed INTEGER, completed INTEGER)"
+            )
             corpus["streaming_txns"].to_sql(
-                "streaming_txns", con, index=False, chunksize=50_000
+                "streaming_txns", con, index=False, chunksize=50_000,
+                if_exists="append",
             )
         csv_path = os.path.join(workdir, "activity.csv")
         corpus["csv_txns"].to_csv(csv_path, index=False)
