@@ -156,6 +156,7 @@ def test_no_oracle_query_staler_than_budget_period():
     from sportstv_streaming_data_warehouse_spark.plans.catalog import (
         staleness_period,
     )
+    from tools.update_ledger import collect as ledger_collect
 
     recorded = sorted(
         int(m.group(1))
@@ -165,16 +166,45 @@ def test_no_oracle_query_staler_than_budget_period():
     if not recorded:
         pytest.skip("no CORRECTNESS files recorded yet (fresh clone)")
     current_round = max(recorded) + 1
+    # Fold the artifacts in-memory rather than trusting the committed
+    # DRIVER_GREEN_ROUNDS snapshot: the driver writes CORRECTNESS_r{N}
+    # AFTER the builder's last round-N commit, so at every end-of-round
+    # HEAD the snapshot lags one artifact and this test went red two
+    # rounds running (round-12/13 verdicts) for queries that WERE green
+    # in the just-recorded file. The snapshot-vs-files equality is
+    # separately pinned by test_driver_ledger_matches_correctness_files.
+    greens = ledger_collect()
     p = staleness_period()
     stale = [
         name
         for name in all_oracles()
         if name not in CORRECTNESS_WINDOW
-        and max(DRIVER_GREEN_ROUNDS.get(name, [0])) < current_round - p
+        and max(greens.get(name, [0])) < current_round - p
     ]
     assert not stale, (
         f"queries overdue for driver re-verification (period {p}): {stale}"
     )
+
+
+def test_rotation_survives_unfolded_correctness_artifact(monkeypatch):
+    """The driver writes CORRECTNESS_r{N}.json AFTER the builder's last
+    round-N commit, so the committed DRIVER_GREEN_ROUNDS snapshot lags
+    one artifact at every end-of-round HEAD. plan_window used to
+    SystemExit on that lag (rotate_window.py:68, flagged by the
+    round-12 AND round-13 verdicts); it must now plan from the
+    artifacts directly, producing the same window as the folded state."""
+    import tools.rotate_window as rw
+
+    baseline = rw.plan_window()
+    newest = max(r for rs in DRIVER_GREEN_ROUNDS.values() for r in rs)
+    lagged = {
+        n: [r for r in rs if r != newest]
+        for n, rs in DRIVER_GREEN_ROUNDS.items()
+    }
+    lagged = {n: rs for n, rs in lagged.items() if rs}
+    assert lagged != DRIVER_GREEN_ROUNDS, "newest round must drop some rows"
+    monkeypatch.setattr(rw, "DRIVER_GREEN_ROUNDS", lagged)
+    assert rw.plan_window() == baseline
 
 
 def test_rotate_window_tool_plans_a_valid_window():

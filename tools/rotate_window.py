@@ -52,10 +52,15 @@ CATALOG = os.path.join(
 def plan_window() -> tuple[list[str], int, dict[str, int]]:
     rounds = recorded_rounds()
     current = max(rounds) + 1 if rounds else 1
-    # refuse to plan from a stale ledger (review finding: running this
-    # right after the driver writes CORRECTNESS_r{N}.json but BEFORE the
-    # update_ledger fold would misread every window entry as stale and
-    # blow the budget) — same source of truth the fold itself uses
+    # Plan from the CORRECTNESS artifacts directly — they are the source
+    # of truth; the committed DRIVER_GREEN_ROUNDS table is only a
+    # snapshot of them.  The driver writes CORRECTNESS_r{N}.json AFTER
+    # the builder's last round-N commit, so at every end-of-round HEAD
+    # the snapshot lags one artifact; the round-12/13 verdicts flagged
+    # the old SystemExit here as self-inflicted (the artifact is sitting
+    # in the tree — refusing to read it made the tool unusable exactly
+    # when it is needed).  Warn so the builder still folds, but plan
+    # from the real data either way.
     from tools.update_ledger import collect as ledger_collect
 
     recorded_greens = ledger_collect()
@@ -65,14 +70,16 @@ def plan_window() -> tuple[list[str], int, dict[str, int]]:
         if sorted(set(DRIVER_GREEN_ROUNDS.get(n, []))) != sorted(set(rs))
     ]
     if out_of_date:
-        raise SystemExit(
-            f"ledger out of date for {len(out_of_date)} queries — run "
-            "tools/update_ledger.py first"
+        print(
+            f"NOTE: committed ledger lags the artifacts for {len(out_of_date)} "
+            "queries — planning from CORRECTNESS_r*.json directly; run "
+            "tools/update_ledger.py to fold",
+            file=sys.stderr,
         )
     # debuts (no ledger row yet) are NOT schedulable by this policy —
     # they must displace a pre-pay pick by hand, per the docstring; with
     # last=0 they would otherwise masquerade as mandatory rotations
-    debuts = sorted(n for n in all_oracles() if n not in DRIVER_GREEN_ROUNDS)
+    debuts = sorted(n for n in all_oracles() if n not in recorded_greens)
     if debuts:
         print(
             "WARNING: oracle-backed queries with no ledger row (debuts?): "
@@ -81,9 +88,9 @@ def plan_window() -> tuple[list[str], int, dict[str, int]]:
             file=sys.stderr,
         )
     last = {
-        n: max(DRIVER_GREEN_ROUNDS[n])
+        n: max(recorded_greens[n])
         for n in all_oracles()
-        if n in DRIVER_GREEN_ROUNDS
+        if n in recorded_greens
     }
     period = staleness_period()
     mandatory = sorted(
