@@ -277,6 +277,23 @@ def _flag_streak(hist_records: list[dict]) -> int:
     return streak
 
 
+def _band_reanchored(hist_records: list[dict]) -> bool:
+    """Whether the band medians run in re-anchored (sliding last-N
+    window, flags-and-all) mode. Round-14 (round-13 ADVICE): the mode
+    is STICKY — once any history entry carries band_reanchored, every
+    later run stays in sliding-window mode. Without stickiness the
+    guard oscillated at ~1 representative run per REANCHOR_STREAK+1:
+    the first re-anchored run stamps representative, the streak resets
+    to 0, the band snaps back to the frozen old-level quiet medians
+    (one new-level entry cannot move the median), and the next ~6 runs
+    are flagged all over again. Sliding-window medians track the box's
+    real recent level, which is the steady-state behavior wanted once
+    the old all-history quiet band has ever proven stale."""
+    return _flag_streak(hist_records) >= REANCHOR_STREAK or any(
+        r.get("band_reanchored") for r in hist_records
+    )
+
+
 def representative_verdict(
     hist_records: list[dict],
     headline_set: set[str],
@@ -316,9 +333,10 @@ def representative_verdict(
     all flagged, in which case the band re-anchors over the most
     recent REANCHOR_WINDOW entries flags-and-all (round-12 ADVICE: the
     frozen quiet band otherwise flags every run after a persistent
-    legitimate slowdown, forever)."""
-    flag_streak = _flag_streak(hist_records)
-    if flag_streak >= REANCHOR_STREAK:
+    legitimate slowdown, forever). Round 14: re-anchor mode is STICKY
+    (see _band_reanchored) — without it the guard oscillated at ~1
+    representative run per streak cycle."""
+    if _band_reanchored(hist_records):
         hist_records = hist_records[-REANCHOR_WINDOW:]
     else:
         hist_records = [
@@ -379,12 +397,16 @@ def representative_verdict(
             ("golden_tier.etl_sec", golden_etl, statistics.median(hist_golden))
         )
     # round 13+: the golden tier's per-stage walls (verdict task 4) —
-    # sub-signals that LOCALIZE a mid-run spike (sqlite/csv scan vs the
-    # enrich+aggregate+write job). Evidence-only: they inform the
+    # sub-signals that LOCALIZE a mid-run spike (the fused
+    # enrich+aggregate+write job vs the residual: plan analysis, dim
+    # Arrow transfer, parquet re-open). Evidence-only: they inform the
     # verdict but are not candidate-completeness gates (pre-r13 history
     # lacks them; the same-commit stamping rule already bounds what a
-    # candidate can be).
-    for stage_key in ("bounds_scan_sec", "fact_write_sec"):
+    # candidate can be). Round 14 (round-13 ADVICE): bounds_scan_sec
+    # was dropped — after the round-13 Observation fusion the write
+    # path never records it, so its band could never form; other_sec
+    # is the live second signal.
+    for stage_key in ("fact_write_sec", "other_sec"):
         cur = (golden_stages or {}).get(stage_key)
         hist_stage = [
             r["golden_tier"]["stage_sec"][stage_key] for r in hist_records
@@ -544,6 +566,62 @@ def stamp_record(
     return out
 
 
+def quiet_floor(
+    hist_records: list[dict],
+    headline_set: set[str],
+    current_git: str | None,
+    live_record: dict | None = None,
+) -> dict | None:
+    """Round-14 (round-13 verdict task 2): the round's quiet-box truth,
+    carried IN the artifact next to the banded verdict. BENCH_r13
+    stamped `representative: true` on a 79.5 s contended sample —
+    honest under the re-anchored band, but the round's real quiet
+    numbers (~53 s suite, golden 2.6-4.7 s) lived only in the session
+    log. The floor is the MINIMUM suite total over SAME-COMMIT samples
+    that are quiet-qualified (not contaminated, not flagged
+    non-representative), including the live run itself when it
+    qualifies — so a future regression cannot hide inside a
+    re-anchored band: the floor only rises when the code at THIS
+    commit never ran fast on a quiet box.
+
+    Same-commit is a hard gate, mirroring stamp_record's lineage rule:
+    a floor inherited from another commit's quiet run would
+    reintroduce the BENCH_r12 hole where the artifact described code
+    that was not HEAD. Returns None when no qualifying sample exists
+    (first run at a commit on a loud box)."""
+    if current_git is None:
+        return None
+    cands = [
+        r
+        for r in hist_records
+        if r.get("git") == current_git
+        and not r.get("contaminated")
+        and r.get("representative") is not False
+        and set(r.get("queries", {})) == headline_set
+        and isinstance(r.get("value"), (int, float))
+    ]
+    if (
+        live_record is not None
+        and not live_record.get("contaminated")
+        and live_record.get("representative") is not False
+        and isinstance(live_record.get("value"), (int, float))
+    ):
+        cands.append(live_record)
+    if not cands:
+        return None
+    best = min(cands, key=lambda r: r["value"])
+    golden = best.get("golden_tier") or {}
+    return {
+        "value": best["value"],
+        "r6_comparable_total": best.get("r6_comparable_total"),
+        "golden_etl_sec": golden.get("etl_sec"),
+        "git": current_git,
+        "source": "live" if best is live_record else "history",
+        "wall_clock": best.get("wall_clock"),
+        "n_samples": len(cands),
+    }
+
+
 def wait_for_quiet_box(max_load: float, attempts: int = 3, wait_s: int = 30) -> bool:
     """Best-effort load gate: returns True once loadavg_1m <= max_load,
     False if the box stayed busy through all attempts."""
@@ -667,11 +745,13 @@ def run_golden_tier(spark) -> dict:
         stage: dict[str, float] = {}
         etl(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), out, timings=stage)
         wall = round(time.perf_counter() - t0, 2)
-        # per-stage walls (round-12 verdict task 4): the two action
-        # boundaries inside the timed region — the raw-source min/max
-        # scan and the enrich+aggregate+write job — plus the residual
-        # (plan analysis, dim Arrow transfer, parquet re-open). A 7-10x
-        # bimodal sample now says WHICH job absorbed the spike.
+        # per-stage walls (round-12 verdict task 4): since the round-13
+        # Observation fusion the timed region has ONE action — the
+        # fused enrich+aggregate+write job (fact_write_sec, with the
+        # date bounds riding as Observation metrics) — plus the
+        # residual (other_sec: plan analysis, dim Arrow transfer,
+        # parquet re-open). A 7-10x bimodal sample still says WHICH
+        # part absorbed the spike.
         stage["other_sec"] = round(
             wall - sum(v for v in stage.values()), 2
         )
@@ -1129,11 +1209,26 @@ def main() -> None:
     import sys
 
     # round 13+: a stuck band (N consecutive flagged runs) is visible in
-    # the record itself; at REANCHOR_STREAK the verdict above already
-    # re-anchored its medians over the recent window
+    # the record itself; round 14: the marker is STICKY — once the band
+    # re-anchors, every later record in sliding-window mode carries it
+    # too, so _band_reanchored keeps the mode on (see its docstring for
+    # the oscillation this fixes)
     record["flag_streak"] = flag_streak
-    if flag_streak >= REANCHOR_STREAK:
-        record["band_reanchored"] = True
+    try:
+        if _band_reanchored(hist_records):
+            record["band_reanchored"] = True
+    except Exception:
+        if flag_streak >= REANCHOR_STREAK:
+            record["band_reanchored"] = True
+
+    # round 14+ (round-13 verdict task 2): the same-commit quiet floor
+    # rides in the artifact next to the banded verdict — see quiet_floor
+    try:
+        floor = quiet_floor(hist_records, set(per_query), rev, record)
+        if floor is not None:
+            record["quiet_floor"] = floor
+    except Exception:
+        pass  # advisory; the stdout contract must not break
 
     out = stamp_record(record, representative, rep_fallback, current_git=rev)
 

@@ -357,27 +357,32 @@ def test_golden_in_band_stays_representative():
 def test_stage_walls_band_and_localize_a_mid_run_spike():
     """round-13 (verdict task 4): the golden tier's per-stage walls are
     guard sub-signals once 2 history entries carry them — a spike names
-    the stage that absorbed it."""
+    the stage that absorbed it. Round 14 (round-13 ADVICE): the banded
+    keys are fact_write_sec and other_sec — after the Observation
+    fusion the write path never records bounds_scan_sec, so that
+    sub-signal could never activate and was dropped."""
     hist = []
-    for git, (b, w) in zip("abc", [(2.8, 2.1), (3.1, 2.4), (2.6, 2.0)]):
+    for git, (w, o) in zip("abc", [(2.1, 0.6), (2.4, 0.7), (2.0, 0.5)]):
         r = _rec_golden(77.0, 0.44, 5.8, 38.0, git=git)
         r["golden_tier"]["stage_sec"] = {
-            "bounds_scan_sec": b, "fact_write_sec": w, "other_sec": 0.6,
+            "fact_write_sec": w, "other_sec": o,
         }
         hist.append(r)
     ok, evidence, _ = representative_verdict(
         hist, HEADLINE, empty_job_ms=78.0, speed_probe=0.44, quiet=True,
         golden_etl=6.0,
-        golden_stages={"bounds_scan_sec": 44.0, "fact_write_sec": 2.2},
+        golden_stages={"fact_write_sec": 2.2, "other_sec": 9.3},
     )
     assert ok is False
-    assert any("stage_sec.bounds_scan_sec" in e for e in evidence)
+    assert any("stage_sec.other_sec" in e for e in evidence)
     assert not any("stage_sec.fact_write_sec" in e for e in evidence)
+    # a dead key in the run's stages can never fire (no band forms)
+    assert not any("bounds_scan_sec" in e for e in evidence)
     # absent stage history (pre-r13 entries): the sub-signal stays off
     ok2, evidence2, _ = representative_verdict(
         HIST_GOLDEN, HEADLINE, empty_job_ms=78.0, speed_probe=0.44,
         quiet=True, golden_etl=6.0,
-        golden_stages={"bounds_scan_sec": 44.0, "fact_write_sec": 2.2},
+        golden_stages={"fact_write_sec": 2.2, "other_sec": 9.3},
     )
     assert ok2 is True and evidence2 == []
 
@@ -433,6 +438,80 @@ def test_band_reanchors_after_a_sustained_flag_streak():
         hist, HEADLINE, empty_job_ms=800.0, speed_probe=0.44, quiet=True
     )
     assert ok2 is False and any("empty_job_ms" in e for e in evidence2)
+
+
+def test_reanchor_mode_is_sticky_after_the_first_reanchored_entry():
+    """round-13 ADVICE (low): the escape hatch only fired while the
+    trailing streak was >= REANCHOR_STREAK. After one re-anchored run
+    stamped representative the streak reset to 0, the band snapped back
+    to the frozen old-level quiet medians, and the next ~6 runs were
+    flagged again — ~1 representative run per 7 instead of convergence.
+    Round 14: once any history entry carries band_reanchored, the band
+    stays in sliding-window mode."""
+    from bench import _band_reanchored
+
+    # the post-streak state: a re-anchored run stamped representative
+    # at the new ~275 ms level, breaking the streak
+    reanchored_run = _rec(275.0, 0.44, 58.0, git="newlvl0")
+    reanchored_run["band_reanchored"] = True
+    hist = HIST + _noisy(REANCHOR_STREAK) + [reanchored_run]
+    assert _band_reanchored(hist)  # sticky despite streak == 0
+    ok, evidence, fallback = representative_verdict(
+        hist, HEADLINE, empty_job_ms=280.0, speed_probe=0.44, quiet=True
+    )
+    # pre-fix this read against the frozen ~77 ms quiet band and flagged
+    assert ok is True and evidence == [] and fallback is None
+    # stickiness propagates: later new-level quiet entries keep the
+    # marker alive even after the flagged cohort ages out of the window
+    later = [_rec(276.0, 0.44, 58.2, git=f"newlvl{i}") for i in range(1, 9)]
+    for r in later:
+        r["band_reanchored"] = True
+    hist2 = HIST + _noisy(REANCHOR_STREAK) + [reanchored_run] + later
+    ok3, evidence3, _ = representative_verdict(
+        hist2, HEADLINE, empty_job_ms=281.0, speed_probe=0.44, quiet=True
+    )
+    assert ok3 is True and evidence3 == []
+    # and a genuinely inflated run still flags against the new level
+    ok4, evidence4, _ = representative_verdict(
+        hist2, HEADLINE, empty_job_ms=800.0, speed_probe=0.44, quiet=True
+    )
+    assert ok4 is False and any("empty_job_ms" in e for e in evidence4)
+
+
+def test_quiet_floor_same_commit_only_and_includes_live():
+    """round-13 verdict task 2: the artifact carries the round's
+    quiet-box truth. Only SAME-COMMIT quiet-qualified samples are
+    eligible (stamp_record's lineage rule), the live run counts when it
+    qualifies, and flagged/contaminated samples never set the floor."""
+    from bench import quiet_floor
+
+    h1 = _rec(77.0, 0.44, 53.1, git="head1")
+    h1["wall_clock"] = "2026-08-16T10:00:00"
+    h1["r6_comparable_total"] = 52.0
+    h1["golden_tier"] = {"etl_sec": 2.62}
+    other = _rec(75.0, 0.43, 37.8, git="OTHER")  # faster, wrong commit
+    flagged = _rec(300.0, 0.9, 41.0, git="head1")
+    flagged["representative"] = False
+    contaminated = _rec(77.0, 0.44, 40.0, git="head1", contaminated=True)
+    hist = [other, h1, flagged, contaminated]
+    live = {"value": 79.5, "queries": {q: 1.0 for q in HEADLINE},
+            "representative": True}
+    floor = quiet_floor(hist, HEADLINE, "head1", live)
+    assert floor["value"] == 53.1          # never the other-commit 37.8
+    assert floor["git"] == "head1"
+    assert floor["source"] == "history"
+    assert floor["golden_etl_sec"] == 2.62
+    assert floor["n_samples"] == 2         # h1 + qualifying live only
+    # the live run sets the floor when it is the quietest same-commit one
+    live_fast = dict(live, value=48.9)
+    floor2 = quiet_floor(hist, HEADLINE, "head1", live_fast)
+    assert floor2["value"] == 48.9 and floor2["source"] == "live"
+    # a flagged live run cannot
+    live_flagged = dict(live, value=30.0, representative=False)
+    assert quiet_floor(hist, HEADLINE, "head1", live_flagged)["value"] == 53.1
+    # no same-commit qualifier at all -> no floor (never another commit's)
+    assert quiet_floor([other], HEADLINE, "head1", live_flagged) is None
+    assert quiet_floor(hist, HEADLINE, None, live) is None
 
 
 def test_flag_streak_counter_counts_the_trailing_run_only():

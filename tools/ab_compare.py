@@ -93,9 +93,17 @@ def main() -> None:
     names = runs_a[0]["queries"].keys()
     deltas = []
     for n in names:
-        qa = statistics.median([r["queries"][n] for r in runs_a])
-        qb = statistics.median([r["queries"].get(n, float("nan")) for r in runs_b])
-        if qb and qb == qb:
+        # skip queries either side lacks BEFORE the median: a NaN in
+        # the list breaks statistics.median's sort and can yield a
+        # wrong FINITE number the qb == qb guard cannot catch
+        # (round-13 ADVICE)
+        vals_a = [r["queries"][n] for r in runs_a if n in r["queries"]]
+        vals_b = [r["queries"][n] for r in runs_b if n in r["queries"]]
+        if not vals_a or not vals_b:
+            continue
+        qa = statistics.median(vals_a)
+        qb = statistics.median(vals_b)
+        if qb:
             deltas.append((qa / qb, n, qa, qb))
     deltas.sort(reverse=True)
     print("largest A/B per-query ratios (median across pairs):")
