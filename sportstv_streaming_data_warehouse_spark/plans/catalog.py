@@ -7065,6 +7065,60 @@ def x_compaction_plan(spark, sf_dir):
 
 
 @query(
+    "x_compaction_bins",
+    oracle="""
+    WITH pre AS (
+        SELECT
+            doc_id,
+            CAST(n_chars AS BIGINT) AS bytes,
+            COALESCE(
+                SUM(CAST(n_chars AS BIGINT)) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ),
+                0
+            ) AS pfx
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, bytes,
+               CAST(FLOOR(pfx / 20000.0) AS BIGINT) AS bin
+        FROM pre
+    )
+    SELECT b.doc_id, b.bytes, b.bin, g.files_in_bin, g.bin_bytes
+    FROM b
+    JOIN (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS files_in_bin,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        FROM b GROUP BY bin
+    ) g USING (bin)
+    """,
+)
+def x_compaction_bins(spark, sf_dir):
+    # The compaction planner's oracle-expressible half (round-13
+    # verdict task 3): x_compaction_plan stays rows-only because its
+    # INPUT is file metadata the DuckDB view harness cannot see, but
+    # the first-fit size-binning algebra itself is pure SQL. Run the
+    # SAME core (plans/layout.bin_by_prefix — the exact code
+    # compaction_plan calls) over a materialized listing table, here
+    # documents-as-files (doc_id ordering key, n_chars as bytes), with
+    # a 20 KB target so every SF yields both multi-row bins and
+    # overflow rows. Exclusive-prefix bin assignment + per-bin rollups
+    # verified value-for-value against the DuckDB window twin; the
+    # two-phase distributed prefix sum replaces the single-partition
+    # ORDER BY window the SQL implies.
+    from . import layout as L
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    return L.bin_by_prefix(docs, ["doc_id"], "bytes", target_bytes=20_000).select(
+        "doc_id", "bytes", "bin", "files_in_bin", "bin_bytes"
+    )
+
+
+@query(
     "x_interval_overlap_join",
     oracle="""
     WITH days AS (
@@ -8541,7 +8595,9 @@ CORRECTNESS_WINDOW = [
     "w_active_streaks",
     "w_daily_ohlc",
     "w_event_funnel",
-    "w_event_transitions",
+    # round-14 debut displaces the bottom pre-pay pick
+    # (w_event_transitions, last green r13 — nowhere near stale)
+    "x_compaction_bins",
 ]
 
 # Machine-checkable ledger of driver verification: query -> rounds in which

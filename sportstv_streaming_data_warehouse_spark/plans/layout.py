@@ -159,8 +159,6 @@ def compaction_plan(
     """
     import os
 
-    from ..operators.ranking import with_running_total
-
     names = sorted(
         n
         for n in os.listdir(table_dir)
@@ -176,16 +174,38 @@ def compaction_plan(
     df = spark.createDataFrame(
         listing, "__ord long, file_name string, bytes long"
     )
-    p = with_running_total(df, ["__ord"], "bytes", out_col="__run")
-    binned = p.withColumn(
-        "bin",
-        F.floor((F.col("__run") - F.col("bytes")) / F.lit(float(target_bytes)))
-        .cast("long"),
-    ).drop("__run", "__ord")
-    per_bin = binned.groupBy("bin").agg(
-        F.count("*").alias("files_in_bin"),
-        F.sum("bytes").cast("long").alias("bin_bytes"),
-    )
-    return binned.join(per_bin, "bin").select(
+    return bin_by_prefix(df, ["__ord"], "bytes", target_bytes).select(
         "file_name", "bytes", "bin", "files_in_bin", "bin_bytes"
     )
+
+
+def bin_by_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """The compaction planner's binning core, factored out so the SAME
+    algebra runs over any (ordering key, size) table — a real FS
+    listing in compaction_plan, or a materialized listing table for
+    the DuckDB-oracle twin (round-13 verdict task 3: only the
+    file-metadata INPUT is non-SQL-expressible; this half is).
+
+    Each row lands in bin ``floor(exclusive_prefix / target)`` in
+    ``order_cols`` order — deterministic first-fit on the two-phase
+    distributed prefix sum (no single-partition window), with the
+    per-bin rollup columns a compaction job consumes appended."""
+    from ..operators.ranking import with_running_total
+
+    p = with_running_total(df, order_cols, bytes_col, out_col="__run")
+    binned = p.withColumn(
+        "bin",
+        F.floor(
+            (F.col("__run") - F.col(bytes_col)) / F.lit(float(target_bytes))
+        ).cast("long"),
+    ).drop("__run")
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("files_in_bin"),
+        F.sum(bytes_col).cast("long").alias("bin_bytes"),
+    )
+    return binned.join(per_bin, "bin")
