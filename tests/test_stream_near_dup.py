@@ -562,3 +562,85 @@ def test_staged_rejected_grain_replays_in_duckdb(spark):
         )
     finally:
         con.close()
+
+
+@pytest.mark.parametrize("modulus", [64, 128])
+def test_full_cycle_at_both_moduli_with_compaction(spark, tmp_path, modulus):
+    """round-13 verdict task 4: the modulus meta-vouching fix was pinned
+    only at the default 128. Full lifecycle at a parametrized modulus —
+    build the index through the real stream, COMPACT it, then gate a
+    second batch against the compacted index with a gate configured at
+    the DEFAULT modulus: the on-disk meta (not the caller) must govern
+    the layout and the prune, covering the migration path compact_index
+    doubles as."""
+    from sportstv_streaming_data_warehouse_spark.streaming.near_dup import (
+        _read_meta_buckets,
+        compact_index,
+    )
+
+    inp = str(tmp_path / "in")
+    dirs = {
+        k: str(tmp_path / k)
+        for k in ("index", "admitted", "rejected", "ckpt")
+    }
+    _drop(inp, "d1.json", BATCH1)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    q = run_near_dup_gate(
+        stream, dirs["index"], dirs["admitted"], dirs["ckpt"],
+        rejected_dir=dirs["rejected"], index_buckets=modulus,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _read_meta_buckets(spark, dirs["index"]) == modulus
+    idx = spark.read.parquet(dirs["index"])
+    bad = idx.filter(
+        F.col("band_bucket") != F.pmod(F.col("band_hash"), F.lit(modulus))
+    )
+    assert bad.count() == 0
+
+    # compact: layout modulus survives the fold
+    stats = compact_index(spark, dirs["index"], upto_batch=0)
+    assert stats["files_after"] <= stats["files_before"]
+    assert _read_meta_buckets(spark, dirs["index"]) == modulus
+
+    # second batch through the stream RESTARTED from its checkpoint with
+    # the gate left at the DEFAULT modulus — the real migration scenario
+    # (operator redeployed with default config against a 64 layout); the
+    # meta must win or a 64-layout would be pruned at 128 and silently
+    # double-admit
+    _drop(inp, "d2.json", BATCH2)
+    stream2 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(inp)
+    )
+    q2 = run_near_dup_gate(
+        stream2, dirs["index"], dirs["admitted"], dirs["ckpt"],
+        rejected_dir=dirs["rejected"],  # index_buckets left at default 128
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    admitted = spark.read.parquet(dirs["admitted"])
+    assert sorted(
+        r["doc_id"] for r in admitted.select("doc_id").collect()
+    ) == [0, 1, 2, 11]
+    rej = {
+        r["doc_id"]: (r["matched_id"], r["reason"])
+        for r in spark.read.parquet(dirs["rejected"]).collect()
+    }
+    assert rej[10] == (0, "corpus")
+    assert rej[13] == (1, "corpus")
+    assert rej[12] == (11, "batch")
+    # post-compaction index stays the one self-consistent modulus
+    idx2 = spark.read.parquet(dirs["index"])
+    assert idx2.filter(
+        F.col("band_bucket") != F.pmod(F.col("band_hash"), F.lit(modulus))
+    ).count() == 0
