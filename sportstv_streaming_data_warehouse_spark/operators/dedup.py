@@ -287,7 +287,12 @@ def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):
 
         return s.map(one)
 
-    return _slots(hs_col)
+    # Non-deterministic (guide §4.4): on the cache=False paths the
+    # banding Generate's inferred `size/isnotnull` filter is otherwise
+    # pushed below the nearest exchange with a SECOND copy of the k-slot
+    # evaluation (the cache=True paths were shielded by the
+    # InMemoryRelation). Pure integer math — results unchanged.
+    return _slots.asNondeterministic()(hs_col)
 
 
 def _banded_minhash(

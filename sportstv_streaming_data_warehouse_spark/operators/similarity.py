@@ -97,7 +97,15 @@ def arrow_pair_fold(kernel):
 
             return _pd.Series([one(v, w) for v, w in zip(sa, sb)])
 
-    return _fold
+    # The fold is pure, but letting the optimizer treat it as
+    # deterministic makes it DUPLICATE the evaluation around pushed
+    # filters (guide §4.4): the banded_cosine_pairs refine planned
+    # ArrowEvalPython → Filter(cos >= t) → ArrowEvalPython — every
+    # surviving pair paid the dot twice (r14 plan audit,
+    # plans/r14/x_hard_negatives_before.txt nodes 32/35). Marking it
+    # non-deterministic pins ONE evaluation; results are unchanged
+    # (same rows, same doubles).
+    return _fold.asNondeterministic()
 
 
 def dot_pandas(a: Column, b: Column) -> Column:
@@ -308,7 +316,15 @@ def banded_signatures_pandas(
 
         return s.map(one)
 
-    return _sigs(vec_col)
+    # Non-deterministic marking (guide §4.4): the optimizer infers a
+    # `size(sigs) > 0 AND isnotnull(sigs)` filter from the posexplode
+    # Generate and pushes it BELOW _ensure_parallelism's exchange,
+    # duplicating the whole signature matmul for every row (r14 plan
+    # audit: ArrowEvalPython at nodes 2 AND 6 of
+    # plans/r14/x_hard_negatives_before.txt). The UDF never returns
+    # null/empty for a non-null vector and posexplode skips null/empty
+    # anyway, so one evaluation yields identical rows.
+    return _sigs.asNondeterministic()(vec_col)
 
 
 def banded_cosine_pairs(
@@ -495,7 +511,14 @@ def table_signatures_pandas(
 
             return _pd.Series([one(v) for v in s])
 
-    return _sigs(vec_col)
+    # Non-deterministic for the same §4.4 reason as
+    # banded_signatures_pandas: a filter inferred from the downstream
+    # posexplode otherwise duplicates the whole signature evaluation
+    # below the nearest exchange. Callers must keep the UDF inside a
+    # Project (materialize the array column first, then explode the
+    # column reference) — a non-deterministic expression directly
+    # inside Generate fails analysis.
+    return _sigs.asNondeterministic()(vec_col)
 
 
 def _ivf_centroids(
@@ -1498,17 +1521,20 @@ def lsh_bucketed_topk(
     # Arrow-batched signatures, bit-identical to the lsh_signature
     # expression per table (see table_signatures_pandas): the former
     # n_tables x n_planes interpreted folds per row dominated the wall
+    # two-step select: the signature UDF lives in its own Project and
+    # the Generate explodes a plain column reference — required now the
+    # UDF is non-deterministic (and the shape Catalyst plans anyway)
     c_keys = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(
-            table_signatures_pandas(F.col(vec_col), planes_by_table)
-        ).alias("tbl", "bucket"),
+        table_signatures_pandas(F.col(vec_col), planes_by_table).alias("__tsigs"),
+    ).select(
+        "neighbor_id", F.posexplode("__tsigs").alias("tbl", "bucket")
     )
     q_keys = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.posexplode(
-            table_signatures_pandas(F.col(vec_col), planes_by_table)
-        ).alias("tbl", "bucket"),
+        table_signatures_pandas(F.col(vec_col), planes_by_table).alias("__tsigs"),
+    ).select(
+        query_id_col, F.posexplode("__tsigs").alias("tbl", "bucket")
     )
     cand = (
         c_keys.join(q_keys, on=["tbl", "bucket"])
