@@ -202,13 +202,30 @@ def minhash_signature(
     rolling hash, making the whole signature reproducible in plain SQL
     (the oracle path); xxhash64 stays the fast default.
 
-    ``arrow`` picks how the k affine-min slots evaluate: the
-    bit-identical integer Arrow twin (``minhash_slots_pandas``) or the
-    ``array_min(transform(...))`` expression stack. Default (None) is
-    auto — Arrow on the fast path, expressions on the portable path so
-    the signature stays replayable in plain SQL by the DuckDB oracle.
+    ``arrow`` picks how the signature evaluates: the bit-identical
+    integer Arrow twins or the interpreted expression stack. Default
+    (None) is auto — Arrow on BOTH paths since round 14: the portable
+    path's char-level polynomial fold was the single hottest expression
+    in the engine (the near-dup gate replay and the incremental dedup
+    both walk every character of every token through Catalyst's
+    interpreter), and ``poly_minhash_slots_pandas`` reproduces the same
+    integers exactly (pinned by tests/test_arrow_twin_edges.py and the
+    unchanged poly-family DuckDB oracles). ``arrow=False`` keeps the
+    pure-expression reference both twins are pinned against.
     """
     coefs = minhash_coefficients(num_hashes, seed)
+
+    if arrow is None:
+        arrow = True
+    if arrow and portable:
+        # one Arrow pass: JVM tokenization/shingling (unchanged), then
+        # poly hash + all k affine mins vectorized per batch
+        return _ensure_parallelism(df).select(
+            F.col(id_col),
+            poly_minhash_slots_pandas(
+                word_shingles(F.col(text_col), n), coefs
+            ).alias("signature"),
+        )
 
     shingle_hash = (
         _poly_hash
@@ -219,8 +236,6 @@ def minhash_signature(
     with_hashes = _ensure_parallelism(df).select(
         F.col(id_col), hashes.alias("__hs")
     )
-    if arrow is None:
-        arrow = not portable
     if arrow:
         return with_hashes.select(
             id_col, minhash_slots_pandas(F.col("__hs"), coefs).alias("signature")
@@ -234,6 +249,77 @@ def minhash_signature(
         for a, b in coefs
     ]
     return with_hashes.select(id_col, F.array(*mins).alias("signature"))
+
+
+def poly_minhash_slots_pandas(sh_col, coefs: list[tuple[int, int]]):
+    """Polynomial shingle hash + all k affine minhash slots in one Arrow
+    batch, BIT-IDENTICAL to the expression stack
+    ``array_min(transform(transform(shingles, _poly_hash), h -> (h*a+b) % P))``
+    — pure 64-bit integer math end to end, so there is no rounding
+    question (cf. minhash_slots_pandas). Exists because the portable
+    path's ``_poly_hash`` is a character-level ``aggregate`` fold that
+    Catalyst evaluates interpreted: every character of every token of
+    every document walks the expression interpreter, and the near-dup
+    gate replay evaluates that banding several times across its plan —
+    the single hottest expression in the engine (round-14 plan audit).
+
+    Semantics pinned against the expression twin (tests/
+    test_arrow_twin_edges.py) and transitively by the unchanged
+    poly-family DuckDB oracles:
+
+    - ``F.split(s, '')`` yields CODEPOINTS (probed on Spark 4.1.2: a
+      non-BMP char is ONE element with ``ascii`` = its codepoint), so
+      Python ``ord`` over the string matches exactly; numpy's UCS4
+      fixed-width view is the vectorized equivalent.
+    - the empty-string shingle folds to 0 on both paths (either
+      ``split('','') = []`` or ``['']`` with ``ascii('') = 0`` — both
+      give ``(0*31+0) % P = 0``), matching a zero-length codepoint row.
+    - NULL shingle array → k NULL slots; NULL ELEMENTS are dropped the
+      way ``array_min`` skips the null the poly fold propagates; an
+      array left empty → k NULLs (``array_min`` of empty).
+    - interior NUL characters contribute codepoint 0 (``h = h*31 % P``)
+      through the padded matrix exactly as ``ascii('\\x00') = 0`` does;
+      the mask uses true Python lengths so padding never leaks in.
+
+    The closure captures only the (a, b) ints — executors import
+    nothing from the repo. Non-deterministic for the same §4.4 reason
+    as minhash_slots_pandas (the banding Generate's inferred filter
+    would otherwise duplicate the whole evaluation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = _HASH_PRIME
+
+    @pandas_udf("array<long>")
+    def _slots(s):
+        import numpy as _np
+
+        A = _np.asarray([a for a, _ in coefs], dtype=_np.int64)
+        B = _np.asarray([b for _, b in coefs], dtype=_np.int64)
+        k = len(coefs)
+        empty = [None] * k
+
+        def one(sh):
+            if sh is None:
+                return empty
+            toks = [t for t in sh if t is not None]
+            if not toks:
+                return empty
+            lens = _np.asarray([len(t) for t in toks], dtype=_np.int64)
+            width = int(lens.max())
+            H = _np.zeros(len(toks), dtype=_np.int64)
+            if width > 0:
+                # fixed-width UCS4 view: one (n, width) codepoint matrix,
+                # zero-padded; true lengths mask the padding out of the fold
+                arr = _np.array(toks, dtype=f"<U{width}")
+                cps = arr.view(_np.uint32).reshape(len(toks), width).astype(_np.int64)
+                for j in range(width):
+                    live = lens > j
+                    H[live] = (H[live] * 31 + cps[live, j]) % P
+            return [int(v) for v in ((H[:, None] * A + B) % P).min(axis=0)]
+
+        return s.map(one)
+
+    return _slots.asNondeterministic()(sh_col)
 
 
 def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):

@@ -90,6 +90,7 @@ def gate_batch(
     index_dir: str | None = None,
     broadcast_batch: bool = True,
     _persist_registry: list | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One gating step: returns (admitted, admitted_bands, rejected).
 
@@ -117,6 +118,18 @@ def gate_batch(
     tables are persisted and appended to it so multiple downstream
     actions reuse one candidate-join execution; the caller unpersists.
 
+    ``materialize=True`` (the jumbo-replay/batch-model path) eagerly
+    ``localCheckpoint``s the batch's banded signatures and both pair
+    tables: the lazy replay plan otherwise REFERENCES those subtrees
+    many times — the two-batch catalog replay scanned the source
+    parquet 40 times in one plan (round-14 audit,
+    plans/r14/s_near_dup_gate_grain_before.txt) — and each reference
+    re-executes the full MinHash banding. RDD-level checkpoint blocks
+    are per-invocation (a fresh call recomputes from source; nothing is
+    memoized across runs) and are GC-reclaimed with the DataFrames.
+    The streaming gate keeps its own persist lifecycle
+    (``_persist_registry``) instead — it must unpersist per micro-batch.
+
     ``rejected`` rows are (id, matched_id, est_jaccard, reason) with
     reason 'corpus' (near-dups something already admitted) or 'batch'
     (near-dups a smaller-id corpus-surviving doc in the SAME batch).
@@ -140,6 +153,8 @@ def gate_batch(
             batch, id_col, text_col, num_hashes, bands, n, seed, portable,
             cache=False,
         )
+        if materialize:
+            bb = bb.localCheckpoint()
     if index_bands is not None:
         idx = index_bands
         if "band_bucket" in idx.columns:
@@ -199,6 +214,8 @@ def gate_batch(
         if _persist_registry is not None:
             corpus_pairs = corpus_pairs.persist()
             _persist_registry.append(corpus_pairs)
+        elif materialize:
+            corpus_pairs = corpus_pairs.localCheckpoint()
     else:
         corpus_pairs = None
     # the rejected-id sets are at most batch-sized: broadcast them on
@@ -233,6 +250,8 @@ def gate_batch(
     if _persist_registry is not None:
         self_pairs = self_pairs.persist()
         _persist_registry.append(self_pairs)
+    elif materialize:
+        self_pairs = self_pairs.localCheckpoint()
     batch_rejected = self_pairs.select(id_col).distinct()
     admitted_bands = survivors_bands.join(
         hint(batch_rejected), id_col, "left_anti"
@@ -596,13 +615,22 @@ def replay_gate(
 ) -> tuple[DataFrame, DataFrame | None]:
     """Sequential batch model — the stream's parity oracle: fold
     ``gate_batch`` over the batches in order, accumulating the admitted
-    bands exactly as the index does. Returns (admitted, index_bands)."""
+    bands exactly as the index does. Returns (admitted, index_bands).
+
+    With ``materialize=True`` in ``gate_kwargs`` each batch's admitted
+    bands are additionally ``localCheckpoint``ed before joining the
+    accumulated index: batch N+1's corpus join and the final admitted
+    union otherwise re-execute every earlier batch's full gating plan
+    per reference (see gate_batch's materialize note)."""
     index: DataFrame | None = None
     admitted_all: DataFrame | None = None
+    materialize = bool(gate_kwargs.get("materialize"))
     for b in batches:
         admitted, admitted_bands, _ = gate_batch(
             b, index, id_col, text_col, **gate_kwargs
         )
+        if materialize:
+            admitted_bands = admitted_bands.localCheckpoint()
         index = (
             admitted_bands
             if index is None

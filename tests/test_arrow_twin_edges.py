@@ -250,3 +250,49 @@ def test_minhash_slots_twin_null_elements_match_array_min_skip(spark):
     assert e == t
     assert t[1] == t[2]  # the null element contributed nothing
     assert t[3] == t[4] == [None] * 4
+
+
+def test_poly_minhash_twin_matches_expression_portable_path(spark):
+    """Round-14: the PORTABLE path's one-pass Arrow twin
+    (poly_minhash_slots_pandas — char-level polynomial hash + k affine
+    mins) must be bit-identical to the interpreted expression stack it
+    replaces, over real text AND the adversarial edges: null / empty /
+    whitespace-only docs, unicode incl. a non-BMP char (split('')
+    yields codepoints, probed on Spark 4.1.2 — a UTF-16-unit
+    implementation would diverge here), interior NUL characters
+    (codepoint 0 folds as h*31, indistinguishable from the matrix
+    padding unless the mask uses true lengths), and both shingle
+    widths the catalog uses (n=1 gate/incremental, n=3 default)."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, None),
+            (4, ""),
+            (5, "   \t\n "),
+            (6, "héllo wörld 日本語のテキスト mixed"),
+            (7, "emoji 😀 in the middle"),
+            (8, "nul\x00char inside token"),
+            (9, "two words"),
+            (10, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (1, 3):
+        expr = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signature(
+                docs, "doc_id", "text", n=n, portable=True, arrow=False
+            ).collect()
+        }
+        twin = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signature(
+                docs, "doc_id", "text", n=n, portable=True, arrow=True
+            ).collect()
+        }
+        assert expr == twin, f"n={n}"

@@ -28,9 +28,14 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def run_worker(repo: str, out_path: str) -> dict:
+def run_worker(repo: str, out_path: str, queries: str | None = None,
+               golden: int = 1) -> dict:
+    cmd = [sys.executable, os.path.join(HERE, "ab_worker.py"), "--repo", repo,
+           "--golden", str(golden)]
+    if queries:
+        cmd += ["--queries", queries]
     proc = subprocess.run(
-        [sys.executable, os.path.join(HERE, "ab_worker.py"), "--repo", repo],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     if proc.returncode != 0:
@@ -49,16 +54,21 @@ def main() -> None:
     ap.add_argument("repo_b")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--out", default="/tmp/ab_results.jsonl")
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query subset (default: the frozen R6 set)",
+    )
+    ap.add_argument("--golden", type=int, default=1)
     args = ap.parse_args()
 
     runs_a: list[dict] = []
     runs_b: list[dict] = []
     for i in range(args.rounds):
         print(f"--- pair {i + 1}/{args.rounds}: A ---", flush=True)
-        runs_a.append(run_worker(args.repo_a, args.out))
+        runs_a.append(run_worker(args.repo_a, args.out, args.queries, args.golden))
         print(json.dumps(_brief(runs_a[-1])), flush=True)
         print(f"--- pair {i + 1}/{args.rounds}: B ---", flush=True)
-        runs_b.append(run_worker(args.repo_b, args.out))
+        runs_b.append(run_worker(args.repo_b, args.out, args.queries, args.golden))
         print(json.dumps(_brief(runs_b[-1])), flush=True)
 
     print("\n=== summary ===")

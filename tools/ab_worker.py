@@ -57,6 +57,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--golden", type=int, default=1)
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated query subset (default: the frozen R6 set)",
+    )
     args = ap.parse_args()
 
     repo = os.path.abspath(args.repo)
@@ -126,9 +130,12 @@ def main() -> None:
             F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h")
         ).collect()
 
+    names = (
+        [n for n in args.queries.split(",") if n] if args.queries else R6_QUERIES
+    )
     cpu0 = cpu_probe()
     queries: dict[str, float] = {}
-    for name in R6_QUERIES:
+    for name in names:
         run_full(name)  # warm
         best = min(
             _timed(run_full, name) for _ in range(max(args.iters, 1))
