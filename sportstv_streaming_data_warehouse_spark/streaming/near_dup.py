@@ -119,16 +119,20 @@ def gate_batch(
     actions reuse one candidate-join execution; the caller unpersists.
 
     ``materialize=True`` (the jumbo-replay/batch-model path) eagerly
-    ``localCheckpoint``s the batch's banded signatures and both pair
-    tables: the lazy replay plan otherwise REFERENCES those subtrees
-    many times — the two-batch catalog replay scanned the source
-    parquet 40 times in one plan (round-14 audit,
-    plans/r14/s_near_dup_gate_grain_before.txt) — and each reference
-    re-executes the full MinHash banding. RDD-level checkpoint blocks
-    are per-invocation (a fresh call recomputes from source; nothing is
-    memoized across runs) and are GC-reclaimed with the DataFrames.
-    The streaming gate keeps its own persist lifecycle
-    (``_persist_registry``) instead — it must unpersist per micro-batch.
+    ``localCheckpoint``s the batch's banded signatures: the lazy replay
+    plan otherwise REFERENCES the banding subtree many times — the
+    two-batch catalog replay scanned the source parquet 40 times in one
+    plan (round-14 audit, plans/r14/s_near_dup_gate_grain_before.txt) —
+    and each reference re-executes the full MinHash banding. ONLY the
+    bandings are checkpointed: the pair tables derived from them are
+    plain JVM joins whose duplicated subtrees AQE dedups via runtime
+    exchange reuse, and checkpointing the (millions-of-rows) pair
+    tables measured strictly slower than recomputing them (round-14
+    interleaved A/B). RDD-level checkpoint blocks are per-invocation
+    (a fresh call recomputes from source; nothing is memoized across
+    runs) and are GC-reclaimed with the DataFrames. The streaming gate
+    keeps its own persist lifecycle (``_persist_registry``) instead —
+    it must unpersist per micro-batch.
 
     ``rejected`` rows are (id, matched_id, est_jaccard, reason) with
     reason 'corpus' (near-dups something already admitted) or 'batch'
@@ -214,8 +218,6 @@ def gate_batch(
         if _persist_registry is not None:
             corpus_pairs = corpus_pairs.persist()
             _persist_registry.append(corpus_pairs)
-        elif materialize:
-            corpus_pairs = corpus_pairs.localCheckpoint()
     else:
         corpus_pairs = None
     # the rejected-id sets are at most batch-sized: broadcast them on
@@ -250,8 +252,6 @@ def gate_batch(
     if _persist_registry is not None:
         self_pairs = self_pairs.persist()
         _persist_registry.append(self_pairs)
-    elif materialize:
-        self_pairs = self_pairs.localCheckpoint()
     batch_rejected = self_pairs.select(id_col).distinct()
     admitted_bands = survivors_bands.join(
         hint(batch_rejected), id_col, "left_anti"
