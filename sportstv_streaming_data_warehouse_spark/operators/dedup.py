@@ -391,6 +391,7 @@ def _banded_minhash(
     seed: int,
     portable: bool,
     cache: bool = True,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """(id, signature, band_id, band_hash) — one row per (doc, band).
     Shared by the in-corpus self-join and the incremental corpus↔batch
@@ -401,7 +402,8 @@ def _banded_minhash(
     internal entry has no handle to release)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
-        df, id_col, text_col, num_hashes, n, seed, portable=portable
+        df, id_col, text_col, num_hashes, n, seed, portable=portable,
+        arrow=arrow,
     )
     if cache:
         sig = sig.cache()

@@ -8331,10 +8331,17 @@ def s_near_dup_gate_grain(spark, sf_dir):
         # the gate's broadcast hints assume a small batch side, and b0
         # is 90% of the corpus — use the jumbo-replay escape hatch
         broadcast_batch=False,
-        # one banding evaluation per batch: the lazy two-batch plan
-        # otherwise re-executes the MinHash banding per reference — 40
-        # source scans in one plan (round-14 audit; OPTIMIZATION_r14.md)
-        materialize=True,
+        # expression-path banding, fully lazy: the round-14 optimization
+        # pass measured THREE restructures against this shape (Arrow
+        # banding, banding+pair-table localCheckpoints, bands-only
+        # checkpoints) and the interleaved A/B kept this one — the
+        # single lazy plan lets AQE's runtime exchange reuse dedup every
+        # duplicated subtree (the 40 scans in the initial plan collapse
+        # at runtime), which beats both eager materialization (serial
+        # jobs, no overlap) and the Arrow banding (its non-deterministic
+        # UDF breaks semantic equality and thus reuse). Details in
+        # OPTIMIZATION_r14.md.
+        arrow=False,
     )
     return admitted.select("doc_id", "ingest_batch")
 
@@ -8362,11 +8369,10 @@ def s_near_dup_gate_rejected(spark, sf_dir):
     kw = dict(
         num_hashes=_MH_K, bands=_MH_BANDS, n=1, threshold=_MH_TAU,
         seed=_MH_SEED, portable=True, broadcast_batch=False,
-        materialize=True,  # same one-banding-per-batch rationale as
-        # s_near_dup_gate_grain (round-14 audit)
+        arrow=False,  # lazy + exchange-reuse shape, same rationale as
+        # s_near_dup_gate_grain (round-14 A/B; OPTIMIZATION_r14.md)
     )
     _, bands0, rej0 = gate_batch(b0, None, **kw)
-    bands0 = bands0.localCheckpoint()
     _, _, rej1 = gate_batch(b1, bands0, **kw)
     return rej0.withColumn("ingest_batch", F.lit(0)).unionByName(
         rej1.withColumn("ingest_batch", F.lit(1))

@@ -91,6 +91,7 @@ def gate_batch(
     broadcast_batch: bool = True,
     _persist_registry: list | None = None,
     materialize: bool = False,
+    arrow: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One gating step: returns (admitted, admitted_bands, rejected).
 
@@ -155,7 +156,7 @@ def gate_batch(
     else:
         bb = _banded_minhash(
             batch, id_col, text_col, num_hashes, bands, n, seed, portable,
-            cache=False,
+            cache=False, arrow=arrow,
         )
         if materialize:
             bb = bb.localCheckpoint()
