@@ -282,9 +282,12 @@ def poly_minhash_slots_pandas(sh_col, coefs: list[tuple[int, int]]):
       the mask uses true Python lengths so padding never leaks in.
 
     The closure captures only the (a, b) ints — executors import
-    nothing from the repo. Non-deterministic for the same §4.4 reason
-    as minhash_slots_pandas (the banding Generate's inferred filter
-    would otherwise duplicate the whole evaluation)."""
+    nothing from the repo. Deliberately DETERMINISTIC, like
+    minhash_slots_pandas: its consumers show no §4.4 duplication (one
+    banding per side in the incremental join, InMemoryRelation on the
+    cached paths) and determinism keeps AQE exchange reuse and cache
+    matching alive (round-14 gate A/B measured the cost of losing
+    them)."""
     from pyspark.sql.functions import pandas_udf
 
     P = _HASH_PRIME
@@ -319,7 +322,7 @@ def poly_minhash_slots_pandas(sh_col, coefs: list[tuple[int, int]]):
 
         return s.map(one)
 
-    return _slots.asNondeterministic()(sh_col)
+    return _slots(sh_col)
 
 
 def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):
@@ -373,12 +376,13 @@ def minhash_slots_pandas(hs_col, coefs: list[tuple[int, int]]):
 
         return s.map(one)
 
-    # Non-deterministic (guide §4.4): on the cache=False paths the
-    # banding Generate's inferred `size/isnotnull` filter is otherwise
-    # pushed below the nearest exchange with a SECOND copy of the k-slot
-    # evaluation (the cache=True paths were shielded by the
-    # InMemoryRelation). Pure integer math — results unchanged.
-    return _slots.asNondeterministic()(hs_col)
+    # Deliberately DETERMINISTIC: no consumer plan shows the §4.4
+    # duplication for this twin (the cached paths are shielded by the
+    # InMemoryRelation, the streaming gate persists its banding per
+    # micro-batch), and a non-deterministic marking would break semantic
+    # plan equality — disabling AQE exchange reuse and cache matching
+    # everywhere the slots appear (round-14 A/B on the gate replay).
+    return _slots(hs_col)
 
 
 def _banded_minhash(

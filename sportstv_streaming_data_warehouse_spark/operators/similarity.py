@@ -36,7 +36,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def arrow_pair_fold(kernel):
+def arrow_pair_fold(kernel, nondeterministic: bool = False):
     """Shared scaffolding for the Arrow-batched bit-identical fold twins
     (dot_pandas / clustering's squared-L2): stacks the two array columns
     to (n, dim) float64 matrices — float32→float64 widening is exact —
@@ -64,6 +64,15 @@ def arrow_pair_fold(kernel):
     The kernel must fold dimensions in ASCENDING order with one
     correctly-rounded op per step (never matmul) to stay bit-identical
     to the interpreted JVM fold for all finite inputs.
+
+    ``nondeterministic=True`` marks the returned UDF non-deterministic —
+    ONLY for call sites where the plan audit showed the optimizer
+    duplicating the evaluation around a pushed filter (guide §4.4, the
+    banded_cosine_pairs refine). It is not the default because the
+    marking also breaks semantic plan equality, which disables AQE's
+    runtime exchange reuse and CacheManager matching for every plan the
+    expression appears in (measured: the kmeans assign fold, which has
+    NO duplication to fix, ran ~15% slower marked).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -97,18 +106,10 @@ def arrow_pair_fold(kernel):
 
             return _pd.Series([one(v, w) for v, w in zip(sa, sb)])
 
-    # The fold is pure, but letting the optimizer treat it as
-    # deterministic makes it DUPLICATE the evaluation around pushed
-    # filters (guide §4.4): the banded_cosine_pairs refine planned
-    # ArrowEvalPython → Filter(cos >= t) → ArrowEvalPython — every
-    # surviving pair paid the dot twice (r14 plan audit,
-    # plans/r14/x_hard_negatives_before.txt nodes 32/35). Marking it
-    # non-deterministic pins ONE evaluation; results are unchanged
-    # (same rows, same doubles).
-    return _fold.asNondeterministic()
+    return _fold.asNondeterministic() if nondeterministic else _fold
 
 
-def dot_pandas(a: Column, b: Column) -> Column:
+def dot_pandas(a: Column, b: Column, nondeterministic: bool = False) -> Column:
     """``dot`` as an Arrow-batched pandas_udf, BIT-IDENTICAL to the JVM
     fold for finite inputs: one correctly-rounded product per dimension
     in ascending order — exactly ``acc + (xᵢ·yᵢ)`` — verified over the
@@ -130,7 +131,7 @@ def dot_pandas(a: Column, b: Column) -> Column:
             acc = acc + A[:, d] * B[:, d]
         return acc
 
-    return arrow_pair_fold(_kernel)(a, b)
+    return arrow_pair_fold(_kernel, nondeterministic=nondeterministic)(a, b)
 
 
 def norm(a: Column) -> Column:
@@ -428,7 +429,10 @@ def banded_cosine_pairs(
             # module (every other call site is per-vector or against
             # literal planes) — the Arrow batch beats the interpreted
             # HOF fold ~25% here, bit-identically (see dot_pandas)
-            dot_pandas(F.col("__ea"), F.col("__eb"))
+            # nondeterministic: the threshold filter otherwise planned
+            # ArrowEvalPython → Filter → ArrowEvalPython, charging every
+            # surviving pair the dot twice (r14 plan audit, §4.4)
+            dot_pandas(F.col("__ea"), F.col("__eb"), nondeterministic=True)
             / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cosine_sim") >= threshold)
