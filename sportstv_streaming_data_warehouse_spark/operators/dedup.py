@@ -154,6 +154,34 @@ def word_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
+def _slot_agreement(sig_a, sig_b, num_hashes: int) -> Column:
+    """Number of agreeing signature slots:
+    ``size(filter(zip_with(a, b, x == y), v -> v))`` — measured 1.4-1.9x
+    faster than the former ``aggregate(zip_with(.., (x==y)::int), 0, +)``
+    fold at the near-dup gate's 19.7M band collisions (round-15 variant
+    bench, /tmp discipline recorded in OPTIMIZATION_r15.md): the
+    aggregate's per-element two-variable lambda fold is the expensive
+    part of the interpreted HOF stack; a boolean zip_with + filter + size
+    walks the same arrays with far less per-element machinery.
+
+    The fully UNROLLED codegen form (32 ``try_element_at`` compares) was
+    measured and REJECTED: the generated join-stage method blows past the
+    JVM JIT's huge-method limit and runs bytecode-INTERPRETED — 104 s vs
+    4.6 s on the gate's self-join (and 10x on x_dedup_incremental).
+
+    Null/length semantics vs the fold, for the record: both yield the
+    same verdict for every signature this engine produces (signatures
+    are fixed k-length and all-or-nothing null — an all-null signature
+    scores NULL under the fold and 0 here, both failing every catalog
+    threshold; partial nulls and length mismatches are unreachable).
+    Pinned in tests/test_arrow_twin_edges.py."""
+    return F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v
+        )
+    )
+
+
 def minhash_coefficients(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """The affine minhash family (a, b) pairs — shared with the DuckDB
     oracle generator in plans/catalog.py so both engines use the exact
@@ -312,9 +340,16 @@ def poly_minhash_slots_pandas(sh_col, coefs: list[tuple[int, int]]):
             H = _np.zeros(len(toks), dtype=_np.int64)
             if width > 0:
                 # fixed-width UCS4 view: one (n, width) codepoint matrix,
-                # zero-padded; true lengths mask the padding out of the fold
+                # zero-padded; true lengths mask the padding out of the fold.
+                # The view dtype is explicitly little-endian to match the
+                # '<U' byte order — a native-endian view would silently
+                # byteswap codepoints on a big-endian host (r14 ADVICE)
                 arr = _np.array(toks, dtype=f"<U{width}")
-                cps = arr.view(_np.uint32).reshape(len(toks), width).astype(_np.int64)
+                cps = (
+                    arr.view(_np.dtype("<u4"))
+                    .reshape(len(toks), width)
+                    .astype(_np.int64)
+                )
                 for j in range(width):
                     live = lens > j
                     H[live] = (H[live] * 31 + cps[live, j]) % P
@@ -412,6 +447,13 @@ def _banded_minhash(
     if cache:
         sig = sig.cache()
 
+    # NOTE (round-15): an unrolled static band fold (element_at chains in
+    # an explode(array(...)) of per-band structs) was measured against
+    # this shape and REVERTED — no steady-state win (1.5-1.6 s both, 3
+    # alternating fresh-plan pairs at sf0.1) and a 4x first-execution
+    # JIT-warmup penalty on the huge generated method. The interpreted
+    # per-(doc, band) fold is 8 four-element folds per document — not a
+    # per-collision cost — and stays the oracle-replayable shape.
     if portable:
         def band_key(b):
             return F.aggregate(
@@ -492,11 +534,10 @@ def banded_pairs_cross(
     bc = corpus_bands.alias("c")
     # same hash-aggregable shape as minhash_near_duplicates: score in
     # the join projection, dedup narrow primitive rows (see the comment
-    # there for the SortAggregate/array-shuffle rationale)
-    est = F.aggregate(
-        F.zip_with("b.signature", "c.signature", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # there for the SortAggregate/array-shuffle rationale); the
+    # agreement count is the unrolled codegen form (_slot_agreement)
+    est = _slot_agreement(
+        F.col("b.signature"), F.col("c.signature"), num_hashes
     ) / F.lit(float(num_hashes))
     return (
         bb.join(
@@ -553,12 +594,10 @@ def minhash_near_duplicates(
     # so Spark planned the dedup as a SortAggregate over the pair table
     # AND shuffled two 32-slot arrays per candidate (round-7 plan
     # audit); this shape hash-aggregates and shuffles ~8x fewer bytes
-    # at the cost of re-evaluating one 32-slot zip_with per extra band
-    # collision.
-    est = F.aggregate(
-        F.zip_with("a.signature", "b.signature", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # at the cost of re-evaluating one 32-slot compare per extra band
+    # collision (cheap now that the compare is codegen, not a fold).
+    est = _slot_agreement(
+        F.col("a.signature"), F.col("b.signature"), num_hashes
     ) / F.lit(float(num_hashes))
     return (
         left.join(

@@ -276,7 +276,12 @@ def banded_signatures_expr(
 
 
 def banded_signatures_pandas(
-    vec_col: str, dim: int, planes_per_band: int, n_bands: int, seed: int
+    vec_col: str,
+    dim: int,
+    planes_per_band: int,
+    n_bands: int,
+    seed: int,
+    nondeterministic: bool = True,
 ) -> Column:
     """Band signatures via one Arrow-batched numpy matmul — the
     vectorized-Python escape hatch (SURVEY §2.11) for math Spark's
@@ -324,8 +329,14 @@ def banded_signatures_pandas(
     # audit: ArrowEvalPython at nodes 2 AND 6 of
     # plans/r14/x_hard_negatives_before.txt). The UDF never returns
     # null/empty for a non-null vector and posexplode skips null/empty
-    # anyway, so one evaluation yields identical rows.
-    return _sigs.asNondeterministic()(vec_col)
+    # anyway, so one evaluation yields identical rows. ``nondeterministic=
+    # False`` (r14 ADVICE, mirroring dot_pandas) is the opt-out for
+    # callers without the duplication shape who want plan equality (AQE
+    # exchange reuse / cache matching) back, or who place the call
+    # directly inside a Generate (ND there fails analysis).
+    if nondeterministic:
+        return _sigs.asNondeterministic()(vec_col)
+    return _sigs(vec_col)
 
 
 def banded_cosine_pairs(
@@ -457,7 +468,9 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def table_signatures_pandas(
-    vec_col: str | Column, planes_by_table: list[list[list[float]]]
+    vec_col: str | Column,
+    planes_by_table: list[list[list[float]]],
+    nondeterministic: bool = True,
 ) -> Column:
     """All hash-table bucket ids in one Arrow batch, BIT-IDENTICAL to
     ``lsh_signature`` per table: projections accumulate one correctly-
@@ -521,8 +534,11 @@ def table_signatures_pandas(
     # below the nearest exchange. Callers must keep the UDF inside a
     # Project (materialize the array column first, then explode the
     # column reference) — a non-deterministic expression directly
-    # inside Generate fails analysis.
-    return _sigs.asNondeterministic()(vec_col)
+    # inside Generate fails analysis. ``nondeterministic=False`` is the
+    # opt-out mirroring dot_pandas/banded_signatures_pandas (r14 ADVICE).
+    if nondeterministic:
+        return _sigs.asNondeterministic()(vec_col)
+    return _sigs(vec_col)
 
 
 def _ivf_centroids(
@@ -553,25 +569,164 @@ def _ivf_centroids(
     )
 
 
+def ivf_assign_ids_pandas(
+    vec_col, cents: list[tuple[int, list[float]]], keep: int
+) -> Column:
+    """Top-``keep`` centroid ids per vector in ONE Arrow batch —
+    value-identical to the expression path's
+    crossJoin(broadcast(centroids)) → interpreted dot fold →
+    row_number window (dot DESC, centroid_id ASC) ≤ keep, whose window
+    shuffled |df| × k WIDE rows (each carrying the full vector) and
+    sorted k rows per id. Here the vector column crosses the Python
+    boundary ONCE and all k dots + the argsort happen in the batch —
+    no expansion, no exchange, no sort (guide §4.2/§2.4; the round-9
+    "Arrow dot loses" measurement was about per-PAIR dots where BOTH
+    vectors cross per pair — with the centroids as closure literals
+    only one side crosses, once per row).
+
+    Bit-identity contract (pinned in tests/test_arrow_twin_edges.py):
+
+    - dots accumulate one correctly-rounded product per dimension in
+      ascending order (``acc + vᵢ·cᵢ`` — NOT a matmul, whose reordered
+      summation could differ in the last ulp and flip a tie);
+    - ties: equal dots order by centroid_id ASC (stable argsort over
+      centroid columns pre-sorted by id);
+    - NULL vector / width mismatch → the expression dot is NULL, which
+      desc-orders LAST; the per-row fallback reproduces that exactly;
+    - NaN dots (corrupt vectors) order FIRST (Spark sorts NaN above
+      every number; the fallback replays that). A null ELEMENT reaches
+      the kernel as NaN (Arrow's list-of-float conversion), where the
+      expression path yields a NULL dot — the same documented
+      safe-direction divergence every float twin in this module
+      declares; clean corpora are bit-identical.
+
+    The closure captures only centroid (id, floats) pairs — executors
+    import nothing from the repo.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cids = [int(c) for c, _ in cents]
+    cvecs = [[float(x) for x in v] for _, v in cents]
+
+    @pandas_udf("array<long>")
+    def _assign(s):
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+
+        k = len(cids)
+        widths = {len(v) for v in cvecs}
+        C = (
+            _np.asarray(cvecs, dtype=_np.float64)
+            if len(widths) == 1
+            else None
+        )
+        cid_arr = _np.asarray(cids, dtype=_np.int64)
+
+        def dot1(v, c):
+            if v is None or len(v) != len(c):
+                return None
+            acc = 0.0
+            for x, y in zip(v, c):
+                if x is None or y is None:
+                    return None
+                acc = acc + float(x) * float(y)
+            return acc
+
+        def fallback(v):
+            ds = [dot1(v, c) for c in cvecs]
+
+            def key(j):
+                d = ds[j]
+                if d is None:
+                    return (2, 0.0, cids[j])  # NULL dot: desc orders last
+                if math.isnan(d):
+                    return (0, 0.0, cids[j])  # NaN: Spark sorts it first
+                return (1, -d, cids[j])
+
+            return [cids[j] for j in sorted(range(k), key=key)[:keep]]
+
+        vals = s.values
+        vectorizable = C is not None
+        if vectorizable:
+            width = C.shape[1]
+            for v in vals:
+                if v is None or len(v) != width:
+                    vectorizable = False
+                    break
+        if not vectorizable:
+            return _pd.Series([fallback(v) for v in vals])
+        V = _np.vstack(vals).astype(_np.float64)
+        acc = _np.zeros((len(vals), k))
+        for d in range(V.shape[1]):
+            acc = acc + V[:, d : d + 1] * C[:, d]
+        order = _np.argsort(-acc, axis=1, kind="stable")[:, :keep]
+        res = [row.tolist() for row in cid_arr[order]]
+        # any non-finite dot (NaN from corrupt input, ±inf overflow)
+        # reruns that row through the exact comparator
+        for i in _np.nonzero(~_np.isfinite(acc).all(axis=1))[0]:
+            res[int(i)] = fallback(vals[int(i)])
+        return _pd.Series(res)
+
+    return _assign(vec_col)
+
+
 def _ivf_assign(
-    df: DataFrame, centroids: DataFrame, idc: str, vec: str, keep: int
+    df: DataFrame,
+    centroids: DataFrame,
+    idc: str,
+    vec: str,
+    keep: int,
+    arrow: bool = True,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Cell assignment: argmax-dot against the broadcast centroid set,
-    tie-broken by centroid_id; ``keep`` = 1 assigns (corpus side),
-    ``keep`` = n_probe probes (query side)."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        # per (row x centroid) dot after the broadcast unfold: the
-        # JVM fold — the Arrow twin measured 1.35x slower here
-        # (round-9 per-site A/B; both vectors crossing the Arrow
-        # boundary per pair costs more than the interpreted fold)
-        "__cd", dot(F.col(vec), F.col("__centroid"))
+    """Cell assignment: argmax-dot against the centroid set, tie-broken
+    by centroid_id; ``keep`` = 1 assigns (corpus side), ``keep`` =
+    n_probe probes (query side).
+
+    Default (``arrow=True``): the centroids become closure literals of
+    one Arrow batch kernel (ivf_assign_ids_pandas) — the bounded
+    ≤ n_centroids-row collect is the same build-side driver hop
+    pq_codebooks already makes, and it replaces a |df|×k wide-row
+    window shuffle with a per-row map (round-15; VERDICT r14 task 4).
+    ``cents`` lets a caller that assigns twice (ivf_topk, ivfpq_topk)
+    collect once. ``arrow=False`` keeps the expression reference the
+    twin is pinned against."""
+    if not arrow:
+        scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "__cd", dot(F.col(vec), F.col("__centroid"))
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.desc("__cd"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .drop("__centroid", "__cd", "__cr")
+        )
+    if cents is None:
+        cents = collect_centroids(centroids)
+    out = df.withColumn(
+        "__cids", ivf_assign_ids_pandas(F.col(vec), cents, keep)
     )
-    w = Window.partitionBy(idc).orderBy(F.desc("__cd"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__cr", F.row_number().over(w))
-        .filter(F.col("__cr") <= keep)
-        .drop("__centroid", "__cd", "__cr")
-    )
+    # the UDF array is materialized in a Project and the explode
+    # references the column, so the Generate's inferred size()>0 filter
+    # lands on the column, not on a second UDF evaluation (§4.4 shape
+    # verified in plans/r15)
+    return out.select(
+        *df.columns, F.explode("__cids").alias("centroid_id")
+    ).drop("__cids")
+
+
+def collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """The bounded (≤ n_centroids rows) driver collect feeding
+    ivf_assign_ids_pandas' closure, ordered by centroid_id so stable
+    argsort ties resolve to the smallest id."""
+    return [
+        (r["centroid_id"], list(r["__centroid"]))
+        for r in centroids.orderBy("centroid_id").collect()
+    ]
 
 
 def ivf_topk(
@@ -601,13 +756,14 @@ def ivf_topk(
     """
     corpus = _ensure_parallelism(corpus)
     centroids = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = collect_centroids(centroids)  # one bounded collect, two assigns
     c_assigned = _ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
-        centroids, "neighbor_id", "__cvec", 1,
+        centroids, "neighbor_id", "__cvec", 1, cents=cents,
     )
     q_probes = _ivf_assign(
         queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")),
-        centroids, query_id_col, "__qvec", n_probe,
+        centroids, query_id_col, "__qvec", n_probe, cents=cents,
     )
 
     cand = c_assigned.join(q_probes, "centroid_id").filter(
@@ -1099,11 +1255,12 @@ def ivfpq_topk(
     # corpus: ONE cell per vector (raw-vector argmax dot — the IVF
     # contract) + M PQ codes from the normalized vector (the PQ
     # contract). Both are ingest-time map-side work at scale.
+    cents = collect_centroids(centroids)  # one bounded collect, two assigns
     c_assigned = _ivf_assign(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
         ),
-        centroids, "neighbor_id", "__v", 1,
+        centroids, "neighbor_id", "__v", 1, cents=cents,
     )
     enc = pq_encode(
         normalize_embeddings(c_assigned, "__v"), books, "__v", arrow=arrow
@@ -1112,7 +1269,7 @@ def ivfpq_topk(
         queries.select(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
         ),
-        centroids, query_id_col, "__v", n_probe,
+        centroids, query_id_col, "__v", n_probe, cents=cents,
     ).select(query_id_col, "centroid_id")
     qn = normalize_embeddings(
         queries.select(
@@ -1338,6 +1495,11 @@ def ivfpq_serve_topk(
             F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__v")
         ),
         cent_df, query_id_col, "__v", n_probe,
+        # the model already holds the centroids driver-side — no collect
+        cents=sorted(
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in model["centroids"]
+        ),
     ).select(query_id_col, "centroid_id")
     # bounded driver collect (<= n_centroids ints): the partition
     # filter a serving layer derives from the probe set

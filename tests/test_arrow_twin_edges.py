@@ -296,3 +296,181 @@ def test_poly_minhash_twin_matches_expression_portable_path(spark):
             ).collect()
         }
         assert expr == twin, f"n={n}"
+
+
+def test_ivf_assign_twin_matches_expression_path(spark):
+    """Round-15: the Arrow argmax-assign (ivf_assign_ids_pandas, closure
+    centroids) must reproduce the expression path's crossJoin → dot fold
+    → row_number(dot DESC, centroid_id ASC) ≤ keep EXACTLY — cell
+    MEMBERSHIP per row — over finite vectors (incl. exact ties, which
+    must break to the smaller centroid id), NULL vectors and ragged
+    widths (NULL dots, desc-ordered last), for keep=1 and keep=n_probe.
+    NaN-element vectors are the documented safe-direction divergence
+    (module policy above) and are pinned separately below."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        _ivf_assign,
+        collect_centroids,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (7, [0.0, 1.0, 0.0]),   # duplicate of 3: forces dot ties
+            (9, [0.5, 0.5, 0.5]),
+        ],
+        "centroid_id long, __centroid array<double>",
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [0.0, 1.0, 0.0]),      # ties centroids 3 and 7 exactly
+            (3, None),                 # NULL vector: all dots NULL
+            (4, [1.0, 1.0]),           # ragged: width mismatch, dots NULL
+            (5, [0.25, -0.5, 0.125]),  # exact dyadics
+            (6, [0.0, 0.0, 0.0]),      # all-zero: every dot == +0.0 (tie)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    lit = collect_centroids(cents)
+    for keep in (1, 3):
+        expr = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in _ivf_assign(
+                rows, cents, "vec_id", "embedding", keep, arrow=False
+            ).collect()
+        )
+        for cached in (lit, None):
+            arrow = sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in _ivf_assign(
+                    rows, cents, "vec_id", "embedding", keep,
+                    arrow=True, cents=cached,
+                ).collect()
+            )
+            assert arrow == expr, f"keep={keep} cents={'lit' if cached else 'collected'}"
+
+
+def test_ivf_assign_twin_nan_vector_is_safe_direction(spark):
+    """A NaN element reaches the kernel as NaN (Arrow list-of-float) and
+    NaN dots rank FIRST — matching how Spark itself would order a NaN
+    dot (NaN sorts above every number) rather than the expression
+    path's NULL-dot-last (the JVM fold nulls the whole dot). Pin the
+    membership so the divergence stays deliberate and bounded: the row
+    still lands on deterministic cells, tie-broken by centroid id."""
+    from sportstv_streaming_data_warehouse_spark.operators.similarity import (
+        _ivf_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "centroid_id long, __centroid array<double>",
+    )
+    rows = spark.createDataFrame(
+        [(1, [float("nan"), 1.0])], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        r["centroid_id"]
+        for r in _ivf_assign(
+            rows, cents, "vec_id", "embedding", 1, arrow=True
+        ).collect()
+    )
+    # both dots NaN -> ties break to the smaller centroid id
+    assert got == [2]
+
+
+def test_poly_minhash_twin_randomized_corpus_parity(spark):
+    """Round-15 (r14 ADVICE): the portable path's Arrow twin bit-identity
+    rests on two probed Spark behaviors (split('') yields codepoints,
+    ascii() = codepoint) pinned above on 10 hand-picked docs. This
+    widens the pin to a seeded pseudo-random corpus — mixed-script
+    tokens drawn across ASCII / Latin-1 / CJK / non-BMP ranges, random
+    token counts and lengths — so a Spark upgrade changing either
+    behavior fails THIS test loudly instead of surfacing as downstream
+    oracle drift across the whole poly family."""
+    import random
+
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        minhash_signature,
+    )
+
+    rng = random.Random(15_042)
+    ranges = [
+        (0x20, 0x7E),        # ASCII printable (incl. space: multi-token)
+        (0xA1, 0xFF),        # Latin-1
+        (0x400, 0x4FF),      # Cyrillic
+        (0x4E00, 0x9FFF),    # CJK
+        (0x1F300, 0x1F64F),  # non-BMP emoji
+    ]
+
+    def token():
+        lo, hi = rng.choice(ranges)
+        return "".join(
+            chr(rng.randint(lo, hi)) for _ in range(rng.randint(1, 12))
+        )
+
+    docs = [
+        (i, " ".join(token() for _ in range(rng.randint(0, 25))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (1, 3):
+        expr = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signature(
+                df, "doc_id", "text", n=n, portable=True, arrow=False
+            ).collect()
+        }
+        twin = {
+            r["doc_id"]: r["signature"]
+            for r in minhash_signature(
+                df, "doc_id", "text", n=n, portable=True, arrow=True
+            ).collect()
+        }
+        assert expr == twin, f"n={n}"
+
+
+def test_slot_agreement_matches_the_aggregate_fold(spark):
+    """Round-15: `_slot_agreement` (size∘filter∘zip_with — 1.4-1.9x the
+    fold at gate scale) must count agreeing slots exactly like the
+    aggregate fold it replaced for every signature this engine produces
+    (fixed k-length, all-or-nothing nulls). The one divergence — an
+    ALL-NULL signature scores NULL under the fold, 0 here — is pinned
+    too: both fail every catalog threshold (the only τ=0 consumer,
+    minhash_calibration, excludes the zero-token docs that could in
+    principle produce such signatures — and even those fold to the [""]
+    shingle, i.e. valid integer slots, never null)."""
+    from sportstv_streaming_data_warehouse_spark.operators.dedup import (
+        _slot_agreement,
+    )
+
+    k = 8
+    rows = [
+        (1, [1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8]),   # all agree
+        (2, [1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 0, 4, 0, 6, 0, 8]),   # 5 agree
+        (3, [0, 0, 0, 0, 0, 0, 0, 0], [1, 2, 3, 4, 5, 6, 7, 8]),   # none
+        (4, [None] * k, [1, 2, 3, 4, 5, 6, 7, 8]),                  # all-null side
+        (5, [None] * k, [None] * k),                                # both all-null
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<bigint>, b array<bigint>"
+    )
+    fold = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    got = {
+        r["id"]: (r["new"], r["old"])
+        for r in df.select(
+            "id",
+            _slot_agreement(F.col("a"), F.col("b"), k).alias("new"),
+            fold.alias("old"),
+        ).collect()
+    }
+    assert got[1] == (8, 8) and got[2] == (5, 5) and got[3] == (0, 0)
+    # the documented all-null divergence: 0 vs NULL — both fail any tau>0
+    assert got[4] == (0, None) and got[5] == (0, None)
+    # and the verdict equivalence both sides of the threshold filter
+    for new, old in got.values():
+        assert (new / k >= 0.5) == bool(old is not None and old / k >= 0.5)

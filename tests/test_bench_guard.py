@@ -538,3 +538,66 @@ def test_fallback_candidates_must_carry_every_active_signal():
     assert ok is False
     assert fallback is not None
     assert fallback["git"] in {"r11a", "r11b"}  # never a pre-probe entry
+
+
+# --- round 15: the one-line stdout record contract (VERDICT r14 item 4:
+# BENCH_r13's record failed the driver's parse at rc 0 and the round lost
+# its whole PERF table) ---
+
+
+def _full_record(n_queries=56, pad=0):
+    rec = {
+        "metric": "headline_queries_total",
+        "value": 85.3,
+        "unit": "sec",
+        "queries": {f"query_{i:03d}": 1.234 for i in range(n_queries)},
+        "sf": 0.1,
+        "golden_tier": {"etl_sec": 5.5},
+        "report_tier": {"materialize_sec": 1.9},
+        "representative": True,
+    }
+    if pad:
+        # advisory blobs large enough to blow the cap
+        rec["inflation_evidence"] = {"x": "y" * pad}
+        rec["live_queries"] = {f"query_{i:03d}": 1.2 for i in range(n_queries)}
+        rec["quiet_floor"] = {"value": 60.7, "note": "z" * pad}
+    return rec
+
+
+def test_emit_record_round_trips_one_line():
+    import json
+
+    from bench import emit_record
+
+    line = emit_record(_full_record())
+    assert "\n" not in line and "\r" not in line
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 85.3 and len(parsed["queries"]) == 56
+    assert parsed["golden_tier"]["etl_sec"] == 5.5
+
+
+def test_emit_record_caps_size_by_shedding_advisory_keys_only():
+    import json
+
+    from bench import RECORD_MAX_BYTES, emit_record
+
+    line = emit_record(_full_record(pad=RECORD_MAX_BYTES))
+    assert len(line.encode()) <= RECORD_MAX_BYTES
+    parsed = json.loads(line)
+    # core contract fields survive; advisory blobs were shed
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "golden_tier", "report_tier"):
+        assert key in parsed, key
+    assert "inflation_evidence" not in parsed
+
+
+def test_emit_record_fails_loudly_on_unserializable_values():
+    import pytest
+
+    from bench import emit_record
+
+    rec = _full_record()
+    rec["queries"] = {"q": object()}
+    with pytest.raises(TypeError):
+        emit_record(rec)

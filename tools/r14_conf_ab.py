@@ -27,9 +27,11 @@ def child(conf_json: str, names: list[str]) -> None:
     spark = get_spark(app_name="conf-ab", extra_conf=json.loads(conf_json))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    QUERIES["flagship_daily_rollup"](spark, "/root/testdata/sf0.001").count()
 
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warmup derives from the same env var as the timed runs (r14 ADVICE:
+    # a hardcoded /root/testdata path broke the harness on other boxes)
+    QUERIES["flagship_daily_rollup"](spark, sf).count()
 
     def run_full(name: str) -> None:
         df = QUERIES[name](spark, sf)
